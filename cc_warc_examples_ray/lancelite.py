@@ -1,0 +1,195 @@
+"""Lance-style versioned table on Parquet: fragments + atomic JSON manifest.
+
+The real ``lance`` package is not installed in this sandbox; this module
+implements the subset of its semantics the engine needs — append-only
+fragment files, atomic manifest commits, versioned reads, per-partition
+idempotent writes for resumability — on top of ``pyarrow.parquet``.  The
+API is isolated here so real Lance can be dropped in later.
+
+Replaces the reference's sinks: Mongo collections
+(`/root/reference/src/org/commoncrawl/mklab/analysis/MorphiaManager.java:19-34`),
+gzip text part-files (`WARCTagCounter.java:53-61`) and loose image files
+(`ProcessingService.java:350-358`).
+
+Layout::
+
+    table_dir/
+      _versions/000001.json   # manifest: list of fragment files + metadata
+      _versions/000002.json
+      _latest                 # text file holding the latest version number
+      data/frag-<uuid>.parquet
+
+Commit protocol: write fragments → write new manifest (tmp+rename) →
+rename ``_latest`` (tmp+rename).  Readers resolve ``_latest`` then read
+only fragments listed in that manifest, so a crash mid-commit leaves the
+previous version intact (the atomicity the resume test relies on).
+Partitioned writes record a ``partition`` key per fragment; a resumed run
+asks ``completed_partitions()`` and skips those.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class LanceLiteTable:
+    def __init__(self, path: str):
+        self.path = path
+        self._vdir = os.path.join(path, "_versions")
+        self._data = os.path.join(path, "data")
+
+    # -- helpers ----------------------------------------------------------
+    def _latest_file(self) -> str:
+        return os.path.join(self.path, "_latest")
+
+    def latest_version(self) -> int:
+        try:
+            with open(self._latest_file()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._vdir, f"{version:06d}.json")
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "fragments": [], "metadata": {}}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return self.latest_version() > 0
+
+    # -- write path -------------------------------------------------------
+    def _write_fragment(self, table: pa.Table, partition) -> dict:
+        os.makedirs(self._data, exist_ok=True)
+        name = f"frag-{uuid.uuid4().hex}.parquet"
+        fp = os.path.join(self._data, name)
+        pq.write_table(table, fp)
+        return {
+            "file": os.path.join("data", name),
+            "rows": table.num_rows,
+            "partition": partition,
+        }
+
+    def _commit(self, fragments: list[dict], metadata: dict) -> int:
+        os.makedirs(self._vdir, exist_ok=True)
+        v = self.latest_version() + 1
+        man = {"version": v, "fragments": fragments, "metadata": metadata}
+        tmp = self._manifest_path(v) + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._manifest_path(v))
+        ltmp = self._latest_file() + f".tmp{os.getpid()}"
+        with open(ltmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(ltmp, self._latest_file())
+        return v
+
+    def write(self, table: pa.Table, mode: str = "overwrite", metadata: dict | None = None) -> int:
+        """Write a whole table as one fragment (new version)."""
+        frag = self._write_fragment(table, partition=None)
+        prev = [] if mode == "overwrite" else self.manifest()["fragments"]
+        return self._commit(prev + [frag], metadata or {})
+
+    def append_partition(self, table: pa.Table, partition, metadata: dict | None = None) -> int:
+        """Idempotently append one partition's data: if ``partition`` is
+        already present in the latest manifest, this is a no-op (the
+        resume path — a partition is either fully committed or absent)."""
+        man = self.manifest()
+        if any(f["partition"] == partition for f in man["fragments"]):
+            return man["version"]
+        frag = self._write_fragment(table, partition)
+        md = dict(man.get("metadata", {}))
+        md.update(metadata or {})
+        return self._commit(man["fragments"] + [frag], md)
+
+    def completed_partitions(self) -> set:
+        return {
+            f["partition"]
+            for f in self.manifest()["fragments"]
+            if f["partition"] is not None
+        }
+
+    # -- read path --------------------------------------------------------
+    def fragment_paths(self, version: int | None = None) -> list[str]:
+        return [
+            os.path.join(self.path, f["file"]) for f in self.manifest(version)["fragments"]
+        ]
+
+    def to_table(self, version: int | None = None, columns: list[str] | None = None) -> pa.Table:
+        paths = self.fragment_paths(version)
+        if not paths:
+            return pa.table({})
+        return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
+
+    def count_rows(self, version: int | None = None) -> int:
+        return sum(f["rows"] for f in self.manifest(version)["fragments"])
+
+    def read_ray(self, version: int | None = None, columns: list[str] | None = None, **kw):
+        """Open as a ray.data.Dataset over the manifest's fragments only
+        (uncommitted/garbage fragments are never read)."""
+        import ray.data
+
+        paths = self.fragment_paths(version)
+        if not paths:
+            raise FileNotFoundError(f"empty lancelite table at {self.path}")
+        return ray.data.read_parquet(paths, columns=columns, **kw)
+
+
+def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | None = None):
+    """Write a ray Dataset to a LanceLiteTable, one fragment per value of
+    ``partition_col``, committing each partition atomically (resumable:
+    completed partitions are skipped on rerun).
+
+    The per-partition fan-in happens on Ray workers (map_groups writes the
+    fragment file); only the tiny manifest commit is serialized on the
+    driver, preserving streaming execution for the data itself.
+    """
+    import pandas as pd
+
+    t = LanceLiteTable(path)
+    done = t.completed_partitions() if t.exists() else set()
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    def _write_group(g: pd.DataFrame) -> pd.DataFrame:
+        part = g[partition_col].iloc[0]
+        if part in done:
+            return pd.DataFrame({"partition": [part], "file": [""], "rows": [0]})
+        name = f"frag-{uuid.uuid4().hex}.parquet"
+        fp = os.path.join(path, "data", name)
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), fp)
+        return pd.DataFrame(
+            {"partition": [part], "file": [os.path.join("data", name)], "rows": [len(g)]}
+        )
+
+    frag_rows = ds.groupby(partition_col).map_groups(_write_group, batch_format="pandas").take_all()
+    man = t.manifest()
+    frags = man["fragments"]
+    for r in frag_rows:
+        if r["file"]:
+            frags.append(
+                {"file": r["file"], "rows": int(r["rows"]), "partition": _py(r["partition"])}
+            )
+    md = dict(man.get("metadata", {}))
+    md.update(metadata or {})
+    t._commit(frags, md)
+    return t
+
+
+def _py(v):
+    try:
+        return v.item()
+    except AttributeError:
+        return v

@@ -1,0 +1,279 @@
+"""Deterministic synthetic fixture generators (FIXTURES.md F1-F5).
+
+Everything is a pure function of ``(seed, n)`` — bit-identical across
+runs/processes — because the crawl pipeline's "network fetch" stage
+re-renders the same procedural images from the URL key and validates the
+decode against them (the sandbox stand-in for per-row validation against
+the reference's downloads, `ProcessingService.java:329-388`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import imagecodec, schemas
+from .hashing import xxh64
+
+GLOBAL_SEED = 42
+
+# Word list for captions / documents (fixed, public-domain words).
+WORDS = (
+    "sunset harbor mountain bicycle window garden bridge market lantern "
+    "river forest temple station library coffee shadow mirror autumn spring "
+    "island castle violin butter meadow copper silver marble velvet amber"
+).split()
+
+FMTS = ("png", "jpg", "bmp")
+SIZES = (96, 128, 64, 112, 32, 120, 104, 48, 128, 112)  # scaled-down stand-in
+# for the reference's >=400px admission gate (ImageUtils.java:27-28): the
+# gate value is a pipeline parameter (min_dim), 400 at production scale.
+SMALL_DIM_GATE = 100
+
+
+def _rng(*key: int) -> np.random.Generator:
+    return np.random.default_rng(list(key))
+
+
+def render_image(key: int, w: int, h: int) -> np.ndarray:
+    """Procedural RGB image: deterministic gradient + seeded noise."""
+    rng = _rng(GLOBAL_SEED, key & 0xFFFFFFFF, (key >> 32) & 0xFFFFFFFF)
+    yy, xx = np.mgrid[0:h, 0:w]
+    ph = int(rng.integers(0, 256))
+    base = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1) + ph) % 256,
+            (yy * 255 // max(h - 1, 1) + ph // 2) % 256,
+            ((xx + yy) * 255 // max(w + h - 2, 1)) % 256,
+        ],
+        axis=-1,
+    )
+    noise = rng.integers(-6, 7, (h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def caption_for(key: int) -> str:
+    """Deterministic 3-12 word caption; ~5% empty."""
+    rng = _rng(GLOBAL_SEED + 1, key & 0xFFFFFFFF, (key >> 32) & 0xFFFFFFFF)
+    if rng.random() < 0.05:
+        return ""
+    k = int(rng.integers(3, 13))
+    idx = rng.integers(0, len(WORDS), k)
+    return " ".join(WORDS[j] for j in idx)
+
+
+def image_row(key: int, near_dup_of: int | None = None) -> dict:
+    """One images-table row for URL/row key ``key``.
+
+    ``near_dup_of``: render that key's image instead and nudge it slightly
+    (same phash bucket, Hamming<=2-ish) — the injected near-dup pairs.
+    """
+    w = SIZES[key % len(SIZES)]
+    h = SIZES[(key // len(SIZES) + 3) % len(SIZES)]
+    fmt = FMTS[key % len(FMTS)]
+    if near_dup_of is not None:
+        src = image_row(near_dup_of)
+        base = imagecodec.decode(src["bytes"], src["fmt"])
+        img = np.clip(base.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+        w, h = int(base.shape[1]), int(base.shape[0])
+    else:
+        img = render_image(key, w, h)
+    data = imagecodec.encode(img, fmt)
+    return {
+        "image_id": f"img-{key:010d}",
+        "bytes": data,
+        "w": np.int32(w),
+        "h": np.int32(h),
+        "fmt": fmt,
+        "caption": caption_for(key),
+        "phash": np.int64(np.uint64(imagecodec.phash64(img)).view(np.int64)),
+    }
+
+
+def images_table(n: int, seed: int = GLOBAL_SEED) -> pa.Table:
+    """F1: the image+caption table (driver input_hint shape)."""
+    assert seed == GLOBAL_SEED, "fixture is keyed off the global seed"
+    rows = {name: [] for name in schemas.IMAGES.names}
+    for i in range(n):
+        nd = i - 1 if (i % 97 == 96) else None
+        r = image_row(i, near_dup_of=nd)
+        for k, v in r.items():
+            rows[k].append(v)
+    return pa.table(rows, schema=schemas.IMAGES)
+
+
+# ---------------------------------------------------------------------------
+# F2/F3: frontier seeds + robots
+# ---------------------------------------------------------------------------
+
+def _zipf_host(rng: np.random.Generator, n_hosts: int) -> int:
+    """Zipf(1.2)-skewed host index in [0, n_hosts) — hot-host skew."""
+    while True:
+        k = int(rng.zipf(1.2))
+        if k <= n_hosts:
+            return k - 1
+
+
+def frontier_seeds_table(n: int, n_hosts: int = 20, seed: int = GLOBAL_SEED) -> pa.Table:
+    """F2: seed URL list with www.-prefixes, relative URLs, embedded
+    whitespace, and ~2% post-canonicalization duplicates."""
+    rng = _rng(seed, 7001)
+    seed_urls, page_urls, ranks = [], [], []
+    canon_targets: list[tuple[str, str]] = []  # (host, path) issued so far
+    for i in range(n):
+        hk = _zipf_host(rng, n_hosts)
+        host = f"host{hk:04d}.example"
+        r = rng.random()
+        if r < 0.02 and canon_targets:
+            # duplicate of an earlier URL, disguised with www. or whitespace
+            dh, dp = canon_targets[int(rng.integers(0, len(canon_targets)))]
+            disguise = int(rng.integers(0, 3))
+            if disguise == 0:
+                u = f"http://www.{dh}{dp}"
+            elif disguise == 1:
+                u = f"http://{dh}{dp[:3]} {dp[3:]}"  # embedded whitespace
+            else:
+                u = f"http://{dh}:80{dp}"
+            seed_urls.append(u)
+            page_urls.append(f"http://{dh}/index.html")
+        else:
+            path = f"/img/i{i}.{FMTS[i % len(FMTS)]}"
+            if r < 0.10:
+                path = f"/private/p{i}.png"  # robots-disallowed subtree
+            if 0.10 <= r < 0.25:
+                # relative URL resolved against page_url (ProcessingService.java:436-474)
+                depth = int(rng.integers(1, 3))
+                page_urls.append(f"http://{host}/a/b/c/page{i}.html")
+                seed_urls.append("../" * depth + f"pics/i{i}.jpg")
+                resolved = "/a/b/c/"
+                for _ in range(depth):
+                    resolved = resolved[: resolved.rstrip("/").rfind("/") + 1]
+                canon_targets.append((host, resolved + f"pics/i{i}.jpg"))
+                ranks.append(i)
+                continue
+            if 0.25 <= r < 0.35:
+                u = f"http://www.{host}{path}"
+            elif 0.35 <= r < 0.38:
+                u = f"http://{host}{path[:4]} {path[4:]}"
+            else:
+                u = f"http://{host}{path}"
+            seed_urls.append(u)
+            page_urls.append(f"http://{host}/index.html")
+            canon_targets.append((host, path))
+        ranks.append(i)
+    return pa.table(
+        {
+            "seed_url": seed_urls,
+            "page_url": page_urls,
+            "seed_rank": np.array(ranks, dtype=np.int64),
+        },
+        schema=schemas.FRONTIER_SEEDS,
+    )
+
+
+def robots_table(n_hosts: int = 20, seed: int = GLOBAL_SEED) -> pa.Table:
+    """F3: per-host crawl-delay + disallow prefixes.  150ms mirrors the
+    reference's global MIN_CALL_INTERVAL (ProcessingService.java:57)."""
+    delays = (0, 150, 500, 1000)
+    hosts = [f"host{k:04d}.example" for k in range(n_hosts)]
+    delay = [delays[k % len(delays)] for k in range(n_hosts)]
+    dis = [["/private/"] if k % 10 == 3 else [] for k in range(n_hosts)]
+    return pa.table(
+        {
+            "host": hosts,
+            "crawl_delay_ms": np.array(delay, dtype=np.int64),
+            "disallow_prefixes": dis,
+        },
+        schema=schemas.ROBOTS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5: WARC-record table (drives tag/word/server-count + media extraction)
+# ---------------------------------------------------------------------------
+
+_TAGS = ("html", "head", "body", "div", "p", "a", "img", "span", "table", "li")
+_SERVERS = ("Apache", "nginx", "IIS", None)
+
+
+def _html_body(rng: np.random.Generator, i: int) -> str:
+    parts = ["<html>", "<head><title>t</title></head>", "<body>"]
+    n_el = int(rng.integers(3, 12))
+    for j in range(n_el):
+        t = _TAGS[int(rng.integers(0, len(_TAGS)))]
+        if t == "img":
+            parts.append(
+                f'<img src="/img/i{i}_{j}.jpg" alt="{caption_for(i * 1000 + j)}" '
+                f'width="{int(rng.integers(10, 900))}">'
+            )
+        elif t == "a":
+            parts.append(f'<a href="http://host{int(rng.integers(0, 20)):04d}.example/m{j}.png">x</a>')
+        else:
+            parts.append(f"<{t}>{WORDS[int(rng.integers(0, len(WORDS)))]}</{t}>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def warc_records_table(n: int, seed: int = GLOBAL_SEED) -> pa.Table:
+    rng = _rng(seed, 9001)
+    urls, types, mimes, payloads = [], [], [], []
+    for i in range(n):
+        url = f"http://host{int(rng.integers(0, 20)):04d}.example/page{i}.html"
+        r = rng.random()
+        if r < 0.55:  # HTTP response w/ HTML (TagCounterMap path)
+            body = _html_body(rng, i)
+            payload = (
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n" + body
+            ).encode()
+            types.append("response")
+            mimes.append("application/http; msgtype=response")
+        elif r < 0.75:  # WET plain text (WordCounterMap path)
+            nw = int(rng.integers(0, 40))
+            text = " ".join(WORDS[int(rng.integers(0, len(WORDS)))] for _ in range(nw))
+            payload = text.encode()
+            types.append("conversion")
+            mimes.append("text/plain")
+        elif r < 0.95:  # WAT json (ServerTypeMap path)
+            srv = _SERVERS[int(rng.integers(0, len(_SERVERS)))]
+            hdr = {} if srv is None else {"Server": srv}
+            import json
+
+            payload = json.dumps(
+                {
+                    "Envelope": {
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": {"Headers": hdr}
+                        }
+                    }
+                }
+            ).encode()
+            types.append("metadata")
+            mimes.append("application/json")
+        else:  # other mime → NON_PLAIN_TEXT-style counter golden
+            payload = b"\x00\x01binary"
+            types.append("resource")
+            mimes.append("application/octet-stream")
+        urls.append(url)
+        payloads.append(payload)
+    return pa.table(
+        {"record_url": urls, "warc_type": types, "mime": mimes, "payload": payloads},
+        schema=schemas.WARC_RECORDS,
+    )
+
+
+def url_key(url_hash: int) -> int:
+    """Map a canonical url_hash to the procedural-image key the synthetic
+    fetcher renders — identity; kept as a function so the mapping is one
+    place."""
+    return int(np.uint64(np.int64(url_hash)))
+
+
+def seed_url_for_image(i: int) -> str:
+    """Inverse helper used by tests: the canonical URL whose fetch returns
+    image key ``i``'s bytes is defined by the fetch stage, not here."""
+    raise NotImplementedError
+
+
+def stable_hash_str(s: str) -> int:
+    return xxh64(s.encode())

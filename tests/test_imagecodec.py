@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+from cc_warc_examples_ray import imagecodec as ic
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.default_rng(42)
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) * 255 // (w + h - 2)], -1
+    )
+    return np.clip(base + rng.integers(-8, 9, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def test_png_roundtrip_exact(img):
+    e = ic.png_encode(img)
+    assert ic.png_probe(e) == (img.shape[1], img.shape[0])
+    assert (ic.png_decode(e) == img).all()
+
+
+def test_bmp_roundtrip_exact(img):
+    e = ic.bmp_encode(img)
+    assert ic.bmp_probe(e) == (img.shape[1], img.shape[0])
+    assert (ic.bmp_decode(e) == img).all()
+
+
+def test_fjpg_lossy_psnr(img):
+    e = ic.fjpg_encode(img)
+    assert ic.fjpg_probe(e) == (img.shape[1], img.shape[0])
+    d = ic.fjpg_decode(e)
+    assert ic.psnr(img, d) >= 40.0
+    assert len(e) < len(ic.png_encode(img))  # actually compresses
+
+
+@pytest.mark.parametrize("hw", [(33, 47), (8, 8), (100, 31)])
+def test_odd_sizes(hw):
+    rng = np.random.default_rng(1)
+    im = rng.integers(0, 256, (*hw, 3)).astype(np.uint8)
+    assert (ic.png_decode(ic.png_encode(im)) == im).all()
+    assert (ic.bmp_decode(ic.bmp_encode(im)) == im).all()
+    assert ic.fjpg_probe(ic.fjpg_encode(im)) == (hw[1], hw[0])
+
+
+def test_dispatch_and_sniff(img):
+    for fmt in ("png", "bmp", "jpg"):
+        e = ic.encode(img, fmt)
+        assert ic.sniff_fmt(e) == fmt
+        assert ic.probe(e, fmt) == (img.shape[1], img.shape[0])
+        d = ic.decode(e, fmt)
+        if fmt in ic.LOSSLESS_FMTS:
+            assert (d == img).all()
+        else:
+            assert ic.psnr(img, d) >= 40
+
+
+def test_phash_properties(img):
+    p1 = ic.phash64(img)
+    shifted = np.clip(img.astype(int) + 3, 0, 255).astype(np.uint8)
+    p2 = ic.phash64(shifted)
+    rng = np.random.default_rng(9)
+    other = rng.integers(0, 256, img.shape).astype(np.uint8)
+    p3 = ic.phash64(other)
+    assert ic.hamming64(np.uint64(p1), np.uint64(p2)) <= 4
+    assert ic.hamming64(np.uint64(p1), np.uint64(p3)) > 10
+
+
+def test_hamming_vectorized():
+    a = np.array([0, 0xFF, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    b = np.array([0, 0, 0], dtype=np.uint64)
+    assert list(ic.hamming64(a, b)) == [0, 8, 64]

@@ -1,0 +1,60 @@
+import numpy as np
+import pyarrow as pa
+
+from cc_warc_examples_ray import imagecodec, lancelite, schemas, synth
+
+
+def test_images_table_deterministic_and_valid():
+    t = synth.images_table(60)
+    assert t.schema.equals(schemas.IMAGES)
+    assert t.equals(synth.images_table(60))
+    # per-row invariant: lossless exact, lossy PSNR>=40, dims match
+    for i in range(0, 60, 7):
+        r = {c: t.column(c)[i].as_py() for c in t.column_names}
+        img = imagecodec.decode(r["bytes"], r["fmt"])
+        assert img.shape == (r["h"], r["w"], 3)
+        assert imagecodec.probe(r["bytes"], r["fmt"]) == (r["w"], r["h"])
+
+
+def test_frontier_and_robots_deterministic():
+    s = synth.frontier_seeds_table(500)
+    assert s.schema.equals(schemas.FRONTIER_SEEDS)
+    assert s.equals(synth.frontier_seeds_table(500))
+    r = synth.robots_table(20)
+    assert r.schema.equals(schemas.ROBOTS)
+    urls = s.column("seed_url").to_pylist()
+    assert any(u.startswith("../") for u in urls)  # relative URLs present
+    assert any(" " in u for u in urls)  # embedded whitespace present
+    assert any("www." in u for u in urls)
+
+
+def test_warc_records_mix():
+    t = synth.warc_records_table(150)
+    assert t.schema.equals(schemas.WARC_RECORDS)
+    mimes = set(t.column("mime").to_pylist())
+    assert "application/http; msgtype=response" in mimes
+    assert "text/plain" in mimes
+    assert "application/json" in mimes
+
+
+def test_lancelite_versioning(tmp_path):
+    t = lancelite.LanceLiteTable(str(tmp_path / "tbl"))
+    assert not t.exists()
+    tab1 = pa.table({"a": [1, 2, 3]})
+    v1 = t.write(tab1)
+    assert v1 == 1 and t.count_rows() == 3
+    v2 = t.write(pa.table({"a": [4]}), mode="append")
+    assert v2 == 2 and t.count_rows() == 4
+    assert t.to_table(version=1).num_rows == 3  # time travel
+    assert t.to_table().column("a").to_pylist() == [1, 2, 3, 4]
+
+
+def test_lancelite_partition_idempotent(tmp_path):
+    t = lancelite.LanceLiteTable(str(tmp_path / "tbl"))
+    t.append_partition(pa.table({"a": [1]}), partition=0)
+    t.append_partition(pa.table({"a": [2]}), partition=1)
+    v = t.latest_version()
+    t.append_partition(pa.table({"a": [99]}), partition=0)  # no-op: done
+    assert t.latest_version() == v
+    assert sorted(t.to_table().column("a").to_pylist()) == [1, 2]
+    assert t.completed_partitions() == {0, 1}
