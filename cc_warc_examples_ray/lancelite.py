@@ -115,6 +115,49 @@ class LanceLiteTable:
         md.update(metadata or {})
         return self._commit(man["fragments"] + [frag], md)
 
+    def append_ray_partition(self, ds, partition, metadata: dict | None = None) -> int:
+        """Idempotently append one partition from a ray Dataset: fragments
+        are written by the Ray workers (``write_parquet`` — streaming, the
+        driver never holds the data), then committed atomically into the
+        manifest.  A crash between the write and the commit leaves
+        unreferenced files in the partition dir; the rerun clears them
+        (the manifest, not the filesystem, is the source of truth)."""
+        import shutil
+
+        man = self.manifest()
+        if any(f["partition"] == partition for f in man["fragments"]):
+            return man["version"]
+        sub = f"part-{partition}"
+        subdir = os.path.join(self._data, sub)
+        if os.path.exists(subdir):
+            shutil.rmtree(subdir)  # stale files from a crashed attempt
+        os.makedirs(subdir)
+        ds.write_parquet(subdir)
+        frags = []
+        for name in sorted(os.listdir(subdir)):
+            fp = os.path.join(subdir, name)
+            frags.append(
+                {
+                    "file": os.path.join("data", sub, name),
+                    "rows": pq.read_metadata(fp).num_rows,
+                    "partition": partition,
+                }
+            )
+        md = dict(man.get("metadata", {}))
+        md.update(metadata or {})
+        return self._commit(man["fragments"] + frags, md)
+
+    def partition_table(self, partition, columns: list[str] | None = None) -> pa.Table:
+        """Read only one committed partition's fragments."""
+        paths = [
+            os.path.join(self.path, f["file"])
+            for f in self.manifest()["fragments"]
+            if f["partition"] == partition
+        ]
+        if not paths:
+            raise KeyError(f"partition {partition} not committed in {self.path}")
+        return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
+
     def completed_partitions(self) -> set:
         return {
             f["partition"]

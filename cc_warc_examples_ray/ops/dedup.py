@@ -1,0 +1,429 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has exact URL dedup (first-per-key reducer,
+`/root/reference/src/org/commoncrawl/mklab/MediaReduce.java:12-19`),
+approximate first-seen via bloom admit (`ProcessingService.java:186-192`)
+and visual near-dup via a VLAD/PCA + IVFPQ index
+(`IndexingManage.java:68-103`).  This module generalizes the family to
+text + embeddings + pHash, each as a composition of ``map_batches`` +
+one groupby shuffle:
+
+- :func:`exact_dedup` — content-hash partition + per-group min.
+- :func:`minhash_lsh_pairs` / :func:`minhash_dedup` — shingle → minhash
+  → band buckets (Broder 1997 / LSH banding, public MMDS ch.3).
+- :func:`simhash_pairs` — Charikar 2002 simhash over token hashes.
+- :func:`ngram_jaccard_verify` — exact Jaccard on candidate pairs.
+- :func:`embedding_neardup_pairs` — cosine-similar pairs, bucketed by a
+  random-hyperplane LSH sketch so comparisons stay block-local.
+- :func:`phash_neardup_groups` — pHash Hamming clustering with explicit
+  host-salting (SURVEY.md §2.6 O9, the north-rule upgrade of the
+  reference's IVFPQ membership test).
+
+All shuffles move (key, id, sketch) rows only — never payloads.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..hashing import xxh64_many
+from ..imagecodec import hamming64
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+# deterministic 64-bit odd multipliers for the k minhash permutations
+def _minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, k, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, k, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingles → uint64 hashes (vectorized via xxh64_many)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(xxh64_many(shingles))
+
+
+class MinHasher:
+    """Stateful map_batches callable: text → k-minhash signature +
+    LSH band keys.  Permutation params built once per actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 64, bands: int = 16, shingle_n: int = 3):
+        assert k % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.k, self.bands, self.rows = k, bands, k // bands
+        self.a, self.b = _minhash_params(k)
+        self.shingle_n = shingle_n
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.shingle_n)
+        if len(sh) == 0:
+            return np.zeros(self.k, dtype=np.uint64)
+        # (a*x + b) for each perm — vectorized [k, n_shingles]
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None])
+        return vals.min(axis=1)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        """Emit (id, band, band_hash) rows — exploded for the bucket groupby."""
+        texts = tbl.column(self.text_col).to_pylist()
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        n = len(texts)
+        sigs = np.empty((n, self.k), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t or "")
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int64), n)
+        out_ids = np.tile(ids, self.bands)
+        bh = np.empty(n * self.bands, dtype=np.uint64)
+        for b in range(self.bands):
+            seg = sigs[:, b * self.rows : (b + 1) * self.rows]
+            # mix the band's rows into one 64-bit bucket key
+            acc = seg[:, 0].copy()
+            for j in range(1, self.rows):
+                acc ^= seg[:, j] + np.uint64(0x9E3779B97F4A7C15) + (acc << np.uint64(6)) + (acc >> np.uint64(2))
+            bh[b * n : (b + 1) * n] = acc
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids),
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(bh.view(np.int64)),
+            }
+        )
+
+
+def _pairs_from_buckets(id_col: str):
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        ids = np.unique(ids)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    return pairs
+
+
+def minhash_lsh_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 64, bands: int = 16, shingle_n: int = 3) -> rd.Dataset:
+    """Candidate near-dup pairs: any two docs sharing an LSH band bucket.
+    Pair explosion is bounded per bucket; hot buckets indicate a
+    degenerate shingle (e.g. empty text) and should be pre-filtered."""
+    exploded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k, bands=bands,
+                                   shingle_n=shingle_n),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    cand = exploded.groupby(["band", "band_hash"]).map_groups(
+        _pairs_from_buckets(id_col), batch_format="pandas"
+    )
+    # distinct pairs (a pair can collide in several bands)
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+class JaccardVerifier:
+    """Verify candidate pairs with exact shingle Jaccard.  Texts for the
+    pair are looked up from a broadcast id→text mapping (small-side
+    pattern); at larger scale re-join signatures instead."""
+
+    def __init__(self, texts_ref, shingle_n: int = 3):
+        import ray
+
+        self.texts: dict = ray.get(texts_ref)
+        self.n = shingle_n
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        a = tbl.column("id_a").to_pylist()
+        b = tbl.column("id_b").to_pylist()
+        sims = np.zeros(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            sa = shingle_hashes(self.texts.get(x, ""), self.n)
+            sb = shingle_hashes(self.texts.get(y, ""), self.n)
+            if len(sa) == 0 and len(sb) == 0:
+                sims[i] = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                sims[i] = inter / union if union else 0.0
+        return tbl.append_column("jaccard", pa.array(sims, pa.float64()))
+
+
+def ngram_jaccard_verify(pairs: rd.Dataset, texts_ref, threshold: float = 0.8,
+                         shingle_n: int = 3) -> rd.Dataset:
+    verified = pairs.map_batches(
+        JaccardVerifier,
+        fn_constructor_args=(texts_ref,),
+        fn_constructor_kwargs=dict(shingle_n=shingle_n),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+def minhash_dedup(ds: rd.Dataset, texts_ref, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.8) -> pd.DataFrame:
+    """Full near-dup pipeline → pandas (id, group) assignment: LSH pairs →
+    Jaccard verify → connected components.  Components run driver-side
+    (union-find) over the verified pair list, which is tiny relative to
+    the corpus; at extreme scale use iterative min-label propagation."""
+    pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col)
+    good = ngram_jaccard_verify(pairs, texts_ref, threshold=threshold).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(good["id_a"], good["id_b"]):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    rows = [(x, find(x)) for x in parent]
+    return pd.DataFrame(rows, columns=[id_col, "group_id"]).sort_values(id_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar 2002)
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self._bit = np.uint64(1)
+
+    def simhash(self, text: str) -> np.uint64:
+        toks = _TOKEN_RE.findall((text or "").lower())
+        if not toks:
+            return np.uint64(0)
+        hs = xxh64_many(toks)
+        acc = np.zeros(64, dtype=np.int64)
+        for b in range(64):
+            bits = (hs >> np.uint64(b)) & np.uint64(1)
+            acc[b] = int(bits.sum()) * 2 - len(hs)
+        code = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                code |= np.uint64(1) << np.uint64(b)
+        return code
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        codes = np.array(
+            [self.simhash(t) for t in tbl.column(self.text_col).to_pylist()],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                self.id_col: tbl.column(self.id_col),
+                "simhash": pa.array(codes.view(np.int64)),
+            }
+        )
+
+
+def simhash_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs by simhash: 4×16-bit block keys (pigeonhole — any
+    pair within Hamming<=3 of 64 bits shares at least one exact 16-bit
+    block), groupby block, verify Hamming within bucket."""
+    sigs = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sh = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        n = len(ids)
+        blocks = np.repeat(np.arange(4, dtype=np.int64), n)
+        keys = np.empty(4 * n, dtype=np.uint64)
+        for b in range(4):
+            keys[b * n : (b + 1) * n] = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                id_col: pa.array(np.tile(ids, 4)),
+                "simhash": pa.array(np.tile(sh.view(np.int64), 4)),
+                "block": pa.array(blocks),
+                "block_key": pa.array(keys.view(np.int64)),
+            }
+        )
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = hamming64(sh[ia], sh[ib])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "hamming": ham[keep]})
+
+    cand = exploded.groupby(["block", "block_key"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
+    """Exact content dedup: xxhash64(content) → hash-partition → keep the
+    min-id row per hash (A3/O7 semantics with a deterministic winner)."""
+
+    def add_hash(tbl: pa.Table) -> pa.Table:
+        h = xxh64_many(tbl.column(content_col)).view(np.int64)
+        return tbl.append_column("_chash", pa.array(h, pa.int64()))
+
+    from .relational import first_per_key
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return first_per_key(hashed, "_chash", id_col)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (random-hyperplane LSH buckets)
+# ---------------------------------------------------------------------------
+
+class HyperplaneSketch:
+    """map_batches callable: embedding list<float> → b-bit sign sketch.
+    Hyperplanes are seeded once per actor (identical across actors)."""
+
+    def __init__(self, dim: int, bits: int = 16, id_col: str = "vec_id",
+                 emb_col: str = "embedding", seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits))
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        emb = np.asarray(tbl.column(self.emb_col).to_pylist(), dtype=np.float64)
+        signs = (emb @ self.planes) > 0
+        keys = np.zeros(len(emb), dtype=np.uint64)
+        for b in range(signs.shape[1]):
+            keys |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        unit = emb / np.where(norm == 0, 1.0, norm)
+        return pa.table(
+            {
+                self.id_col: tbl.column(self.id_col),
+                "bucket": pa.array(keys.view(np.int64)),
+                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            }
+        )
+
+
+def embedding_neardup_pairs(ds: rd.Dataset, dim: int, threshold: float = 0.95,
+                            bits: int = 8, id_col: str = "vec_id",
+                            emb_col: str = "embedding") -> rd.Dataset:
+    """Cosine-similar pairs: hyperplane-LSH bucket groupby, exact cosine
+    verification within buckets (numpy matmul per group).  Recall is
+    bounded by the sketch (near-identical vectors collide with high
+    probability); for exhaustive small-scale checks use
+    :func:`brute_force_pairs`."""
+    sk = ds.map_batches(
+        HyperplaneSketch,
+        fn_constructor_kwargs=dict(dim=dim, bits=bits, id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g["unit"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        sim = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sim[ia, ib] >= threshold
+        order = np.argsort(ids)  # deterministic id ordering in pairs
+        inv = ids
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(inv[ia][keep], inv[ib][keep]),
+                "id_b": np.maximum(inv[ia][keep], inv[ib][keep]),
+                "cosine": sim[ia, ib][keep],
+            }
+        )
+
+    return sk.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def brute_force_pairs(ds: rd.Dataset, threshold: float, id_col: str = "vec_id",
+                      emb_col: str = "embedding", block: int = 2048) -> pd.DataFrame:
+    """Exhaustive cosine pair search — O(n²) verification baseline used by
+    tests and the DuckDB oracle comparison.  Blocks stream through the
+    driver; only for oracle-scale inputs."""
+    rows = ds.select_columns([id_col, emb_col]).to_pandas()
+    ids = rows[id_col].to_numpy()
+    mat = np.asarray(list(rows[emb_col]), dtype=np.float64)
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norm == 0, 1.0, norm)
+    out = []
+    for i0 in range(0, len(ids), block):
+        sim = mat[i0 : i0 + block] @ mat.T
+        for r in range(sim.shape[0]):
+            gi = i0 + r
+            js = np.flatnonzero(sim[r] >= threshold)
+            js = js[js > gi]
+            for j in js:
+                out.append((min(ids[gi], ids[j]), max(ids[gi], ids[j]), sim[r, j]))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]).sort_values(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup groups (O9) with host salting
+# ---------------------------------------------------------------------------
+
+def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
+                         id_col: str = "image_id", phash_col: str = "phash",
+                         prefix_bits: int = 16, salt: int = 0) -> rd.Dataset:
+    """Visual near-dup candidate groups: bucket by the top ``prefix_bits``
+    of pHash (near-dups with Hamming<=k in the high bits mostly share the
+    prefix; complement with rotated prefixes for full recall), verify
+    exact Hamming within buckets.  ``salt``>0 additionally splits hot
+    buckets by ``xxhash64(id) % salt`` — the skew-breaking required at
+    10^10 scale (SURVEY.md §2.6 O9) at the cost of cross-salt recall."""
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ph = tbl.column(phash_col).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        prefix = (ph >> np.uint64(64 - prefix_bits)).astype(np.int64)
+        out = pa.table({id_col: tbl.column(id_col), phash_col: tbl.column(phash_col),
+                        "bucket": pa.array(prefix)})
+        if salt > 1:
+            s = (xxh64_many(tbl.column(id_col)) % np.uint64(salt)).astype(np.int64)
+            out = out.append_column("salt", pa.array(s))
+        else:
+            out = out.append_column("salt", pa.array(np.zeros(len(ph), dtype=np.int64)))
+        return out
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        ph = g[phash_col].to_numpy().astype(np.int64).view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = hamming64(ph[ia], ph[ib])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "hamming": ham[keep].astype(np.int64)})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby(["bucket", "salt"]).map_groups(verify, batch_format="pandas")

@@ -1,0 +1,196 @@
+"""Generic relational operators, Ray-Data-first (SURVEY.md §2.4-§2.6).
+
+Each maps a reference construct to a Dataset primitive:
+
+- per-key counts / sums  ← Hadoop ``LongSumReducer`` jobs
+  (`/root/reference/src/org/commoncrawl/examples/mapreduce/WARCTagCounter.java:45,63-67`)
+- first-per-key exact dedup ← ``MediaReduce.java:12-19`` / ``MediaCombine.java:9-16``
+- top-k ← ``Multisets.copyHighestCountFirst`` dumps (`Statistics.java:128-158`)
+- broadcast semi/anti joins ← in-memory seed-host membership sets
+  (`URLProcessor.java:63`, `ProcessingService.java:352`)
+
+Shuffle discipline: every groupby here pre-aggregates inside
+``map_batches`` first (one partial row per key per batch) so the
+all-to-all exchange moves partials, not rows — the combiner pattern the
+reference gets from Hadoop (`WordCount.java:46`) made explicit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _partial_counts(keys: Sequence[str]):
+    """map_batches kernel: per-batch groupby(keys).count() partial."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by(list(keys)).aggregate([([], "count_all")]).rename_columns(
+            list(keys) + ["_partial"]
+        )
+
+    return fn
+
+
+def grouped_count(ds: rd.Dataset, keys: Sequence[str], alias: str = "cnt") -> rd.Dataset:
+    """groupby(keys).count() with per-batch partial pre-aggregation: the
+    shuffle moves one row per (key, batch) instead of one per input row."""
+    partials = ds.map_batches(_partial_counts(keys), batch_format="pyarrow")
+    out = partials.groupby(list(keys)).aggregate(Sum("_partial", alias_name=alias))
+    return out
+
+
+def grouped_sum(ds: rd.Dataset, keys: Sequence[str], col: str, alias: str) -> rd.Dataset:
+    def partial(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by(list(keys)).aggregate([(col, "sum")]).rename_columns(
+            list(keys) + ["_p"]
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(list(keys)).aggregate(
+        Sum("_p", alias_name=alias)
+    )
+
+
+def topk(ds: rd.Dataset, col: str, k: int, descending: bool = True) -> rd.Dataset:
+    """sort + limit (O1/O2).  Ray Data's sort is a range-partitioned
+    shuffle; for pure top-k over big data prefer per-batch pre-truncation."""
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows <= k:
+            return tbl
+        order = "descending" if descending else "ascending"
+        return tbl.sort_by([(col, order)]).slice(0, k)
+
+    return ds.map_batches(prune, batch_format="pyarrow").sort(col, descending=descending).limit(k)
+
+
+def first_per_key(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
+    """Exact first-per-key dedup (A3/O7): hash-partition by ``key``, keep
+    the row with the smallest ``order_col`` in each group — the spec'd
+    version of `MediaReduce.java:14-18`'s "first value wins"."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").head(1)
+
+    # pre-dedup inside each batch before the shuffle (combiner)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_col, kind="mergesort").drop_duplicates(key, keep="first")
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+def threshold_filter(ds: rd.Dataset, keys: Sequence[str], min_count: int, alias: str = "cnt") -> rd.Dataset:
+    """Frequency-threshold filter (O6, `LocalFileAnalyzer.java:26-33`)."""
+    counts = grouped_count(ds, keys, alias=alias)
+    return counts.filter(expr=f"{alias} >= {min_count}")
+
+
+def broadcast_semi_join(ds: rd.Dataset, col: str, keys_ref) -> rd.Dataset:
+    """Keep rows whose ``col`` ∈ broadcast key set (J1/J2).  ``keys_ref``
+    is a ``ray.put`` handle to a python set / list — shipped once per
+    actor, not per batch."""
+
+    class Member:
+        def __init__(self):
+            vals = ray.get(keys_ref)
+            self.keys = pa.array(sorted(set(vals)))
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.is_in(tbl.column(col), value_set=self.keys))
+
+    return ds.map_batches(Member, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def broadcast_anti_join(ds: rd.Dataset, col: str, keys_ref) -> rd.Dataset:
+    """Drop rows whose ``col`` ∈ broadcast key set (J3 — the
+    `dao.exists` downloaded-check, `ProcessingService.java:352`)."""
+
+    class NotMember:
+        def __init__(self):
+            vals = ray.get(keys_ref)
+            self.keys = pa.array(sorted(set(vals)))
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.invert(pc.is_in(tbl.column(col), value_set=self.keys)))
+
+    return ds.map_batches(NotMember, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def union_distinct(a: rd.Dataset, b: rd.Dataset, col: str) -> rd.Dataset:
+    """TreeSet-union of two key columns (O10, `LocalFileAnalyzer.java:12-41`)."""
+    return a.select_columns([col]).union(b.select_columns([col])).unique(col)
+
+
+def windowed_aggregate(
+    ds: rd.Dataset, key: str, ts_col: str, window: str, value_col: str
+) -> rd.Dataset:
+    """Tumbling-window aggregate over an event stream: assign each row a
+    window start inside ``map_batches`` (no shuffle), then grouped
+    partial-sum.  ``window``: pandas offset alias ('1h', '15min').
+    Ordering assumption: none — tumbling windows are order-free."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, ts_col, value_col]].copy()
+        df["window_start"] = df[ts_col].dt.floor(window)
+        g = (
+            df.groupby([key, "window_start"], sort=False)[value_col]
+            .agg(["sum", "count"])
+            .reset_index()
+        )
+        return g.rename(columns={"sum": "_psum", "count": "_pcnt"})
+
+    partials = ds.map_batches(assign, batch_format="pandas")
+    return partials.groupby([key, "window_start"]).aggregate(
+        Sum("_psum", alias_name="value_sum"), Sum("_pcnt", alias_name="n_events")
+    )
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Explicit partitioned hash join for two large sides: bucket both by
+    ``xxhash64(key) % B``, co-group, and merge per bucket with pandas.
+    Use only when neither side fits a broadcast; skewed keys should be
+    salted into sub-buckets first (SURVEY.md §4)."""
+    from ..hashing import xxh64_many
+
+    def bucketer(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            kcol = tbl.column(key)
+            if pa.types.is_integer(kcol.type):
+                kb = (kcol.to_numpy(zero_copy_only=False).astype(np.uint64)) % np.uint64(num_buckets)
+            else:
+                kb = xxh64_many(pc.cast(kcol.combine_chunks(), pa.string())) % np.uint64(num_buckets)
+            return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
+                "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    lcols = set(left.schema().names)
+    lt = left.map_batches(bucketer(0), batch_format="pyarrow")
+    rt = right.map_batches(bucketer(1), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].drop(columns=["_bucket", "_side"]).dropna(axis=1, how="all")
+        rg = g[g["_side"] == 1].drop(columns=["_bucket", "_side"]).dropna(axis=1, how="all")
+        lg = lg[[c for c in lg.columns if c in lcols]]
+        rg = rg[[c for c in rg.columns if c not in lcols or c == key]]
+        return lg.merge(rg, on=key, how=how)
+
+    return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pandas")

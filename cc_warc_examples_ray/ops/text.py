@@ -1,0 +1,187 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.2
+M6-M8, M23-M27 lineage) — language ID, quality scoring, token counting,
+fingerprinting, ngram features.
+
+The reference's text stack: whitespace tokenization
+(`/root/reference/src/org/commoncrawl/examples/mapreduce/WordCounterMap.java:39-47`),
+char-ngram features over URLs (`NGramAnalyzer.java:105-122`), a 23-dim
+handcrafted feature vector (`ProcessingService.java:595-689`).  Here the
+same shapes operate on document text, vectorized per batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..hashing import xxh64_many
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# a BPE-ish token pattern: words, numbers, punctuation runs (public GPT-2
+# pre-tokenizer shape, simplified)
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the and of to a in is it you that he was for on are".split()),
+    "de": frozenset("der die das und ist ich nicht du sie wir ein eine zu".split()),
+    "fr": frozenset("le la les et est je ne pas vous que une dans pour".split()),
+    "es": frozenset("el la los y es no que en un una para con por se".split()),
+}
+
+
+def token_counts(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace + BPE-ish token counts per document (M7 analog)."""
+    texts = tbl.column(text_col).to_pylist()
+    ws = np.array([len((t or "").split()) for t in texts], dtype=np.int64)
+    bpe = np.array([len(_BPE_RE.findall(t or "")) for t in texts], dtype=np.int64)
+    return tbl.append_column("n_ws_tokens", pa.array(ws)).append_column(
+        "n_bpe_tokens", pa.array(bpe)
+    )
+
+
+def quality_scores(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features: length, mean word length, punctuation /
+    digit / stopword ratios, uppercase ratio (M23-style handcrafted
+    features, applied to documents)."""
+    texts = tbl.column(text_col).to_pylist()
+    n = len(texts)
+    length = np.zeros(n, np.int64)
+    mean_wlen = np.zeros(n, np.float64)
+    punct_ratio = np.zeros(n, np.float64)
+    digit_ratio = np.zeros(n, np.float64)
+    stop_ratio = np.zeros(n, np.float64)
+    upper_ratio = np.zeros(n, np.float64)
+    en_stop = LANG_PROFILES["en"]
+    for i, t in enumerate(texts):
+        t = t or ""
+        length[i] = len(t)
+        if not t:
+            continue
+        words = _WORD_RE.findall(t.lower())
+        if words:
+            mean_wlen[i] = sum(map(len, words)) / len(words)
+            stop_ratio[i] = sum(w in en_stop for w in words) / len(words)
+        arr = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(arr):
+            is_alpha = ((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))
+            is_digit = (arr >= 48) & (arr <= 57)
+            is_space = (arr == 32) | (arr == 10) | (arr == 9) | (arr == 13)
+            punct_ratio[i] = float((~(is_alpha | is_digit | is_space)).mean())
+            digit_ratio[i] = float(is_digit.mean())
+            upper_ratio[i] = float(((arr >= 65) & (arr <= 90)).sum() / max(1, is_alpha.sum()))
+    score = (
+        (length >= 50).astype(np.float64) * 0.25
+        + np.clip(mean_wlen / 8.0, 0, 1) * 0.25
+        + np.clip(stop_ratio * 4, 0, 1) * 0.25
+        + (1.0 - np.clip(punct_ratio * 4, 0, 1)) * 0.25
+    )
+    out = tbl
+    for name, arr in [
+        ("n_chars_text", length), ("mean_word_len", mean_wlen),
+        ("punct_ratio", punct_ratio), ("digit_ratio", digit_ratio),
+        ("stopword_ratio", stop_ratio), ("upper_ratio", upper_ratio),
+        ("quality", score),
+    ]:
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+class LangIdentifier:
+    """Stopword-profile language ID (n-gram heuristic family).  Profiles
+    compiled once per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {k: v for k, v in LANG_PROFILES.items()}
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(self.text_col).to_pylist()
+        langs, confs = [], []
+        for t in texts:
+            words = _WORD_RE.findall((t or "").lower())
+            if not words:
+                langs.append("und")
+                confs.append(0.0)
+                continue
+            scores = {
+                lang: sum(w in prof for w in words) / len(words)
+                for lang, prof in self.profiles.items()
+            }
+            best = max(scores, key=lambda k: (scores[k], k))
+            langs.append(best if scores[best] > 0.02 else "und")
+            confs.append(scores[best])
+        return tbl.append_column("lang_pred", pa.array(langs, pa.string())).append_column(
+            "lang_conf", pa.array(confs, pa.float64())
+        )
+
+
+def fingerprint(tbl: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: min rolling-window hash over
+    word 4-gram hashes (Schleimer et al. 2003 family) + full-text hash."""
+    texts = tbl.column(text_col).to_pylist()
+    full = xxh64_many([t or "" for t in texts]).view(np.int64)
+    mins = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = _WORD_RE.findall((t or "").lower())
+        if not toks:
+            continue
+        grams = [" ".join(toks[j : j + 4]) for j in range(max(1, len(toks) - 3))]
+        hs = xxh64_many(grams)
+        mins[i] = hs.min()
+    return tbl.append_column("text_hash", pa.array(full, pa.int64())).append_column(
+        "min_fingerprint", pa.array(mins.view(np.int64), pa.int64())
+    )
+
+
+def char_ngrams(text: str, lo: int = 3, hi: int = 5) -> list[str]:
+    """Char n-grams of a cleaned string (sizes lo..hi) — the Lucene
+    ``NGramTokenizer`` semantics of `NGramAnalyzer.java:105-122` with the
+    reference's 3-5 sizing (`NgamFeatureSelection.java:24-25`)."""
+    s = re.sub(r"\W+", " ", (text or "").lower()).strip()
+    out = []
+    for n in range(lo, hi + 1):
+        out.extend(s[i : i + n] for i in range(len(s) - n + 1))
+    return out
+
+
+def ngram_explode(tbl: pa.Table, text_col: str = "text", lo: int = 3, hi: int = 5,
+                  keep_cols: tuple = ()) -> pa.Table:
+    """One row per (doc, ngram) — feeds the A7 frequency groupby."""
+    texts = tbl.column(text_col).to_pylist()
+    grams, idx = [], []
+    for i, t in enumerate(texts):
+        g = char_ngrams(t, lo, hi)
+        grams.extend(g)
+        idx.extend([i] * len(g))
+    cols = {"ngram": pa.array(grams, pa.string())}
+    for c in keep_cols:
+        cols[c] = tbl.column(c).take(pa.array(idx, pa.int64()))
+    return pa.table(cols)
+
+
+def ngram_class_scores(ds: rd.Dataset, text_col: str, cls_col: str,
+                       pos_label: str, min_count: int = 5) -> rd.Dataset:
+    """A7/A8: ngram frequency per class, pruned, scored
+    ``score = pos_count - neg_count`` (`NgamFeatureSelection.java:156-163`)."""
+    from .relational import grouped_count
+
+    exploded = ds.map_batches(
+        lambda t: ngram_explode(t, text_col=text_col, keep_cols=(cls_col,)),
+        batch_format="pyarrow",
+    )
+    counts = grouped_count(exploded, ["ngram", cls_col], alias="cnt")
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        pos = int(g.loc[g[cls_col] == pos_label, "cnt"].sum())
+        neg = int(g.loc[g[cls_col] != pos_label, "cnt"].sum())
+        if pos + neg < min_count:
+            return g.head(0)[["ngram"]].assign(score=pd.Series(dtype="int64"))
+        return pd.DataFrame({"ngram": [g["ngram"].iloc[0]], "score": [pos - neg]})
+
+    return counts.groupby("ngram").map_groups(score, batch_format="pandas")

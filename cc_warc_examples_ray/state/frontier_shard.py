@@ -1,0 +1,191 @@
+"""Sharded frontier state: URL-seen cuckoo shards + per-host politeness.
+
+This is the Ray-native replacement for the reference's JVM-static crawl
+state: the synchronized bloom URL-seen set
+(`/root/reference/src/org/commoncrawl/mklab/analysis/Statistics.java:21-26`,
+admit at `ProcessingService.java:186-192`), the domain-seen set
+(`Statistics.java:60`), and the single global >=150 ms politeness mutex
+(`ProcessingService.java:57,235-239`).  The reference's own scale blueprint
+— shard N filters by ``host.hashCode() % N`` (`Statistics.java:37-51`) —
+becomes a pool of ``FrontierShard`` **actors** partitioned by
+``xxhash64(host) % num_shards``:
+
+- every URL of a host lands on one shard → seen-set admission and the
+  host's politeness queue need no cross-shard coordination;
+- the politeness throttle generalizes from one global interval to a
+  per-host ``next_fetch_time`` schedule derived from robots crawl-delay
+  (SURVEY.md §2.3 T7);
+- each shard checkpoints ``(cuckoo bytes, host counters)`` per epoch to
+  the Lance-style state table so a killed run resumes exactly.
+
+Crawl-order spec (SURVEY.md §2.8): admitted URLs are ordered by
+``(fetch_time_ms, seed_rank, url_hash)`` where ``fetch_time_ms =
+host_index * crawl_delay_ms(host)`` and ``host_index`` is the admission
+position within the host (continues across epochs).  This makes the
+reference's accidental, mutex-made ordering an explicit deterministic
+key, reproducible under any parallelism.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.1)
+class FrontierShard:
+    """One shard of the frontier state.  All URLs whose host hashes to
+    this shard are admitted/scheduled here, in submission order."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 20, default_delay_ms: int = 150):
+        self.shard_id = shard_id
+        self.seen = CuckooFilter(capacity=capacity, fp_bits=32, seed=shard_id)
+        self.domains_seen = CuckooFilter(capacity=max(capacity // 64, 1 << 12), fp_bits=32, seed=shard_id + 7)
+        # host -> [next_index, crawl_delay_ms]
+        self.hosts: dict[str, list[int]] = {}
+        self.default_delay_ms = default_delay_ms
+        self.admitted = 0
+        self.rejected_dup = 0
+
+    def set_robots(self, delays: dict[str, int]) -> None:
+        """Install per-host crawl delays (robots.txt crawl-delay)."""
+        for h, d in delays.items():
+            st = self.hosts.setdefault(h, [0, self.default_delay_ms])
+            st[1] = int(d)
+
+    def admit_and_schedule(
+        self, url_hashes: np.ndarray, hosts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """First-seen admit + politeness schedule for one batch.
+
+        Returns ``(admit_mask, fetch_time_ms, host_index)`` aligned with
+        the inputs (rejected rows get -1 in the int arrays).  Rows must
+        arrive in seed_rank order for the deterministic order spec —
+        the pipeline guarantees this by sorting each epoch before
+        routing and submitting shard batches from a single caller.
+        """
+        admit = self.seen.add_if_absent(np.asarray(url_hashes, dtype=np.uint64))
+        n = len(admit)
+        fetch_time = np.full(n, -1, dtype=np.int64)
+        host_index = np.full(n, -1, dtype=np.int64)
+        for j in np.flatnonzero(admit):
+            st = self.hosts.setdefault(hosts[j], [0, self.default_delay_ms])
+            host_index[j] = st[0]
+            fetch_time[j] = st[0] * st[1]
+            st[0] += 1
+        self.admitted += int(admit.sum())
+        self.rejected_dup += int(n - admit.sum())
+        return admit, fetch_time, host_index
+
+    def seen_domains_add(self, host_hashes: np.ndarray) -> np.ndarray:
+        """Domain-seen namespace (Statistics.java:60 analog)."""
+        return self.domains_seen.add_if_absent(np.asarray(host_hashes, dtype=np.uint64))
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "admitted": self.admitted,
+            "rejected_dup": self.rejected_dup,
+            "seen_count": int(self.seen.count),
+            "hosts": len(self.hosts),
+            "load_factor": self.seen.load_factor,
+        }
+
+    # -- checkpoint / restore ----------------------------------------------
+    def checkpoint(self) -> bytes:
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "seen": self.seen.to_bytes(),
+                "domains": self.domains_seen.to_bytes(),
+                "hosts": self.hosts,
+                "admitted": self.admitted,
+                "rejected_dup": self.rejected_dup,
+            },
+            protocol=4,
+        )
+
+    def restore(self, blob: bytes) -> None:
+        st = pickle.loads(blob)
+        assert st["shard_id"] == self.shard_id, "checkpoint routed to wrong shard"
+        self.seen = CuckooFilter.from_bytes(st["seen"], seed=self.shard_id)
+        self.domains_seen = CuckooFilter.from_bytes(st["domains"], seed=self.shard_id + 7)
+        self.hosts = st["hosts"]
+        self.admitted = st["admitted"]
+        self.rejected_dup = st["rejected_dup"]
+
+
+class FrontierPool:
+    """Driver-side handle over the shard actors.
+
+    Routing key: ``xxhash64(host) % num_shards`` — identical to the
+    sharding rule sketched at `Statistics.java:37-44`.  At cluster scale
+    shards spread across nodes; state per shard stays bounded
+    (~6 B/key cuckoo + a dict entry per host).
+    """
+
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 20,
+                 default_delay_ms: int = 150):
+        self.num_shards = num_shards
+        self.shards = [
+            FrontierShard.options(name=None).remote(
+                s, capacity=capacity_per_shard, default_delay_ms=default_delay_ms
+            )
+            for s in range(num_shards)
+        ]
+
+    def route(self, host_hashes: np.ndarray) -> np.ndarray:
+        return (host_hashes.astype(np.uint64) % np.uint64(self.num_shards)).astype(np.int64)
+
+    def set_robots(self, delays: dict[str, int], host_hashes: dict[str, int]) -> None:
+        per_shard: list[dict[str, int]] = [dict() for _ in range(self.num_shards)]
+        for h, d in delays.items():
+            per_shard[int(host_hashes[h] % self.num_shards)][h] = d
+        ray.get([s.set_robots.remote(m) for s, m in zip(self.shards, per_shard)])
+
+    def admit_and_schedule(
+        self, url_hashes: np.ndarray, hosts: list[str], host_hashes: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Route one (seed_rank-ordered) batch across shards; reassemble
+        aligned outputs.  One round-trip per shard per batch."""
+        n = len(url_hashes)
+        shard_of = self.route(np.asarray(host_hashes, dtype=np.uint64))
+        admit = np.zeros(n, dtype=bool)
+        fetch_time = np.full(n, -1, dtype=np.int64)
+        host_index = np.full(n, -1, dtype=np.int64)
+        futs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard_of == s)
+            if len(idx) == 0:
+                continue
+            futs.append(
+                self.shards[s].admit_and_schedule.remote(
+                    np.asarray(url_hashes, dtype=np.uint64)[idx],
+                    [hosts[i] for i in idx],
+                )
+            )
+            idxs.append(idx)
+        for idx, (a, ft, hi) in zip(idxs, ray.get(futs)):
+            admit[idx] = a
+            fetch_time[idx] = ft
+            host_index[idx] = hi
+        return admit, fetch_time, host_index
+
+    def checkpoints(self) -> list[bytes]:
+        return ray.get([s.checkpoint.remote() for s in self.shards])
+
+    def restore(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.num_shards
+        ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -62,22 +62,36 @@ def caption_for(key: int) -> str:
     return " ".join(WORDS[j] for j in idx)
 
 
-def image_row(key: int, near_dup_of: int | None = None) -> dict:
-    """One images-table row for URL/row key ``key``.
+def image_dims(key: int) -> tuple[int, int]:
+    """Deterministic (w, h) for row key; near-dup rows inherit their
+    source row's dims."""
+    if key % 97 == 96:
+        return image_dims(key - 1)
+    return (
+        SIZES[key % len(SIZES)],
+        SIZES[(key // len(SIZES) + 3) % len(SIZES)],
+    )
 
-    ``near_dup_of``: render that key's image instead and nudge it slightly
-    (same phash bucket, Hamming<=2-ish) — the injected near-dup pairs.
-    """
-    w = SIZES[key % len(SIZES)]
-    h = SIZES[(key // len(SIZES) + 3) % len(SIZES)]
+
+def expected_pixels(key: int) -> np.ndarray:
+    """The pre-encode reference pixels for row ``key`` — recomputable by
+    the decode-validate stage (the sandbox stand-in for validating a
+    fetched image against the reference's download,
+    `ProcessingService.java:329-388`).  Every 97th row is a +2-intensity
+    near-dup of the previous row (same phash bucket)."""
+    w, h = image_dims(key)
+    if key % 97 == 96:
+        base = render_image(key - 1, w, h)
+        return np.clip(base.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    return render_image(key, w, h)
+
+
+def image_row(key: int) -> dict:
+    """One images-table row for URL/row key ``key`` (near-dup rule in
+    :func:`expected_pixels`)."""
+    w, h = image_dims(key)
     fmt = FMTS[key % len(FMTS)]
-    if near_dup_of is not None:
-        src = image_row(near_dup_of)
-        base = imagecodec.decode(src["bytes"], src["fmt"])
-        img = np.clip(base.astype(np.int16) + 2, 0, 255).astype(np.uint8)
-        w, h = int(base.shape[1]), int(base.shape[0])
-    else:
-        img = render_image(key, w, h)
+    img = expected_pixels(key)
     data = imagecodec.encode(img, fmt)
     return {
         "image_id": f"img-{key:010d}",
@@ -95,8 +109,7 @@ def images_table(n: int, seed: int = GLOBAL_SEED) -> pa.Table:
     assert seed == GLOBAL_SEED, "fixture is keyed off the global seed"
     rows = {name: [] for name in schemas.IMAGES.names}
     for i in range(n):
-        nd = i - 1 if (i % 97 == 96) else None
-        r = image_row(i, near_dup_of=nd)
+        r = image_row(i)
         for k, v in r.items():
             rows[k].append(v)
     return pa.table(rows, schema=schemas.IMAGES)
@@ -260,19 +273,6 @@ def warc_records_table(n: int, seed: int = GLOBAL_SEED) -> pa.Table:
         {"record_url": urls, "warc_type": types, "mime": mimes, "payload": payloads},
         schema=schemas.WARC_RECORDS,
     )
-
-
-def url_key(url_hash: int) -> int:
-    """Map a canonical url_hash to the procedural-image key the synthetic
-    fetcher renders — identity; kept as a function so the mapping is one
-    place."""
-    return int(np.uint64(np.int64(url_hash)))
-
-
-def seed_url_for_image(i: int) -> str:
-    """Inverse helper used by tests: the canonical URL whose fetch returns
-    image key ``i``'s bytes is defined by the fetch stage, not here."""
-    raise NotImplementedError
 
 
 def stable_hash_str(s: str) -> int:

@@ -1,0 +1,125 @@
+"""End-to-end crawl golden tests (SURVEY.md §5 b/c/d): crawl order +
+URL-seen set vs the single-process oracle, per-row decode validation,
+and kill/resume."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cc_warc_examples_ray import lancelite, oracle, synth
+from cc_warc_examples_ray.pipelines.crawl import run_crawl
+
+N_SEEDS = 600
+N_IMAGES = 400
+N_HOSTS = 20
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    d = tmp_path_factory.mktemp("store")
+    t = lancelite.LanceLiteTable(str(d / "images"))
+    t.write(synth.images_table(N_IMAGES))
+    return t
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    return synth.frontier_seeds_table(N_SEEDS, n_hosts=N_HOSTS), synth.robots_table(N_HOSTS)
+
+
+def _order_key(t: pa.Table):
+    return list(
+        zip(
+            t.column("epoch").to_pylist(),
+            t.column("fetch_time_ms").to_pylist(),
+            t.column("seed_rank").to_pylist(),
+        )
+    )
+
+
+def test_crawl_matches_oracle(ray_session, store, fixtures, tmp_path):
+    seeds, robots = fixtures
+    run = run_crawl(
+        seeds, robots, store.fragment_paths(), str(tmp_path / "run"),
+        num_shards=3, num_epochs=3, store_size=N_IMAGES, concurrency=(1, 2),
+    )
+    got = run.order_table()
+    want = oracle.crawl_oracle(seeds, robots, num_epochs=3)
+    # URL-seen set identical
+    assert set(got.column("url_hash").to_pylist()) == set(want.column("url_hash").to_pylist())
+    # crawl order identical (sequence of url_hashes in schedule order)
+    assert got.column("url_hash").to_pylist() == want.column("url_hash").to_pylist()
+    assert got.column("fetch_time_ms").to_pylist() == want.column("fetch_time_ms").to_pylist()
+    assert got.column("host_index").to_pylist() == want.column("host_index").to_pylist()
+    # politeness: per-host fetch times are spaced by >= crawl_delay
+    import collections
+
+    delays = dict(zip(robots.column("host").to_pylist(), robots.column("crawl_delay_ms").to_pylist()))
+    per_host = collections.defaultdict(list)
+    for h, ft in zip(got.column("host").to_pylist(), got.column("fetch_time_ms").to_pylist()):
+        per_host[h].append(ft)
+    for h, fts in per_host.items():
+        diffs = np.diff(sorted(fts))
+        if delays.get(h, 150) > 0 and len(diffs):
+            assert (diffs >= delays[h]).all()
+
+    # robots: no disallowed (host, path) was fetched
+    dis_hosts = {
+        h
+        for h, p in zip(
+            robots.column("host").to_pylist(),
+            robots.column("disallow_prefixes").to_pylist(),
+        )
+        if p
+    }
+    assert not any(
+        h in dis_hosts and "/private/" in u
+        for h, u in zip(got.column("host").to_pylist(), got.column("url").to_pylist())
+    )
+
+
+def test_crawl_decode_validation(ray_session, store, fixtures, tmp_path):
+    seeds, robots = fixtures
+    run = run_crawl(
+        seeds, robots, store.fragment_paths(), str(tmp_path / "run"),
+        num_shards=2, num_epochs=2, store_size=N_IMAGES, concurrency=(1, 2),
+    )
+    imgs = run.images_out.to_table()
+    assert imgs.num_rows > 0
+    # every fetched row decoded and validated against the reference pixels
+    assert pa.compute.all(imgs.column("valid")).as_py()
+    # lineage counters present and consistent
+    lin = run.lineage.to_table()
+    counters = {
+        (e, c): v
+        for e, c, v in zip(
+            lin.column("epoch").to_pylist(),
+            lin.column("counter").to_pylist(),
+            lin.column("value").to_pylist(),
+        )
+    }
+    total_admitted = sum(v for (e, c), v in counters.items() if c == "admitted")
+    assert total_admitted == run.crawl_order.to_table().num_rows
+    assert sum(v for (e, c), v in counters.items() if c == "seeds_in") == N_SEEDS
+
+
+def test_crawl_kill_resume(ray_session, store, fixtures, tmp_path):
+    seeds, robots = fixtures
+    kw = dict(num_shards=2, num_epochs=4, store_size=N_IMAGES, concurrency=(1, 2))
+    ref = run_crawl(seeds, robots, store.fragment_paths(), str(tmp_path / "ref"), **kw)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_crawl(
+            seeds, robots, store.fragment_paths(), str(tmp_path / "killed"),
+            fail_after_epoch=1, **kw,
+        )
+    resumed = run_crawl(seeds, robots, store.fragment_paths(), str(tmp_path / "killed"), **kw)
+    assert resumed.resume_epoch() == 4  # all epochs committed
+
+    a, b = ref.order_table(), resumed.order_table()
+    assert a.column("url_hash").to_pylist() == b.column("url_hash").to_pylist()
+    assert a.column("fetch_time_ms").to_pylist() == b.column("fetch_time_ms").to_pylist()
+    ia = ref.images_out.to_table().sort_by("image_id")
+    ib = resumed.images_out.to_table().sort_by("image_id")
+    assert ia.column("image_id").to_pylist() == ib.column("image_id").to_pylist()
+    assert ia.column("valid").to_pylist() == ib.column("valid").to_pylist()
