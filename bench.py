@@ -1,0 +1,140 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "crawl": {"urls_per_sec": ..., "rows_per_sec": ...}}
+
+``--scaling`` runs the headline crawl twice in fresh processes at
+num_cpus=8 and num_cpus=32 on identical input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the north
+rule's N vs 4N cluster sizes; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries timed alongside the headline crawl (a representative slice of
+# the operator inventory: wide aggregate, shuffle dedup, ANN, windows)
+BENCH_QUERIES = [
+    "pricing_summary",
+    "word_count",
+    "event_windows",
+    "top_users",
+    "ann_topk",
+    "exact_dedup_docs",
+    "crawl_schedule",
+    "phash_neardup",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from cc_warc_examples_ray import lancelite, synth
+    from cc_warc_examples_ray.entry_queries import QUERIES, _STORE_N, _store, _sf_scale
+    from cc_warc_examples_ray.pipelines.crawl import run_crawl
+
+    store = _store()
+    n_docs = _sf_scale(SF_DIR)
+    n_seeds = 2 * n_docs
+    seeds = synth.frontier_seeds_table(n_seeds, n_hosts=50)
+    robots = synth.robots_table(50)
+
+    # warm the page cache (untimed read) so we measure compute + shuffle
+    for _ in store.to_table(columns=["image_id"]).column("image_id"):
+        break
+
+    out_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.time()
+    run = run_crawl(
+        seeds, robots, store.fragment_paths(), out_dir,
+        num_shards=8, num_epochs=4, store_size=_STORE_N,
+        concurrency=(2, max(2, NUM_CPUS // 2)),
+    )
+    crawl_sec = time.time() - t0
+    n_admitted = run.crawl_order.to_table().num_rows
+    n_valid = run.images_out.count_rows()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        # force materialization for Dataset results
+        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+            res.to_pandas()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "crawl frontier+fetch+decode wall time at sf (headline) + operator suite",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": {
+            "n_seeds": n_seeds,
+            "n_admitted": n_admitted,
+            "n_valid_rows": n_valid,
+            "urls_per_sec": round(n_admitted / crawl_sec, 1),
+            "rows_per_sec": round(n_valid / crawl_sec, 1),
+        },
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tput_lo = lo["crawl"]["urls_per_sec"]
+    tput_hi = hi["crawl"]["urls_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, 8 vs 32 CPUs (stand-in for N vs 4N nodes)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "urls_per_sec_8": tput_lo,
+        "urls_per_sec_32": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
