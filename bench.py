@@ -61,20 +61,28 @@ def run_bench() -> dict:
 
     store = _store()
     n_docs = _sf_scale(SF_DIR)
-    n_seeds = 2 * n_docs
+    # frontier sized so parallel fetch+decode work dominates fixed
+    # per-epoch costs (the realistic regime for a crawl tier)
+    n_seeds = 32 * n_docs
     seeds = synth.frontier_seeds_table(n_seeds, n_hosts=50)
     robots = synth.robots_table(50)
 
-    # warm the page cache (untimed read) so we measure compute + shuffle
-    for _ in store.to_table(columns=["image_id"]).column("image_id"):
-        break
+    # warm-up: one untimed tiny execution forces Ray worker startup +
+    # package import in workers, so we measure compute, not cold start
+    def _warm(b):
+        import cc_warc_examples_ray.stages.decode  # noqa: F401
+
+        return b
+
+    ray.data.range(NUM_CPUS * 10, override_num_blocks=NUM_CPUS).map_batches(
+        _warm
+    ).materialize()
 
     out_dir = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.time()
     run = run_crawl(
         seeds, robots, store.fragment_paths(), out_dir,
-        num_shards=8, num_epochs=4, store_size=_STORE_N,
-        concurrency=(2, max(2, NUM_CPUS // 2)),
+        num_shards=8, num_epochs=2, store_size=_STORE_N,
     )
     crawl_sec = time.time() - t0
     n_admitted = run.crawl_order.to_table().num_rows

@@ -551,6 +551,32 @@ def q_ngram_scores(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["score", "ngram"], ascending=[False, True]).head(500).reset_index(drop=True)
 
 
+def q_media_classify(sf_dir: str) -> pd.DataFrame:
+    """M9→M23→M26/M27→T3 end-to-end: extract media, build feature +
+    ngram-presence vectors, run the agreement/margin ensemble."""
+    from .ops import features
+
+    media = classics.media_extract(_warc(sf_dir))
+    feats = media.map_batches(features.media_features_batch, batch_format="pyarrow")
+    # vocabulary from document ngram class scores (A7/A8 path)
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+    scores = text.ngram_class_scores(docs, "text", "lang", pos_label="en", min_count=5)
+    vocab = features.build_ngram_vocab(scores, top_n=500)
+    vref = ray.put(vocab)
+    withng = feats.map_batches(
+        features.NgramPresence, fn_constructor_args=(vref,),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    out = withng.map_batches(
+        features.EnsembleClassifier, batch_format="pyarrow", concurrency=(1, 4)
+    ).to_pandas()
+    out["p_feat"] = out["p_feat"].round(5)
+    out["p_ngram"] = out["p_ngram"].round(5)
+    return out[["src", "ngram_hits", "p_feat", "p_ngram", "is_big"]].sort_values(
+        "src"
+    ).reset_index(drop=True)
+
+
 def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cent = ann.train_centroids(ds, n_centroids=16, sample=2000)
@@ -604,6 +630,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ngram_scores": q_ngram_scores,
     "ivf_ann": q_ivf_ann,
+    "media_classify": q_media_classify,
 }
 
 ORACLES = {

@@ -110,23 +110,26 @@ class LanceLiteTable:
         man = self.manifest()
         if any(f["partition"] == partition for f in man["fragments"]):
             return man["version"]
-        frag = self._write_fragment(table, partition)
+        if table.num_columns == 0:
+            frag = {"file": "", "rows": 0, "partition": partition}  # sentinel
+        else:
+            frag = self._write_fragment(table, partition)
         md = dict(man.get("metadata", {}))
         md.update(metadata or {})
         return self._commit(man["fragments"] + [frag], md)
 
-    def append_ray_partition(self, ds, partition, metadata: dict | None = None) -> int:
-        """Idempotently append one partition from a ray Dataset: fragments
-        are written by the Ray workers (``write_parquet`` — streaming, the
-        driver never holds the data), then committed atomically into the
-        manifest.  A crash between the write and the commit leaves
-        unreferenced files in the partition dir; the rerun clears them
-        (the manifest, not the filesystem, is the source of truth)."""
+    def write_partition_files(self, ds, partition) -> list[dict]:
+        """Write one partition's fragment files from a ray Dataset
+        (streaming — the driver never holds the data) WITHOUT committing.
+        Safe to run concurrently for different partitions; the commit is
+        :meth:`commit_fragments` (serialize commits on one thread).
+        Returns the fragment records to commit, or [] if the partition is
+        already committed."""
         import shutil
 
         man = self.manifest()
         if any(f["partition"] == partition for f in man["fragments"]):
-            return man["version"]
+            return []
         sub = f"part-{partition}"
         subdir = os.path.join(self._data, sub)
         if os.path.exists(subdir):
@@ -143,19 +146,43 @@ class LanceLiteTable:
                     "partition": partition,
                 }
             )
+        if not frags:
+            # empty partition: record a schema-less sentinel so the
+            # partition still counts as committed (resume skips it)
+            frags = [{"file": "", "rows": 0, "partition": partition}]
+        return frags
+
+    def commit_fragments(self, frags: list[dict], metadata: dict | None = None) -> int:
+        """Atomically add fragment records to the manifest (no-op when
+        their partitions are already present)."""
+        man = self.manifest()
+        have = {f["partition"] for f in man["fragments"]}
+        frags = [f for f in frags if f["partition"] not in have]
+        if not frags:
+            return man["version"]
         md = dict(man.get("metadata", {}))
         md.update(metadata or {})
         return self._commit(man["fragments"] + frags, md)
 
+    def append_ray_partition(self, ds, partition, metadata: dict | None = None) -> int:
+        """Idempotently append one partition from a ray Dataset: fragment
+        files written by the Ray workers, then one atomic manifest commit.
+        A crash between the write and the commit leaves unreferenced files
+        in the partition dir; the rerun clears them (the manifest, not the
+        filesystem, is the source of truth)."""
+        frags = self.write_partition_files(ds, partition)
+        if not frags:
+            return self.latest_version()
+        return self.commit_fragments(frags, metadata)
+
     def partition_table(self, partition, columns: list[str] | None = None) -> pa.Table:
         """Read only one committed partition's fragments."""
-        paths = [
-            os.path.join(self.path, f["file"])
-            for f in self.manifest()["fragments"]
-            if f["partition"] == partition
-        ]
-        if not paths:
+        frags = [f for f in self.manifest()["fragments"] if f["partition"] == partition]
+        if not frags:
             raise KeyError(f"partition {partition} not committed in {self.path}")
+        paths = [os.path.join(self.path, f["file"]) for f in frags if f["file"]]
+        if not paths:
+            return pa.table({})  # empty-partition sentinel
         return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
 
     def completed_partitions(self) -> set:
@@ -168,7 +195,9 @@ class LanceLiteTable:
     # -- read path --------------------------------------------------------
     def fragment_paths(self, version: int | None = None) -> list[str]:
         return [
-            os.path.join(self.path, f["file"]) for f in self.manifest(version)["fragments"]
+            os.path.join(self.path, f["file"])
+            for f in self.manifest(version)["fragments"]
+            if f["file"]
         ]
 
     def to_table(self, version: int | None = None, columns: list[str] | None = None) -> pa.Table:

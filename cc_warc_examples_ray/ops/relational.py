@@ -182,15 +182,14 @@ def hash_join(
 
         return fn
 
-    lcols = set(left.schema().names)
+    lcols = list(left.schema().names)
+    rcols = [key] + [c for c in right.schema().names if c != key and c not in lcols]
     lt = left.map_batches(bucketer(0), batch_format="pyarrow")
     rt = right.map_batches(bucketer(1), batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0].drop(columns=["_bucket", "_side"]).dropna(axis=1, how="all")
-        rg = g[g["_side"] == 1].drop(columns=["_bucket", "_side"]).dropna(axis=1, how="all")
-        lg = lg[[c for c in lg.columns if c in lcols]]
-        rg = rg[[c for c in rg.columns if c not in lcols or c == key]]
+        lg = g.loc[g["_side"] == 0, lcols]
+        rg = g.loc[g["_side"] == 1, rcols]
         return lg.merge(rg, on=key, how=how)
 
     return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pandas")

@@ -9,12 +9,19 @@ pipeline:
     seeds (rank-contiguous epochs)
       → map_batches canonicalize (RFC 3986 + SURT + xxhash64)   [stateless]
       → robots gate (broadcast disallow prefixes)               [stateless]
-      → groupby(host-hash shard) → FrontierShard actors:
+      → FrontierShard actors (routed by host-hash):
           first-seen cuckoo admit + per-host politeness schedule [actor pool]
       → crawl-order table commit (epoch partition)
-      → fetch: broadcast semi-join against the content store    [stateless]
-      → DecodeValidate actor pool (PSNR / phash / caption)      [actor pool]
+      → fetch: semi-join against the content store              [stateless]
+        (broadcast-store mode for cached stores / scan-store
+         streaming mode for stores beyond object-store size)
+      → DecodeValidate (PSNR / phash / caption)                 [task pool]
       → images-out Lance partition commit + shard checkpoints + lineage
+
+    Epochs PIPELINE: admission is sequential (the seen-set defines
+    epoch order) but epoch k+1's admission+fetch overlap epoch k's
+    fetch/decode/write; commits stay in epoch order for the resume
+    invariant.
 
 **Epochs are the checkpoint/resume granularity** (the Ray-native version
 of the reference's manual 500-WARC-files-per-job slicing,
@@ -52,7 +59,12 @@ from .. import lancelite, synth
 from ..functions.urls import canonicalize_batch
 from ..hashing import xxh64_many
 from ..stages.decode import DecodeValidate
-from ..stages.fetch import add_image_ids, fetch_from_store
+from ..stages.fetch import (
+    BROADCAST_STORE_MAX_BYTES,
+    add_image_ids,
+    fetch_broadcast_store,
+    fetch_scan_store,
+)
 from ..state.frontier_shard import FrontierPool
 
 ORDER_COLS = [
@@ -98,13 +110,7 @@ def _make_robots_gate(disallow: dict[str, list[str]]):
                 if p.startswith(pref):
                     keep[i] = False
                     break
-        out = tbl.filter(pa.array(keep))
-        rej = len(hosts) - out.num_rows - n_invalid
-        return out.append_column(
-            # per-batch reject counters ride along as repeated columns and
-            # are summed into lineage after admission (A10-style counters)
-            "rej_invalid", pa.array(np.full(out.num_rows, n_invalid, dtype=np.int64))
-        ).append_column("rej_robots", pa.array(np.full(out.num_rows, rej, dtype=np.int64)))
+        return tbl.filter(pa.array(keep))
 
     return gate
 
@@ -197,88 +203,159 @@ def run_crawl(
         }
         pool.set_robots(delays, host_hashes)
 
-        n = seeds.num_rows
-        bounds = [(k * n) // num_epochs for k in range(num_epochs + 1)]
-        for epoch in range(start_epoch, num_epochs):
-            lo, hi = bounds[epoch], bounds[epoch + 1]
-            if hi <= lo:
-                continue
-            eds = rd.from_arrow(seeds.slice(lo, hi - lo))
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        store_bytes = sum(os.path.getsize(p) for p in store_paths)
+        broadcast_mode = store_bytes <= BROADCAST_STORE_MAX_BYTES
+        decoder = DecodeValidate(min_dim=min_dim)
+        nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+        def canonicalize_range(sl: pa.Table) -> pd.DataFrame:
+            """One parallel execution: canonicalize + robots gate.  The
+            range's METADATA (no payloads, ~100 B/URL) is collected on
+            the driver — range size is the driver-memory bound."""
+            step = max(256, sl.num_rows // nblocks + 1)
+            chunks = [sl.slice(i, step) for i in range(0, sl.num_rows, step)]
+            eds = rd.from_arrow(chunks)
             eds = eds.map_batches(canonicalize_batch, batch_format="pyarrow")
             eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
-            eds = eds.map_batches(
-                lambda t: _shard_col(t, num_shards), batch_format="pyarrow"
-            )
-            admitted_ds = eds.groupby("shard").map_groups(
-                _make_admit_fn(pool.shards), batch_format="pandas"
-            )
-            adf = admitted_ds.to_pandas()  # epoch frontier METADATA only (no payloads)
-            n_in = hi - lo
-            rej_invalid = int(adf["rej_invalid"].max()) if len(adf) else 0
-            rej_robots = int(adf["rej_robots"].max()) if len(adf) else 0
-            admitted = pa.Table.from_pandas(
-                adf.drop(columns=["rej_invalid", "rej_robots"]), preserve_index=False
-            ).append_column("epoch", pa.array(np.full(len(adf), epoch, dtype=np.int64)))
-            admitted = admitted.sort_by(
-                [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
-            )
-            admitted = add_image_ids(admitted, store_size)
+            return eds.to_pandas()
 
-            # fetch + decode/validate + commit epoch partition
-            fetched = fetch_from_store(store_paths, admitted, concurrency=concurrency)
-            validated = fetched.map_batches(
-                DecodeValidate,
-                fn_constructor_kwargs={"min_dim": min_dim},
-                batch_format="pyarrow",
-                batch_size=256,
-                concurrency=concurrency,
-                num_cpus=1,
-            )
-            run.images_out.append_ray_partition(validated, epoch)
+        def admit_epoch(cdf: pd.DataFrame, chunk: int = 32768) -> pd.DataFrame:
+            """Driver-orchestrated admission: rank-ordered chunks fan out
+            to the shard actors in parallel (per-shard FIFO preserved by
+            awaiting each chunk round)."""
+            cdf = cdf.sort_values("seed_rank", kind="mergesort")
+            outs = []
+            for st in range(0, len(cdf), chunk):
+                sub = cdf.iloc[st : st + chunk]
+                hashes = sub["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
+                hh = xxh64_many(sub["host"].tolist())
+                a, ft, hi = pool.admit_and_schedule(hashes, sub["host"].tolist(), hh)
+                keep = sub.loc[a].copy()
+                keep["fetch_time_ms"] = ft[a]
+                keep["host_index"] = hi[a]
+                outs.append(keep)
+            if outs:
+                return pd.concat(outs)
+            empty = cdf.iloc[0:0].copy()
+            empty["fetch_time_ms"] = pd.Series(dtype="int64")
+            empty["host_index"] = pd.Series(dtype="int64")
+            return empty
 
-            # commit in order: images → crawl order → shard state → lineage.
-            # A crash at any point re-runs this epoch from the previous
-            # state snapshot; committed partitions are idempotent no-ops.
+        def build_validated_ds(admitted: pa.Table):
+            if broadcast_mode:
+                fetched = fetch_broadcast_store(store_paths, admitted, num_blocks=nblocks * 2)
+            else:
+                fetched = fetch_scan_store(store_paths, admitted, num_blocks=nblocks)
+            return fetched.map_batches(decoder, batch_format="pyarrow", batch_size=256)
+
+        # Epoch pipelining: admission is inherently sequential (the
+        # seen-set defines epoch order), but fetch/decode/write is not —
+        # epoch k+1's admission and fetch overlap epoch k's fetch.
+        # Commits stay strictly in epoch order on this thread, so the
+        # resume invariant (contiguous committed prefix) holds.
+        executor = ThreadPoolExecutor(max_workers=2)
+        inflight: list[tuple] = []
+
+        def commit_oldest():
+            epoch_, admitted_, blobs_, nums_, fut_ = inflight.pop(0)
+            frags = fut_.result()
+            run.images_out.commit_fragments(frags)
+            flags = run.images_out.partition_table(epoch_, columns=["valid", "big"])
             run.crawl_order.append_partition(
-                admitted.select([c for c in ORDER_COLS if c in admitted.column_names]
-                                + ["image_id"]),
-                epoch,
+                admitted_ if admitted_.num_rows else pa.table({}), epoch_
             )
-            blobs = pool.checkpoints()
             run.state.append_partition(
                 pa.table(
                     {
                         "shard": pa.array(range(num_shards), pa.int64()),
-                        "blob": pa.array(blobs, pa.binary()),
+                        "blob": pa.array(blobs_, pa.binary()),
                     }
                 ),
-                epoch,
+                epoch_,
             )
-            part = run.images_out.partition_table(epoch, columns=["valid", "big"])
+            n_in_, d_admit_, d_dup_ = nums_
             counters = {
-                "seeds_in": n_in,
-                "rej_invalid": rej_invalid,
-                "rej_robots": rej_robots,
-                "admitted": admitted.num_rows,
-                "rej_dup": n_in - rej_invalid - rej_robots - admitted.num_rows,
-                "fetched": part.num_rows,
-                "valid": int(pa.compute.sum(part.column("valid")).as_py() or 0),
-                "big": int(pa.compute.sum(part.column("big")).as_py() or 0),
+                "seeds_in": n_in_,
+                "rej_gate": n_in_ - d_admit_ - d_dup_,  # invalid + robots-disallowed
+                "admitted": d_admit_,
+                "rej_dup": d_dup_,
+                "fetched": flags.num_rows,
+                "valid": int(pa.compute.sum(flags.column("valid")).as_py() or 0)
+                if flags.num_rows else 0,
+                "big": int(pa.compute.sum(flags.column("big")).as_py() or 0)
+                if flags.num_rows else 0,
             }
             run.lineage.append_partition(
                 pa.table(
                     {
-                        "epoch": pa.array([epoch] * len(counters), pa.int64()),
-                        "partition": pa.array([epoch] * len(counters), pa.int64()),
+                        "epoch": pa.array([epoch_] * len(counters), pa.int64()),
+                        "partition": pa.array([epoch_] * len(counters), pa.int64()),
                         "stage": pa.array(["crawl"] * len(counters), pa.string()),
                         "counter": pa.array(list(counters), pa.string()),
                         "value": pa.array([int(v) for v in counters.values()], pa.int64()),
                     }
                 ),
-                epoch,
+                epoch_,
             )
-            if fail_after_epoch is not None and epoch >= fail_after_epoch:
-                raise RuntimeError(f"injected failure after epoch {epoch}")
+
+        n = seeds.num_rows
+        bounds = [(k * n) // num_epochs for k in range(num_epochs + 1)]
+        # canonicalize every remaining epoch in ONE parallel execution up
+        # front (the stateless prefix of the pipeline does not depend on
+        # epoch order).  seeds are already driver-resident here; at
+        # larger-than-driver frontier scale, canonicalize per epoch with
+        # canonicalize_range(seeds.slice(...)) instead.
+        all_cdf = None
+        if start_epoch < num_epochs and seeds.num_rows:
+            lo0 = bounds[start_epoch]
+            sl = seeds.slice(lo0, n - lo0).append_column(
+                "_pos", pa.array(np.arange(lo0, n, dtype=np.int64))
+            )
+            all_cdf = canonicalize_range(sl)
+        try:
+            for epoch in range(start_epoch, num_epochs):
+                lo, hi = bounds[epoch], bounds[epoch + 1]
+                if hi <= lo:
+                    continue
+                stats_before = pool.stats()
+                mask = (all_cdf["_pos"] >= lo) & (all_cdf["_pos"] < hi)
+                cdf = all_cdf.loc[mask].drop(columns=["_pos"])
+                adf = admit_epoch(cdf)
+                stats_after = pool.stats()
+                d_admit = sum(s["admitted"] for s in stats_after) - sum(
+                    s["admitted"] for s in stats_before
+                )
+                d_dup = sum(s["rejected_dup"] for s in stats_after) - sum(
+                    s["rejected_dup"] for s in stats_before
+                )
+                blobs = pool.checkpoints()  # exactly epochs <= this one
+
+                admitted = pa.Table.from_pandas(adf, preserve_index=False)
+                admitted = admitted.append_column(
+                    "epoch", pa.array(np.full(len(adf), epoch, dtype=np.int64))
+                )
+                admitted = add_image_ids(admitted, store_size)
+                admitted = admitted.sort_by(
+                    [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
+                ).select([c for c in ORDER_COLS if c != "path"] + ["image_id"])
+
+                fut = executor.submit(
+                    run.images_out.write_partition_files, build_validated_ds(admitted), epoch
+                )
+                inflight.append((epoch, admitted, blobs, (hi - lo, d_admit, d_dup), fut))
+                while len(inflight) > 1:
+                    commit_oldest()
+                if fail_after_epoch is not None and epoch >= fail_after_epoch:
+                    while inflight:
+                        commit_oldest()
+                    raise RuntimeError(f"injected failure after epoch {epoch}")
+            while inflight:
+                commit_oldest()
+        finally:
+            executor.shutdown(wait=False, cancel_futures=True)
     finally:
         pool.shutdown()
     return run

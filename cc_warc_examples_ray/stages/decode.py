@@ -55,8 +55,9 @@ class DecodeValidate:
         n = batch.num_rows
         blobs = batch.column("bytes").to_pylist()
         fmts = batch.column("fmt").to_pylist()
-        ws = batch.column("w").to_numpy()
-        hs = batch.column("h").to_numpy()
+        # zero_copy_only=False: fetch-miss rows carry null w/h (→ NaN)
+        ws = batch.column("w").to_numpy(zero_copy_only=False)
+        hs = batch.column("h").to_numpy(zero_copy_only=False)
         ids = batch.column("image_id").to_pylist()
         captions = batch.column("caption").to_pylist()
 

@@ -40,10 +40,24 @@ def image_key_from_path(path: str, store_size: int) -> int:
 
 
 def add_image_ids(tbl: pa.Table, store_size: int) -> pa.Table:
-    """Vector-ish derivation of ``image_id`` from the ``path`` column."""
-    paths = tbl.column("path").to_pylist()
-    ids = [f"img-{image_key_from_path(p, store_size):010d}" for p in paths]
-    return tbl.append_column("image_id", pa.array(ids, pa.string()))
+    """Vectorized derivation of ``image_id`` from the ``path`` column:
+    regex key extract via pyarrow, python fallback only for the rare
+    pattern-miss rows."""
+    import pyarrow.compute as pc
+
+    paths = tbl.column("path")
+    ex = pc.extract_regex(paths, r"[ip](?P<key>\d+)\.[A-Za-z0-9]+$")
+    knum = pc.cast(pc.struct_field(ex, "key"), pa.int64())
+    keys = knum.to_numpy(zero_copy_only=False)
+    miss = np.isnan(keys) if keys.dtype.kind == "f" else np.zeros(len(keys), bool)
+    if miss.any():
+        plist = paths.to_pylist()
+        keys = keys.copy()
+        for i in np.flatnonzero(miss):
+            keys[i] = hash(plist[i]) % store_size
+    keys = keys.astype(np.int64) % store_size
+    ids = pa.array([f"img-{k:010d}" for k in keys], pa.string())
+    return tbl.append_column("image_id", ids)
 
 
 class StoreLookupFetcher:
@@ -53,47 +67,126 @@ class StoreLookupFetcher:
     deserialized once per actor in ``__init__``, not per batch — the
     ray.put-once / read-everywhere broadcast pattern."""
 
+    META_COLS = ("fetch_time_ms", "host_index", "seed_rank", "url", "url_hash", "host", "epoch")
+
     def __init__(self, admitted_ref: "ray.ObjectRef"):
         admitted: pa.Table = ray.get(admitted_ref)
         self._meta = admitted
-        ids = admitted.column("image_id").to_pylist()
-        self._index = {v: i for i, v in enumerate(ids)}
+        # one admitted URL = one fetch, even when several URLs resolve to
+        # the same content row: index image_id -> ALL admitted positions
+        self._index: dict[str, list[int]] = {}
+        for i, v in enumerate(admitted.column("image_id").to_pylist()):
+            self._index.setdefault(v, []).append(i)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("image_id").to_pylist()
-        pos = np.array([self._index.get(v, -1) for v in ids], dtype=np.int64)
-        keep = pos >= 0
-        if not keep.any():
-            return batch.slice(0, 0).append_column(
-                "fetch_time_ms", pa.array([], pa.int64())
-            ).append_column("host_index", pa.array([], pa.int64())).append_column(
-                "seed_rank", pa.array([], pa.int64())
-            ).append_column("url", pa.array([], pa.string())).append_column(
-                "url_hash", pa.array([], pa.int64())
-            ).append_column("host", pa.array([], pa.string())).append_column(
-                "epoch", pa.array([], pa.int64())
-            )
-        out = batch.filter(pa.array(keep))
-        sel = pos[keep]
-        meta = self._meta.take(pa.array(sel, pa.int64()))
-        for col in ("fetch_time_ms", "host_index", "seed_rank", "url", "url_hash", "host", "epoch"):
+        store_pos: list[int] = []
+        meta_pos: list[int] = []
+        for i, v in enumerate(ids):
+            for j in self._index.get(v, ()):
+                store_pos.append(i)
+                meta_pos.append(j)
+        out = batch.take(pa.array(store_pos, pa.int64()))
+        meta = self._meta.take(pa.array(meta_pos, pa.int64()))
+        for col in self.META_COLS:
             out = out.append_column(col, meta.column(col))
         return out
 
 
-def fetch_from_store(
-    store_paths: list[str], admitted: pa.Table, concurrency: int | tuple = (2, 8)
+# per-process caches: broadcast sides are deserialized once per worker
+# process (task pools reuse processes, so this amortizes like actor
+# state without paying actor-pool startup latency per epoch).
+_FETCHER_CACHE: dict[str, StoreLookupFetcher] = {}
+_STORE_INDEX_CACHE: dict[str, tuple[pa.Table, dict]] = {}
+
+# broadcast-store mode cutoff: above this the store no longer rides the
+# object store as a single table and the scan path is used.
+BROADCAST_STORE_MAX_BYTES = 2 << 30
+
+
+def fetch_scan_store(
+    store_paths: list[str], admitted: pa.Table, num_blocks: int | None = None
 ) -> rd.Dataset:
-    """Streaming fetch: read the content store (parquet fragments) and
-    semi-join it against the admitted epoch.  Returns a Dataset of
-    images-table rows + schedule metadata."""
+    """Store-driven fetch (the 100 TB path): stream the content store's
+    parquet fragments and semi-join each batch against the broadcast
+    admitted epoch.  Parallelism follows store blocks — at real scale the
+    store dwarfs the epoch and this is the natural layout; payload bytes
+    never leave their read task."""
     ref = ray.put(admitted)
-    ds = rd.read_parquet(store_paths)
-    return ds.map_batches(
-        StoreLookupFetcher,
-        fn_constructor_args=(ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if num_blocks is None:
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    key = ref.hex()
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        f = _FETCHER_CACHE.get(key)
+        if f is None:
+            if len(_FETCHER_CACHE) > 4:
+                _FETCHER_CACHE.clear()
+            f = _FETCHER_CACHE.setdefault(key, StoreLookupFetcher(ref))
+        return f(batch)
+
+    ds = rd.read_parquet(store_paths, override_num_blocks=num_blocks)
+    return ds.map_batches(fetch, batch_format="pyarrow")
+
+
+def make_broadcast_fetch_fn(store_paths: list[str]):
+    """Factory for the frontier-driven fetch kernel (small/cached store):
+    the store table is ``ray.put`` once (shared-memory per node) and each
+    ADMITTED-frontier batch looks its payloads up locally — so
+    fetch/decode task parallelism scales with the frontier, not with the
+    store's block count.  This sidesteps the task-bundling problem of
+    the scan path at bench scale, where a 2-block store would serialize
+    the whole decode chain (Ray sizes fused map tasks by input bytes and
+    cannot see the semi-join fan-out).
+
+    Admitted URLs whose image_id misses the store are kept with null
+    payload columns — a fetch failure is a crawl outcome, and the
+    crawl-order table must stay complete."""
+    import pyarrow.parquet as pq
+
+    store_tbl = pa.concat_tables([pq.read_table(p) for p in store_paths])
+    sref = ray.put(store_tbl)
+    skey = sref.hex()
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        cached = _STORE_INDEX_CACHE.get(skey)
+        if cached is None:
+            if len(_STORE_INDEX_CACHE) > 2:
+                _STORE_INDEX_CACHE.clear()
+            st = ray.get(sref)
+            idx = {v: i for i, v in enumerate(st.column("image_id").to_pylist())}
+            cached = _STORE_INDEX_CACHE.setdefault(skey, (st, idx))
+        st, idx = cached
+        ids = batch.column("image_id").to_pylist()
+        # null store-row index for missing ids → null payload columns
+        store_pos = pa.array([idx.get(v) for v in ids], pa.int64())
+        out = st.drop_columns(["image_id"]).take(store_pos)
+        out = out.add_column(0, "image_id", batch.column("image_id"))
+        for col in StoreLookupFetcher.META_COLS:
+            out = out.append_column(col, batch.column(col))
+        return out
+
+    return fetch
+
+
+def fetch_broadcast_store(
+    store_paths: list[str], admitted: pa.Table, num_blocks: int | None = None
+) -> rd.Dataset:
+    """Dataset-in/out wrapper over :func:`make_broadcast_fetch_fn`."""
+    if num_blocks is None:
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    ds = rd.from_arrow(admitted).repartition(num_blocks)
+    return ds.map_batches(make_broadcast_fetch_fn(store_paths), batch_format="pyarrow")
+
+
+def fetch_from_store(
+    store_paths: list[str], admitted: pa.Table, num_blocks: int | None = None
+) -> rd.Dataset:
+    """Fetch dispatcher: broadcast-store mode when the store fits the
+    object store comfortably, store-scan mode otherwise."""
+    import os
+
+    size = sum(os.path.getsize(p) for p in store_paths)
+    if size <= BROADCAST_STORE_MAX_BYTES:
+        return fetch_broadcast_store(store_paths, admitted, num_blocks)
+    return fetch_scan_store(store_paths, admitted, num_blocks)

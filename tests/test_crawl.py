@@ -85,7 +85,8 @@ def test_crawl_decode_validation(ray_session, store, fixtures, tmp_path):
         num_shards=2, num_epochs=2, store_size=N_IMAGES, concurrency=(1, 2),
     )
     imgs = run.images_out.to_table()
-    assert imgs.num_rows > 0
+    # one fetched+validated row per admitted URL, exactly
+    assert imgs.num_rows == run.crawl_order.to_table().num_rows
     # every fetched row decoded and validated against the reference pixels
     assert pa.compute.all(imgs.column("valid")).as_py()
     # lineage counters present and consistent

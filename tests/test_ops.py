@@ -1,0 +1,162 @@
+"""Unit tests for the generic operator library (relational, dedup, text,
+ann) on small synthetic Arrow tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from cc_warc_examples_ray.ops import ann, dedup, relational, text
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different content about rivers and mountains",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "",                                               # empty
+        "unique short text",
+    ]
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": texts})
+    )
+
+
+def test_grouped_count_and_topk(ray_session):
+    t = pa.table({"k": ["a", "b", "a", "c", "a", "b"], "v": [1, 2, 3, 4, 5, 6]})
+    ds = rd.from_arrow(t)
+    out = relational.grouped_count(ds, ["k"], alias="cnt").to_pandas().sort_values("k")
+    assert out["cnt"].tolist() == [3, 2, 1]
+    top = relational.topk(rd.from_arrow(t), "v", 2).to_pandas()
+    assert top["v"].tolist() == [6, 5]
+
+
+def test_first_per_key(ray_session):
+    t = pa.table({"k": ["x", "x", "y", "y"], "r": [5, 2, 9, 1], "p": ["a", "b", "c", "d"]})
+    out = relational.first_per_key(rd.from_arrow(t), "k", "r").to_pandas().sort_values("k")
+    assert out["r"].tolist() == [2, 1]
+    assert out["p"].tolist() == ["b", "d"]
+
+
+def test_broadcast_joins(ray_session):
+    t = pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    ref = ray.put([2, 4])
+    semi = relational.broadcast_semi_join(rd.from_arrow(t), "k", ref).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    anti = relational.broadcast_anti_join(rd.from_arrow(t), "k", ref).to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5]
+
+
+def test_hash_join(ray_session):
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "a": ["x", "y", "z"]}))
+    right = rd.from_arrow(pa.table({"k": [2, 3, 4], "b": [20, 30, 40]}))
+    out = relational.hash_join(left, right, "k", num_buckets=4).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, 3]
+    assert out["a"].tolist() == ["y", "z"]
+    assert out["b"].tolist() == [20, 30]
+
+
+def test_exact_dedup(ray_session, docs_ds):
+    out = dedup.exact_dedup(docs_ds, "text", "doc_id").to_pandas()
+    # doc 3 is an exact dup of doc 0 → survivor is 0
+    assert 3 not in set(out["doc_id"])
+    assert 0 in set(out["doc_id"])
+    assert len(out) == 5
+
+
+def test_minhash_near_dup(ray_session, docs_ds):
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy cat",
+        2: "completely different content about rivers and mountains",
+        3: "the quick brown fox jumps over the lazy dog",
+        4: "",
+        5: "unique short text",
+    }
+    ref = ray.put(texts)
+    groups = dedup.minhash_dedup(docs_ds, ref, threshold=0.5)
+    gmap = dict(zip(groups["doc_id"], groups["group_id"]))
+    # 0 and 3 identical → same group; 1 near-dup → same group at 0.5
+    assert gmap[0] == gmap[3]
+    assert gmap[1] == gmap[0]
+    assert 2 not in gmap or gmap.get(2) == 2
+
+
+def test_simhash_pairs(ray_session, docs_ds):
+    out = dedup.simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 3) in pairs  # identical texts → hamming 0
+
+
+def test_embedding_neardup_and_ann(ray_session):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    base[7] = base[3] + 0.01 * rng.standard_normal(16)  # near-dup pair (3, 7)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                  "embedding": pa.array(list(base), pa.list_(pa.float64()))})
+    )
+    pairs = dedup.embedding_neardup_pairs(ds, dim=16, threshold=0.99, bits=6).to_pandas()
+    assert (3, 7) in set(zip(pairs["id_a"], pairs["id_b"]))
+    bf = dedup.brute_force_pairs(ds, threshold=0.99)
+    assert (3, 7) in set(zip(bf["id_a"], bf["id_b"]))
+
+    top = ann.brute_force_topk(ds, {3: base[3].tolist()}, k=3)
+    assert top["vec_id"].tolist()[:2] == [3, 7]  # self then near-dup
+
+    cent = ann.train_centroids(ds, n_centroids=4, sample=20)
+    assigned = ann.ivf_assign(ds, cent)
+    ivf = ann.ivf_topk(assigned, cent, {3: base[3].tolist()}, k=3, nprobe=2)
+    assert ivf["vec_id"].iloc[0] == 3
+
+
+def test_phash_neardup_groups(ray_session):
+    ph = np.array([0x1111, 0x1111, 0x1110, 0x7FFF00000000, 0x42], dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"image_id": [f"i{k}" for k in range(5)], "phash": pa.array(ph)})
+    )
+    out = dedup.phash_neardup_groups(ds, max_hamming=2, prefix_bits=16).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert ("i0", "i1") in pairs and ("i0", "i2") in pairs and ("i1", "i2") in pairs
+    assert not any("i3" in p for pair in pairs for p in pair)
+
+
+def test_text_kernels():
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": ["The quick brown fox! 123", ""]})
+    tc = text.token_counts(t)
+    assert tc.column("n_ws_tokens").to_pylist() == [5, 0]
+    q = text.quality_scores(t)
+    assert q.column("n_chars_text").to_pylist() == [24, 0]
+    assert 0 < q.column("digit_ratio")[0].as_py() < 0.2
+    fp = text.fingerprint(t)
+    assert fp.column("text_hash")[0].as_py() != fp.column("text_hash")[1].as_py()
+
+
+def test_langid(ray_session):
+    t = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": [
+            "the cat and the dog are in the house and it is warm",
+            "der hund und die katze sind in dem haus und das ist warm",
+            "xyzzy plugh qwfp",
+        ],
+    })
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(text.LangIdentifier, batch_format="pyarrow",
+                         concurrency=1).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist()[:2] == ["en", "de"]
+    assert out["lang_pred"].tolist()[2] == "und"
+
+
+def test_windowed_aggregate(ray_session):
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10"])
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a", "a", "a"], "ts": ts, "v": [1.0, 2.0, 4.0]}))
+    out = relational.windowed_aggregate(ds, "k", "ts", "1h", "v").to_pandas()
+    out = out.sort_values("window_start")
+    assert out["value_sum"].tolist() == [3.0, 4.0]
+    assert out["n_events"].tolist() == [2, 1]
