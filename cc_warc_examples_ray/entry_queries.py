@@ -100,7 +100,7 @@ def q_doc_stats(sf_dir: str) -> pa.Table:
 
 
 SQL_DOC_STATS = """
-SELECT lang, source, count(*) AS cnt, sum(n_chars) AS sum_chars
+SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
@@ -131,7 +131,7 @@ def q_top_users(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_TOP_USERS = """
-SELECT user_id, sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS total_value_c
+SELECT user_id, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_c
 FROM events GROUP BY user_id
 ORDER BY total_value_c DESC, user_id LIMIT 10
 """
@@ -205,9 +205,9 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_price_c,
-       sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_price_c,
+       CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
        count(*) AS cnt
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
@@ -287,7 +287,7 @@ def q_event_windows(sf_dir: str) -> pd.DataFrame:
 SQL_EVENT_WINDOWS = """
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS value_sum_c,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_c,
        count(*) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -437,6 +437,60 @@ WITH seeds AS (
 )
 SELECT seed_rank, host, host_index, host_index * delay AS fetch_time_ms
 FROM ranked ORDER BY fetch_time_ms, seed_rank
+"""
+
+
+def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Distributed hash join (bucketed, both sides large): orders ⋈
+    customer on custkey → order count + cents sum per market segment."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_custkey", "c_mktsegment"])
+
+    cust = cust.map_batches(rename, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = relational.hash_join(orders, cust, "o_custkey", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["c"] = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = df.groupby("c_mktsegment", sort=False)["c"].agg(["sum", "count"]).reset_index()
+        return g.rename(columns={"sum": "_ps", "count": "_pn"})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("_ps", alias_name="total_price_c"), Sum("_pn", alias_name="n_orders"))
+    ).to_pandas()
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_price_c,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_stratified_docs(sf_dir: str) -> pd.DataFrame:
+    """O5 class-balanced sampling: the 10 lowest-doc_id documents per
+    language (deterministic winner rule)."""
+    from .ops import sampling
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = sampling.stratified_sample(docs, "lang", "doc_id", per_class=10).to_pandas()
+    return out[["lang", "doc_id"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+SQL_STRATIFIED_DOCS = """
+SELECT lang, doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 10
+ORDER BY lang, doc_id
 """
 
 
@@ -615,6 +669,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_pairs": q_embedding_pairs,
     "crawl_schedule": q_crawl_schedule,
+    "orders_by_segment": q_orders_by_segment,
+    "stratified_docs": q_stratified_docs,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "warc_tag_counts": q_warc_tag_counts,
@@ -649,6 +705,8 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "embedding_pairs": SQL_EMBEDDING_PAIRS,
     "crawl_schedule": SQL_CRAWL_SCHEDULE,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "stratified_docs": SQL_STRATIFIED_DOCS,
 }
 
 

@@ -1,0 +1,122 @@
+"""WARC/1.0 file source + writer (SURVEY.md §2.1 S1-S3).
+
+The reference treats one gzip WARC file as one non-splittable input
+split (`/root/reference/src/org/commoncrawl/examples/mapreduce/WARCFileInputFormat.java:29-32`)
+surfaced as a single ArchiveReader iterated record-by-record
+(`WARCFileRecordReader.java:49-58`, `TagCounterMap.java:36-61`).
+
+Ray-native shape: ``read_binary_files`` (one block per file) →
+``map_batches`` parser that walks the WARC record framing and emits one
+row per record in the WARC_RECORDS schema
+``(record_url, warc_type, mime, payload)``.  The writer exists so tests
+and fixtures can produce real ``.warc.gz`` bytes (public ISO 28500
+format; headers + Content-Length framing, records separated by CRLFCRLF).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..schemas import WARC_RECORDS
+
+_CRLF = b"\r\n"
+
+
+def write_warc(records: pa.Table, compress: bool = True) -> bytes:
+    """WARC_RECORDS table → one WARC/1.0 file (optionally gzipped)."""
+    buf = io.BytesIO()
+    for i in range(records.num_rows):
+        url = records.column("record_url")[i].as_py() or ""
+        wtype = records.column("warc_type")[i].as_py() or "resource"
+        mime = records.column("mime")[i].as_py() or "application/octet-stream"
+        payload = records.column("payload")[i].as_py() or b""
+        buf.write(b"WARC/1.0" + _CRLF)
+        buf.write(f"WARC-Type: {wtype}".encode() + _CRLF)
+        buf.write(f"WARC-Target-URI: {url}".encode() + _CRLF)
+        buf.write(b"WARC-Record-ID: <urn:uuid:" + f"{i:032d}".encode() + b">" + _CRLF)
+        buf.write(f"Content-Type: {mime}".encode() + _CRLF)
+        buf.write(f"Content-Length: {len(payload)}".encode() + _CRLF)
+        buf.write(_CRLF)
+        buf.write(payload)
+        buf.write(_CRLF + _CRLF)
+    data = buf.getvalue()
+    return gzip.compress(data) if compress else data
+
+
+def parse_warc(blob: bytes) -> pa.Table:
+    """One WARC file's bytes → WARC_RECORDS rows.  Tolerates gzip or
+    plain input; malformed trailing bytes end the scan (lenient)."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = gzip.decompress(blob)
+    urls, types, mimes, payloads = [], [], [], []
+    pos = 0
+    n = len(blob)
+    while True:
+        start = blob.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = blob.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[start:hdr_end].split(_CRLF)[1:]:
+            if b":" in line:
+                k, v = line.split(b":", 1)
+                headers[k.decode("ascii", "replace").strip().lower()] = v.decode(
+                    "utf-8", "replace"
+                ).strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            break
+        urls.append(headers.get("warc-target-uri", ""))
+        types.append(headers.get("warc-type", ""))
+        mimes.append(headers.get("content-type", ""))
+        payloads.append(blob[body_start : body_start + length])
+        pos = body_start + length
+    return pa.table(
+        {
+            "record_url": pa.array(urls, pa.string()),
+            "warc_type": pa.array(types, pa.string()),
+            "mime": pa.array(mimes, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        },
+        schema=WARC_RECORDS,
+    )
+
+
+def parse_warc_batch(batch: pa.Table) -> pa.Table:
+    tables = [parse_warc(b) for b in batch.column("bytes").to_pylist()]
+    tables = [t for t in tables if t.num_rows] or [WARC_RECORDS.empty_table()]
+    return pa.concat_tables(tables)
+
+
+def read_warc_files(paths: str | list[str]) -> rd.Dataset:
+    """Directory/file list of ``.warc[.gz]`` → WARC_RECORDS Dataset,
+    one read block per file (non-splittable-gzip rule)."""
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, names in os.walk(p):
+                files.extend(
+                    os.path.join(root, x)
+                    for x in sorted(names)
+                    if x.endswith((".warc", ".warc.gz"))
+                )
+        else:
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no WARC files under {paths}")
+    ds = rd.read_binary_files(files, include_paths=True, override_num_blocks=len(files))
+    return ds.map_batches(parse_warc_batch, batch_format="pyarrow")

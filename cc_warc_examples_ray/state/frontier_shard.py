@@ -68,6 +68,8 @@ class FrontierShard:
         the pipeline guarantees this by sorting each epoch before
         routing and submitting shard batches from a single caller.
         """
+        from ..hashing import xxh64_many
+
         admit = self.seen.add_if_absent(np.asarray(url_hashes, dtype=np.uint64))
         n = len(admit)
         fetch_time = np.full(n, -1, dtype=np.int64)
@@ -77,6 +79,10 @@ class FrontierShard:
             host_index[j] = st[0]
             fetch_time[j] = st[0] * st[1]
             st[0] += 1
+        if n:
+            # domain-seen namespace (Statistics.java:60) — approximate
+            # distinct-host accounting per shard (A6)
+            self.domains_seen.add_if_absent(xxh64_many(list(hosts)))
         self.admitted += int(admit.sum())
         self.rejected_dup += int(n - admit.sum())
         return admit, fetch_time, host_index
@@ -91,6 +97,7 @@ class FrontierShard:
             "admitted": self.admitted,
             "rejected_dup": self.rejected_dup,
             "seen_count": int(self.seen.count),
+            "domains_seen": int(self.domains_seen.count),
             "hosts": len(self.hosts),
             "load_factor": self.seen.load_factor,
         }
