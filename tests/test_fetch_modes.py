@@ -1,0 +1,88 @@
+"""Parity between the two fetch strategies (broadcast-store vs
+scan-store) and fetch-miss semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cc_warc_examples_ray import lancelite, synth
+from cc_warc_examples_ray.stages import fetch
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    d = tmp_path_factory.mktemp("store")
+    t = lancelite.LanceLiteTable(str(d / "images"))
+    t.write(synth.images_table(50))
+    return t
+
+
+def _admitted(n=30, miss=2):
+    ids = [f"img-{i:010d}" for i in range(n)] + [f"img-{9_000_000 + i:010d}" for i in range(miss)]
+    m = n + miss
+    return pa.table(
+        {
+            "image_id": pa.array(ids),
+            "fetch_time_ms": pa.array(np.arange(m, dtype=np.int64)),
+            "host_index": pa.array(np.zeros(m, dtype=np.int64)),
+            "seed_rank": pa.array(np.arange(m, dtype=np.int64)),
+            "url": pa.array([f"http://h/{i}" for i in range(m)]),
+            "url_hash": pa.array(np.arange(m, dtype=np.int64)),
+            "host": pa.array(["h"] * m),
+            "epoch": pa.array(np.zeros(m, dtype=np.int64)),
+        }
+    )
+
+
+def test_broadcast_scan_parity(ray_session, store):
+    adm = _admitted(miss=0)
+    b = fetch.fetch_broadcast_store(store.fragment_paths(), adm).to_pandas()
+    s = fetch.fetch_scan_store(store.fragment_paths(), adm).to_pandas()
+    b = b.sort_values("seed_rank").reset_index(drop=True)
+    s = s.sort_values("seed_rank").reset_index(drop=True)
+    assert len(b) == len(s) == adm.num_rows
+    assert b["image_id"].tolist() == s["image_id"].tolist()
+    assert (b["bytes"] == s["bytes"]).all()
+    assert b["caption"].tolist() == s["caption"].tolist()
+
+
+def test_broadcast_keeps_fetch_misses(ray_session, store):
+    from cc_warc_examples_ray.stages.decode import DecodeValidate
+
+    adm = _admitted(n=10, miss=3)
+    fetched = fetch.fetch_broadcast_store(store.fragment_paths(), adm)
+    # every admitted URL appears; misses carry null payloads — decode
+    # stays in Arrow (a pandas round-trip would degrade nullable int64
+    # phash to lossy float64)
+    v = fetched.map_batches(
+        DecodeValidate(min_dim=100), batch_format="pyarrow"
+    ).to_pandas()
+    assert len(v) == 13
+    miss_mask = v["image_id"].str.startswith("img-0009").values
+    assert miss_mask.sum() == 3
+    assert (~v.loc[miss_mask, "decode_ok"]).all()
+    assert (~v.loc[miss_mask, "valid"]).all()
+    assert v.loc[~miss_mask, "valid"].all()
+
+
+def test_same_content_many_urls(ray_session, store):
+    """Several admitted URLs resolving to ONE store row each get their
+    own fetched row (the bug class found in round 1)."""
+    ids = ["img-0000000003"] * 4
+    adm = pa.table(
+        {
+            "image_id": pa.array(ids),
+            "fetch_time_ms": pa.array(np.arange(4, dtype=np.int64)),
+            "host_index": pa.array(np.zeros(4, dtype=np.int64)),
+            "seed_rank": pa.array(np.arange(4, dtype=np.int64)),
+            "url": pa.array([f"http://h/{i}" for i in range(4)]),
+            "url_hash": pa.array(np.arange(4, dtype=np.int64)),
+            "host": pa.array(["h"] * 4),
+            "epoch": pa.array(np.zeros(4, dtype=np.int64)),
+        }
+    )
+    b = fetch.fetch_broadcast_store(store.fragment_paths(), adm).to_pandas()
+    s = fetch.fetch_scan_store(store.fragment_paths(), adm).to_pandas()
+    assert len(b) == 4 and len(s) == 4
+    assert sorted(b["seed_rank"]) == [0, 1, 2, 3]
+    assert sorted(s["seed_rank"]) == [0, 1, 2, 3]

@@ -1,0 +1,77 @@
+"""Tests for multimodal stages: resize, image features, audio/video
+plumbing with stubbed codecs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cc_warc_examples_ray import imagecodec, synth
+from cc_warc_examples_ray.stages import multimodal
+
+
+def test_resize_cap(ray_session):
+    img = synth.render_image(1, 200, 160)
+    t = pa.table(
+        {
+            "image_id": ["a"],
+            "bytes": [imagecodec.png_encode(img)],
+            "w": pa.array([200], pa.int32()),
+            "h": pa.array([160], pa.int32()),
+            "fmt": ["png"],
+        }
+    )
+    out = multimodal.ImageResizer(max_w=100, max_h=100)(t)
+    assert out.column("w")[0].as_py() == 100
+    assert out.column("h")[0].as_py() == 80
+    small = imagecodec.decode(out.column("bytes")[0].as_py(), "png")
+    assert small.shape == (80, 100, 3)
+    # no upscale
+    out2 = multimodal.ImageResizer(max_w=1024, max_h=768)(t)
+    assert out2.column("w")[0].as_py() == 200
+
+
+def test_image_features(ray_session):
+    t = synth.images_table(12)
+    ds = rd.from_arrow(t)
+    feats = ds.map_batches(
+        multimodal.ImageFeatureExtractor, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert len(feats) == 12
+    assert all(len(h) == 512 for h in feats["color_hist"])
+    assert np.allclose([sum(h) for h in feats["color_hist"]], 1.0, atol=1e-3)
+    # phash matches the stored column for lossless rows
+    stored = t.to_pandas().set_index("image_id")
+    for _, row in feats.iterrows():
+        if stored.loc[row["image_id"], "fmt"] in ("png", "bmp"):
+            assert row["phash"] == stored.loc[row["image_id"], "phash"]
+
+
+def test_audio_pcm_and_stub():
+    x = (np.sin(np.linspace(0, 40 * np.pi, 8000)) * 20000).astype(np.int16)
+    t = pa.table(
+        {
+            "media_id": ["pcm", "mp3"],
+            "bytes": [x.tobytes(), b"\xff\xfbfakemp3"],
+            "sample_rate": pa.array([8000, 44100], pa.int32()),
+            "n_samples": pa.array([8000, 0], pa.int64()),
+            "codec": ["pcm16", "mp3"],
+        }
+    )
+    out = multimodal.AudioFeaturizer()(t).to_pylist()
+    assert out[0]["decoded"] and 0.3 < out[0]["rms"] < 0.6
+    assert abs(out[0]["duration_s"] - 1.0) < 1e-6
+    assert not out[1]["decoded"] and out[1]["rms"] is None  # stubbed codec
+
+
+def test_video_frame_sampling():
+    frames = [imagecodec.png_encode(synth.render_image(i, 16, 16)) for i in range(25)]
+    vid = multimodal.VideoFrameSampler.make_fake_video(frames)
+    t = pa.table({"media_id": ["v1", "v2"], "bytes": [vid, b"realmp4notsupported"]})
+    out = multimodal.VideoFrameSampler(every_nth=10, max_frames=8)(t)
+    got = out.to_pylist()
+    assert [r["frame_index"] for r in got] == [0, 10, 20]
+    assert all(r["media_id"] == "v1" for r in got)  # real container row only
+    img = imagecodec.decode(got[1]["frame_bytes"], got[1]["fmt"])
+    assert img.shape == (16, 16, 3)
+    assert got[1]["ts_ms"] == 400
