@@ -513,6 +513,37 @@ def _sf_scale(sf_dir: str) -> int:
     return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
 
+_PAGES_CACHE = "/tmp/ccwarc_pages_cache.parquet"
+
+
+def q_discovery_crawl(sf_dir: str) -> pa.Table:
+    """Two-level discovery crawl (pages → extracted media → image fetch):
+    rows-only check; oracle equivalence is a pytest golden."""
+    import tempfile
+
+    from .pipelines.discovery import run_discovery_crawl
+
+    n = _sf_scale(sf_dir)
+    warc = synth.warc_records_table(n)
+    pages = warc.select(["record_url", "mime", "payload"])
+    pq.write_table(pages, _PAGES_CACHE)
+    urls = warc.column("record_url").to_pylist()
+    seeds = pa.table(
+        {
+            "seed_url": pa.array(urls, pa.string()),
+            "page_url": pa.array([""] * len(urls), pa.string()),
+            "seed_rank": pa.array(np.arange(len(urls), dtype=np.int64)),
+        }
+    )
+    store = _store()
+    out = tempfile.mkdtemp(prefix="discq_")
+    run = run_discovery_crawl(
+        seeds, synth.robots_table(20), [_PAGES_CACHE], store.fragment_paths(), out,
+        num_shards=4, store_size=_STORE_N,
+    )
+    return run.order_table()
+
+
 def q_crawl_flagship(sf_dir: str) -> pa.Table:
     """The flagship crawl at sf-proportional frontier size (rows-only
     check; exact semantics vs oracle are pytest goldens)."""
@@ -673,6 +704,7 @@ QUERIES = {
     "stratified_docs": q_stratified_docs,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
+    "discovery_crawl": q_discovery_crawl,
     "warc_tag_counts": q_warc_tag_counts,
     "warc_word_counts": q_warc_word_counts,
     "warc_server_counts": q_warc_server_counts,

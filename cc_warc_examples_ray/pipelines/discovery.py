@@ -1,0 +1,283 @@
+"""Discovery crawl: multi-level frontier growth (SURVEY.md §3.2 + §3.3
+chained — the reference's MediaExtractor → Analyzer pipeline as ONE
+streaming crawl).
+
+Level 0 fetches page URLs from the page store (WARC-record shaped),
+extracts media elements from their HTML
+(`/root/reference/src/org/commoncrawl/mklab/MediaMap.java:46-67`), and
+the extracted media URLs become the next level's frontier — resolved,
+first-seen-deduped and politeness-scheduled through the SAME
+FrontierShard pool (per-host counters continue across levels, exactly
+like the reference feeding extractor output files into the analyzer,
+`CommonCrawlAnalyzer.java:96-139`).  The final level fetches image
+payloads and decode-validates them.
+
+Determinism: discovered URLs get ``seed_rank = base + row_number`` in
+``(parent_rank, intra-page position)`` order, so the admitted sequence
+and politeness schedule are reproducible under any parallelism
+(crawl-order spec of SURVEY.md §2.8, extended with a ``level`` axis).
+Checkpoint/resume granularity = level (partition per level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .. import lancelite, synth
+from ..functions.urls import canonicalize_batch
+from ..hashing import xxh64_many
+from ..stages.decode import DecodeValidate
+from ..stages.fetch import add_image_ids, fetch_broadcast_store
+from ..stages.parse import extract_media_batch
+from ..state.frontier_shard import FrontierPool
+from .crawl import ORDER_COLS, CrawlRun, _make_robots_gate, _robots_maps
+
+
+def _admit(pool: FrontierPool, cdf: pd.DataFrame, chunk: int = 32768) -> pd.DataFrame:
+    cdf = cdf.sort_values("seed_rank", kind="mergesort")
+    outs = []
+    for st in range(0, len(cdf), chunk):
+        sub = cdf.iloc[st : st + chunk]
+        hashes = sub["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
+        hh = xxh64_many(sub["host"].tolist())
+        a, ft, hi = pool.admit_and_schedule(hashes, sub["host"].tolist(), hh)
+        keep = sub.loc[a].copy()
+        keep["fetch_time_ms"] = ft[a]
+        keep["host_index"] = hi[a]
+        outs.append(keep)
+    if outs:
+        return pd.concat(outs)
+    empty = cdf.iloc[0:0].copy()
+    empty["fetch_time_ms"] = pd.Series(dtype="int64")
+    empty["host_index"] = pd.Series(dtype="int64")
+    return empty
+
+
+def _canonicalize(seeds: pa.Table, disallow, nblocks: int) -> pd.DataFrame:
+    step = max(256, seeds.num_rows // nblocks + 1)
+    chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)] or [seeds]
+    eds = rd.from_arrow(chunks)
+    eds = eds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
+    return eds.to_pandas()
+
+
+def discover_kernel(tbl: pa.Table) -> pa.Table:
+    """map_batches kernel: fetched page records → CRAWLED_MEDIA rows +
+    (parent_rank, intra_pos) for deterministic discovery ordering."""
+    out = []
+    for i in range(tbl.num_rows):
+        one = tbl.slice(i, 1)
+        media = extract_media_batch(
+            pa.table(
+                {
+                    "record_url": one.column("url"),
+                    "warc_type": pa.array(["response"]),
+                    "mime": one.column("mime"),
+                    "payload": one.column("payload"),
+                }
+            )
+        )
+        if media.num_rows:
+            media = media.append_column(
+                "parent_rank",
+                pa.array(np.full(media.num_rows, one.column("seed_rank")[0].as_py(), dtype=np.int64)),
+            ).append_column(
+                "intra_pos", pa.array(np.arange(media.num_rows, dtype=np.int64))
+            )
+            out.append(media)
+    if not out:
+        return _EMPTY_MEDIA
+    return pa.concat_tables(out)
+
+
+from ..schemas import CRAWLED_MEDIA as _CM  # noqa: E402
+
+_EMPTY_MEDIA = pa.schema(
+    list(_CM) + [pa.field("parent_rank", pa.int64()), pa.field("intra_pos", pa.int64())]
+).empty_table()
+
+
+def discover_media(pages: pa.Table, nblocks: int = 16) -> pa.Table:
+    """Distributed discovery: split fetched pages into blocks and run
+    :func:`discover_kernel` as parallel tasks."""
+    if pages.num_rows == 0:
+        return _EMPTY_MEDIA
+    step = max(16, pages.num_rows // nblocks + 1)
+    chunks = [pages.slice(i, step) for i in range(0, pages.num_rows, step)]
+    ds = rd.from_arrow(chunks).map_batches(discover_kernel, batch_format="pyarrow")
+    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return tbl.cast(_EMPTY_MEDIA.schema) if tbl.num_rows else _EMPTY_MEDIA
+
+
+def run_discovery_crawl(
+    page_seeds: pa.Table,
+    robots: pa.Table,
+    pages_store_paths: list[str],
+    images_store_paths: list[str],
+    out_dir: str,
+    *,
+    num_shards: int = 4,
+    store_size: int | None = None,
+    min_dim: int = synth.SMALL_DIM_GATE,
+    shard_capacity: int = 1 << 18,
+) -> CrawlRun:
+    """Two-level crawl: pages (level 0) → discovered media (level 1)."""
+    import pyarrow.parquet as pq
+
+    run = CrawlRun(out_dir)
+    if store_size is None:
+        store_size = sum(pq.read_metadata(p).num_rows for p in images_store_paths)
+    delays, disallow = _robots_maps(robots)
+    nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    start_level = run.resume_epoch()
+    pool = FrontierPool(num_shards, capacity_per_shard=shard_capacity)
+    try:
+        if start_level > 0:
+            blobs_tbl = run.state.partition_table(start_level - 1)
+            order = np.argsort(blobs_tbl.column("shard").to_numpy())
+            pool.restore([blobs_tbl.column("blob")[int(i)].as_py() for i in order])
+        pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
+
+        # page store: (record_url, mime, payload) — broadcast-size here;
+        # at scale use the scan-store streaming join on the url key
+        pages_tbl = pa.concat_tables([pq.read_table(p) for p in pages_store_paths])
+        page_index = {
+            u: i for i, u in enumerate(pages_tbl.column("record_url").to_pylist())
+        }
+
+        def commit(level: int, admitted: pa.Table, counters: dict):
+            if admitted.num_rows and "image_id" not in admitted.column_names:
+                admitted = admitted.append_column(
+                    "image_id", pa.nulls(admitted.num_rows, pa.string())
+                )
+            run.crawl_order.append_partition(
+                admitted if admitted.num_rows else pa.table({}), level
+            )
+            run.state.append_partition(
+                pa.table(
+                    {
+                        "shard": pa.array(range(num_shards), pa.int64()),
+                        "blob": pa.array(pool.checkpoints(), pa.binary()),
+                    }
+                ),
+                level,
+            )
+            run.lineage.append_partition(
+                pa.table(
+                    {
+                        "epoch": pa.array([level] * len(counters), pa.int64()),
+                        "partition": pa.array([level] * len(counters), pa.int64()),
+                        "stage": pa.array(["discovery"] * len(counters), pa.string()),
+                        "counter": pa.array(list(counters), pa.string()),
+                        "value": pa.array([int(v) for v in counters.values()], pa.int64()),
+                    }
+                ),
+                level,
+            )
+
+        # ---- level 0: pages ------------------------------------------------
+        frontier = page_seeds
+        if start_level == 0:
+            cdf = _canonicalize(frontier, disallow, nblocks)
+            adf = _admit(pool, cdf)
+            admitted = pa.Table.from_pandas(adf, preserve_index=False).append_column(
+                "epoch", pa.array(np.zeros(len(adf), dtype=np.int64))
+            )
+            admitted = admitted.sort_by(
+                [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
+            )
+            # fetch pages (broadcast lookup by canonical url)
+            pos = [page_index.get(u, -1) for u in admitted.column("url").to_pylist()]
+            hit = [i for i, p in enumerate(pos) if p >= 0]
+            fetched_pages = pages_tbl.take(pa.array([pos[i] for i in hit], pa.int64()))
+            meta = admitted.take(pa.array(hit, pa.int64()))
+            fetched = meta.append_column("mime", fetched_pages.column("mime")).append_column(
+                "payload", fetched_pages.column("payload")
+            )
+            media = discover_media(fetched)
+            order_cols = [c for c in ORDER_COLS if c in admitted.column_names]
+            commit(
+                0,
+                admitted.select(order_cols),
+                {
+                    "seeds_in": frontier.num_rows,
+                    "admitted": admitted.num_rows,
+                    "pages_fetched": len(hit),
+                    "media_extracted": media.num_rows,
+                },
+            )
+            # discovered frontier (deterministic rank assignment)
+            m = media.sort_by([("parent_rank", "ascending"), ("intra_pos", "ascending")])
+            base = int(frontier.num_rows)
+            discovered = pa.table(
+                {
+                    "seed_url": m.column("src"),
+                    "page_url": m.column("page_url"),
+                    "seed_rank": pa.array(
+                        base + np.arange(m.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+            run.images_out.append_partition(pa.table({}), 0)  # level-0 sentinel
+        else:
+            # resuming at level 1: rebuild discovered frontier
+            # deterministically by re-running the (idempotent) level-0
+            # extraction against the committed level-0 crawl order
+            order0 = run.crawl_order.partition_table(0)
+            pos = [page_index.get(u, -1) for u in order0.column("url").to_pylist()]
+            hit = [i for i, p in enumerate(pos) if p >= 0]
+            fetched_pages = pages_tbl.take(pa.array([pos[i] for i in hit], pa.int64()))
+            meta = order0.take(pa.array(hit, pa.int64()))
+            fetched = meta.append_column("mime", fetched_pages.column("mime")).append_column(
+                "payload", fetched_pages.column("payload")
+            )
+            media = discover_media(fetched)
+            m = media.sort_by([("parent_rank", "ascending"), ("intra_pos", "ascending")])
+            base = int(page_seeds.num_rows)
+            discovered = pa.table(
+                {
+                    "seed_url": m.column("src"),
+                    "page_url": m.column("page_url"),
+                    "seed_rank": pa.array(
+                        base + np.arange(m.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        # ---- level 1: discovered media → image fetch + validate -----------
+        if start_level <= 1:
+            cdf1 = _canonicalize(discovered, disallow, nblocks)
+            adf1 = _admit(pool, cdf1)
+            admitted1 = pa.Table.from_pandas(adf1, preserve_index=False).append_column(
+                "epoch", pa.array(np.ones(len(adf1), dtype=np.int64))
+            )
+            admitted1 = add_image_ids(admitted1, store_size)
+            admitted1 = admitted1.sort_by(
+                [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
+            ).select([c for c in ORDER_COLS] + ["image_id"])
+            fetched1 = fetch_broadcast_store(images_store_paths, admitted1, num_blocks=nblocks)
+            validated = fetched1.map_batches(
+                DecodeValidate(min_dim=min_dim), batch_format="pyarrow", batch_size=256
+            )
+            run.images_out.append_ray_partition(validated, 1)
+            flags = run.images_out.partition_table(1, columns=["valid", "big"])
+            commit(
+                1,
+                admitted1,
+                {
+                    "seeds_in": discovered.num_rows,
+                    "admitted": admitted1.num_rows,
+                    "fetched": flags.num_rows,
+                    "valid": int(pa.compute.sum(flags.column("valid")).as_py() or 0)
+                    if flags.num_rows else 0,
+                },
+            )
+    finally:
+        pool.shutdown()
+    return run

@@ -36,7 +36,9 @@ def image_key_from_path(path: str, store_size: int) -> int:
     m = _KEY_RE.search(path)
     if m:
         return int(m.group(1)) % store_size
-    return hash(path) % store_size
+    from ..hashing import xxh64
+
+    return xxh64(path.encode()) % store_size  # deterministic (hash() is salted)
 
 
 def add_image_ids(tbl: pa.Table, store_size: int) -> pa.Table:
@@ -51,10 +53,12 @@ def add_image_ids(tbl: pa.Table, store_size: int) -> pa.Table:
     keys = knum.to_numpy(zero_copy_only=False)
     miss = np.isnan(keys) if keys.dtype.kind == "f" else np.zeros(len(keys), bool)
     if miss.any():
+        from ..hashing import xxh64
+
         plist = paths.to_pylist()
         keys = keys.copy()
         for i in np.flatnonzero(miss):
-            keys[i] = hash(plist[i]) % store_size
+            keys[i] = xxh64((plist[i] or "").encode()) % store_size
     keys = keys.astype(np.int64) % store_size
     ids = pa.array([f"img-{k:010d}" for k in keys], pa.string())
     return tbl.append_column("image_id", ids)
