@@ -286,17 +286,24 @@ def simhash_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
-    """Exact content dedup: xxhash64(content) → hash-partition → keep the
-    min-id row per hash (A3/O7 semantics with a deterministic winner)."""
+    """Exact content dedup: xxhash64(content) → per-batch min-id partials
+    → one grouped Min (A3/O7 semantics, deterministic min-id winner).
+    Fully vectorized — no per-hash python groups; the shuffle moves one
+    (hash, id) row per distinct content per batch."""
+    from ray.data.aggregate import Min
 
-    def add_hash(tbl: pa.Table) -> pa.Table:
+    def partial(tbl: pa.Table) -> pa.Table:
         h = xxh64_many(tbl.column(content_col)).view(np.int64)
-        return tbl.append_column("_chash", pa.array(h, pa.int64()))
+        t = pa.table({"_chash": pa.array(h, pa.int64()), id_col: tbl.column(id_col)})
+        return t.group_by(["_chash"]).aggregate([(id_col, "min")]).rename_columns(
+            ["_chash", id_col]
+        )
 
-    from .relational import first_per_key
-
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return first_per_key(hashed, "_chash", id_col)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_chash")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
 
 
 # ---------------------------------------------------------------------------

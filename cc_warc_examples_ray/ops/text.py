@@ -168,20 +168,48 @@ def ngram_explode(tbl: pa.Table, text_col: str = "text", lo: int = 3, hi: int = 
 def ngram_class_scores(ds: rd.Dataset, text_col: str, cls_col: str,
                        pos_label: str, min_count: int = 5) -> rd.Dataset:
     """A7/A8: ngram frequency per class, pruned, scored
-    ``score = pos_count - neg_count`` (`NgamFeatureSelection.java:156-163`)."""
-    from .relational import grouped_count
+    ``score = pos_count - neg_count`` (`NgamFeatureSelection.java:156-163`).
 
-    exploded = ds.map_batches(
-        lambda t: ngram_explode(t, text_col=text_col, keep_cols=(cls_col,)),
-        batch_format="pyarrow",
+    Shape: explode → per-batch (ngram, pos/neg partial counts) →
+    ONE grouped sum → vectorized score/filter.  No per-ngram python
+    groups (a map_groups here would create one pandas group per distinct
+    ngram — death by group overhead at corpus scale)."""
+    from ray.data.aggregate import Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ex = ngram_explode(tbl, text_col=text_col, keep_cols=(cls_col,))
+        is_pos = pa.compute.equal(ex.column(cls_col), pos_label)
+        t = pa.table(
+            {
+                "ngram": ex.column("ngram"),
+                "_pos": pa.compute.cast(is_pos, pa.int64()),
+                "_neg": pa.compute.cast(pa.compute.invert(is_pos), pa.int64()),
+            }
+        )
+        return t.group_by(["ngram"]).aggregate([("_pos", "sum"), ("_neg", "sum")]).rename_columns(
+            ["ngram", "_pos", "_neg"]
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("_pos", alias_name="pos_cnt"), Sum("_neg", alias_name="neg_cnt"))
     )
-    counts = grouped_count(exploded, ["ngram", cls_col], alias="cnt")
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        pos = int(g.loc[g[cls_col] == pos_label, "cnt"].sum())
-        neg = int(g.loc[g[cls_col] != pos_label, "cnt"].sum())
-        if pos + neg < min_count:
-            return g.head(0)[["ngram"]].assign(score=pd.Series(dtype="int64"))
-        return pd.DataFrame({"ngram": [g["ngram"].iloc[0]], "score": [pos - neg]})
+    def score(tbl: pa.Table) -> pa.Table:
+        pos = tbl.column("pos_cnt").to_numpy(zero_copy_only=False)
+        neg = tbl.column("neg_cnt").to_numpy(zero_copy_only=False)
+        keep = (pos + neg) >= min_count
+        out = tbl.filter(pa.array(keep))
+        return pa.table(
+            {
+                "ngram": out.column("ngram"),
+                "score": pa.array(
+                    out.column("pos_cnt").to_numpy(zero_copy_only=False)
+                    - out.column("neg_cnt").to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+            }
+        )
 
-    return counts.groupby("ngram").map_groups(score, batch_format="pandas")
+    return sums.map_batches(score, batch_format="pyarrow")
