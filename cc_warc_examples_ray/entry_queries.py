@@ -293,6 +293,33 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_session_windows(sf_dir: str) -> pd.DataFrame:
+    """§2.8 streaming: 30-minute-gap session windows per user."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = relational.session_windows(ev, "user_id", "ts", "30min", "value").to_pandas()
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+SQL_SESSION_WINDOWS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_c
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
 def q_union_nationkeys(sf_dir: str) -> pd.DataFrame:
     """O10 set union: distinct nation keys appearing on customers or suppliers."""
     cust = _read(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
@@ -694,6 +721,7 @@ QUERIES = {
     "asia_customers": q_asia_customers,
     "parts_never_hiqty": q_parts_never_hiqty,
     "event_windows": q_event_windows,
+    "session_windows": q_session_windows,
     "union_nationkeys": q_union_nationkeys,
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_token_counts": q_doc_token_counts,
@@ -731,6 +759,7 @@ ORACLES = {
     "asia_customers": SQL_ASIA_CUSTOMERS,
     "parts_never_hiqty": SQL_PARTS_NEVER_HIQTY,
     "event_windows": SQL_EVENT_WINDOWS,
+    "session_windows": SQL_SESSION_WINDOWS,
     "union_nationkeys": SQL_UNION_NATIONKEYS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "doc_token_counts": SQL_DOC_TOKEN_COUNTS,

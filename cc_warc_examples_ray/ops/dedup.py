@@ -400,28 +400,40 @@ def brute_force_pairs(ds: rd.Dataset, threshold: float, id_col: str = "vec_id",
 
 def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
                          id_col: str = "image_id", phash_col: str = "phash",
-                         prefix_bits: int = 16, salt: int = 0) -> rd.Dataset:
-    """Visual near-dup candidate groups: bucket by the top ``prefix_bits``
-    of pHash (near-dups with Hamming<=k in the high bits mostly share the
-    prefix; complement with rotated prefixes for full recall), verify
-    exact Hamming within buckets.  ``salt``>0 additionally splits hot
-    buckets by ``xxhash64(id) % salt`` — the skew-breaking required at
-    10^10 scale (SURVEY.md §2.6 O9) at the cost of cross-salt recall."""
+                         salt: int = 0) -> rd.Dataset:
+    """Visual near-dup pairs: explode each pHash into 4 x 16-bit block
+    keys — by pigeonhole, ANY pair within Hamming<=3 of the 64 bits
+    shares at least one exact block, so recall is guaranteed for
+    ``max_hamming<=3``.  Exact Hamming verification within buckets;
+    distinct-pair dedup across blocks.  ``salt``>1 additionally splits
+    hot buckets by ``xxhash64(id) % salt`` — the skew-breaking required
+    at 10^10 scale (SURVEY.md §2.6 O9) at the cost of cross-salt
+    recall (salted runs are a partition-local pre-pass; merge across
+    salts with a second unsalted pass over survivors)."""
 
     def explode(tbl: pa.Table) -> pa.Table:
         ph = tbl.column(phash_col).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        prefix = (ph >> np.uint64(64 - prefix_bits)).astype(np.int64)
-        out = pa.table({id_col: tbl.column(id_col), phash_col: tbl.column(phash_col),
-                        "bucket": pa.array(prefix)})
+        n = len(ph)
+        ids = tbl.column(id_col)
+        blocks = np.repeat(np.arange(4, dtype=np.int64), n)
+        keys = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            keys[b * n : (b + 1) * n] = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        out = pa.table(
+            {
+                id_col: pa.concat_arrays([ids.combine_chunks()] * 4),
+                phash_col: pa.array(np.tile(ph.view(np.int64), 4)),
+                "block": pa.array(blocks),
+                "block_key": pa.array(keys),
+            }
+        )
         if salt > 1:
-            s = (xxh64_many(tbl.column(id_col)) % np.uint64(salt)).astype(np.int64)
-            out = out.append_column("salt", pa.array(s))
-        else:
-            out = out.append_column("salt", pa.array(np.zeros(len(ph), dtype=np.int64)))
-        return out
+            s = (xxh64_many(out.column(id_col)) % np.uint64(salt)).astype(np.int64)
+            return out.append_column("salt", pa.array(s))
+        return out.append_column("salt", pa.array(np.zeros(4 * n, dtype=np.int64)))
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
+        g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy()
         ph = g[phash_col].to_numpy().astype(np.int64).view(np.uint64)
         if len(ids) < 2:
@@ -433,4 +445,9 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
                              "hamming": ham[keep].astype(np.int64)})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    return exploded.groupby(["bucket", "salt"]).map_groups(verify, batch_format="pandas")
+    cand = exploded.groupby(["block", "block_key", "salt"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -156,6 +156,38 @@ def windowed_aggregate(
     )
 
 
+def session_windows(
+    ds: rd.Dataset, key: str, ts_col: str, gap: str, value_col: str
+) -> rd.Dataset:
+    """Session windows over an event stream: per-key groups sorted by
+    timestamp, a new session starts when the gap to the previous event
+    exceeds ``gap`` (pandas offset alias).  Ordering assumption: events
+    for one key fit one group (partition by key); the gaps-and-islands
+    computation is vectorized within the group."""
+    gap_td = pd.Timedelta(gap)
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        new = (g[ts_col].diff() > gap_td) | g[ts_col].diff().isna()
+        g = g.assign(session_id=new.cumsum().astype("int64"))
+        c = np.floor(g[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = g.assign(_c=c)
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                n_events=(ts_col, "size"),
+                value_sum_c=("_c", "sum"),
+                session_start=(ts_col, "min"),
+            )
+            .reset_index()
+        )
+        out[key] = g[key].iloc[0]
+        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out[[key, "session_id", "session_start", "n_events", "value_sum_c"]]
+
+    return ds.groupby(key).map_groups(sessionize, batch_format="pandas")
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,

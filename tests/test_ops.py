@@ -119,7 +119,7 @@ def test_phash_neardup_groups(ray_session):
     ds = rd.from_arrow(
         pa.table({"image_id": [f"i{k}" for k in range(5)], "phash": pa.array(ph)})
     )
-    out = dedup.phash_neardup_groups(ds, max_hamming=2, prefix_bits=16).to_pandas()
+    out = dedup.phash_neardup_groups(ds, max_hamming=2).to_pandas()
     pairs = set(zip(out["id_a"], out["id_b"]))
     assert ("i0", "i1") in pairs and ("i0", "i2") in pairs and ("i1", "i2") in pairs
     assert not any("i3" in p for pair in pairs for p in pair)
