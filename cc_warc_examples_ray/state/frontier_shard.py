@@ -91,6 +91,63 @@ class FrontierShard:
         """Domain-seen namespace (Statistics.java:60 analog)."""
         return self.domains_seen.add_if_absent(np.asarray(host_hashes, dtype=np.uint64))
 
+    # -- streaming emission: per-host min-heap priority queue --------------
+    # The batch path above computes fetch times analytically; this is the
+    # literal scheduler for CONTINUOUS crawling: enqueue admitted URLs,
+    # then repeatedly pop the globally next-due URL batch.  Heap key =
+    # (next_fetch_time(host), seed_rank) — the north-rule priority queue.
+
+    def enqueue(self, url_hashes: np.ndarray, hosts: list[str], ranks: np.ndarray,
+                urls: list[str]) -> int:
+        """First-seen admit + push into per-host FIFO queues; hosts enter
+        the ready-heap at their next legal fetch time.  Returns #admitted."""
+        import heapq
+
+        if not hasattr(self, "_queues"):
+            self._queues: dict[str, list] = {}
+            self._heap: list = []
+            self._in_heap: set = set()
+        admit = self.seen.add_if_absent(np.asarray(url_hashes, dtype=np.uint64))
+        for j in np.flatnonzero(admit):
+            h = hosts[j]
+            st = self.hosts.setdefault(h, [0, self.default_delay_ms])
+            q = self._queues.setdefault(h, [])
+            if h not in self._in_heap:
+                next_t = st[0] * st[1]  # continue politeness across calls
+                heapq.heappush(self._heap, (next_t, h))
+                self._in_heap.add(h)
+            q.append((int(ranks[j]), urls[j], int(url_hashes[j])))
+        self.admitted += int(admit.sum())
+        self.rejected_dup += int(len(admit) - admit.sum())
+        return int(admit.sum())
+
+    def next_batch(self, max_urls: int = 256) -> list[tuple]:
+        """Pop up to ``max_urls`` due URLs in global schedule order
+        ``(next_fetch_time, seed_rank)``.  Each pop advances the host's
+        next_fetch_time by its crawl delay and re-heaps the host —
+        deterministic regardless of wall clock (virtual time)."""
+        import heapq
+
+        if not hasattr(self, "_heap"):
+            return []
+        out = []
+        while self._heap and len(out) < max_urls:
+            t, h = heapq.heappop(self._heap)
+            q = self._queues.get(h)
+            if not q:
+                self._in_heap.discard(h)
+                continue
+            q.sort(key=lambda r: r[0])
+            rank, url, uh = q.pop(0)
+            st = self.hosts.setdefault(h, [0, self.default_delay_ms])
+            out.append((t, rank, url, uh, h, st[0]))
+            st[0] += 1
+            if q:
+                heapq.heappush(self._heap, (t + st[1], h))
+            else:
+                self._in_heap.discard(h)
+        return out
+
     def stats(self) -> dict:
         return {
             "shard": self.shard_id,

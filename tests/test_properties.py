@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for foundations: xxhash64
+vectorized-vs-scalar equivalence, canonicalizer idempotence, cuckoo
+no-false-negatives, codec round-trips."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cc_warc_examples_ray import imagecodec
+from cc_warc_examples_ray.functions.urls import _canon_one
+from cc_warc_examples_ray.hashing import xxh64, xxh64_many
+from cc_warc_examples_ray.state.cuckoo import CuckooFilter
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=20))
+def test_xxh64_vectorized_matches_scalar(blobs):
+    vec = xxh64_many(blobs)
+    for b, v in zip(blobs, vec):
+        assert xxh64(b) == int(v)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=10))
+def test_xxh64_arrow_zero_copy_path(texts):
+    arr = pa.array(texts, pa.string())
+    vec_arrow = xxh64_many(arr)
+    vec_py = xxh64_many([t for t in texts])
+    assert np.array_equal(vec_arrow, vec_py)
+
+
+_URL = st.one_of(
+    st.from_regex(r"http://[a-z]{1,8}\.(com|example)(/[a-zA-Z0-9._~-]{0,10}){0,3}", fullmatch=True),
+    st.from_regex(r"(\.\./){0,3}[a-z0-9]{1,8}\.(jpg|png)", fullmatch=True),
+    st.text(max_size=30),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_URL, st.from_regex(r"http://[a-z]{1,8}\.example/a/b/page\.html", fullmatch=True))
+def test_canonicalize_idempotent(src, page):
+    url, surt, host, path = _canon_one(src, page)
+    if not host:
+        return
+    # canonicalizing a canonical URL is a fixed point
+    url2, surt2, host2, path2 = _canon_one(url, "")
+    assert (url2, surt2, host2, path2) == (url, surt, host, path)
+    assert not url.split("://", 1)[1].startswith("www.")
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2**63 - 1), min_size=1, max_size=300, unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    f = CuckooFilter(capacity=4096)
+    arr = np.array(keys, dtype=np.uint64)
+    admit = f.add_if_absent(arr)
+    assert admit.all()
+    assert f.contains(arr).all()
+    assert not f.add_if_absent(arr).any()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_bmp_roundtrip_exact(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(imagecodec.png_decode(imagecodec.png_encode(img)), img)
+    assert np.array_equal(imagecodec.bmp_decode(imagecodec.bmp_encode(img)), img)
+    assert imagecodec.png_probe(imagecodec.png_encode(img)) == (w, h)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=8, max_value=64), st.integers(min_value=8, max_value=64),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_fjpg_psnr_bound(w, h, seed):
+    rng = np.random.default_rng(seed)
+    # smooth-ish content (random uniform is the worst case for DCT)
+    base = rng.integers(0, 256, (2, 2, 3)).astype(np.float64)
+    yy = np.linspace(0, 1, h)[:, None, None]
+    xx = np.linspace(0, 1, w)[None, :, None]
+    img = (base[0, 0] * (1 - yy) * (1 - xx) + base[0, 1] * (1 - yy) * xx
+           + base[1, 0] * yy * (1 - xx) + base[1, 1] * yy * xx)
+    img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    dec = imagecodec.fjpg_decode(imagecodec.fjpg_encode(img))
+    assert imagecodec.psnr(dec, img) >= 40.0
