@@ -211,38 +211,51 @@ def run_crawl(
         decoder = DecodeValidate(min_dim=min_dim)
         nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
-        def canonicalize_range(sl: pa.Table) -> pd.DataFrame:
+        def canonicalize_range(sl: pa.Table) -> pa.Table:
             """One parallel execution: canonicalize + robots gate.  The
             range's METADATA (no payloads, ~100 B/URL) is collected on
-            the driver — range size is the driver-memory bound."""
+            the driver as Arrow — range size is the driver-memory bound.
+            Arrow end-to-end: pandas conversions here were the dominant
+            serial cost at large frontiers (~tens of µs/URL)."""
+            keep_cols = ["seed_rank", "url", "url_hash", "host", "host_hash", "path", "_pos"]
+
+            def project(tbl: pa.Table) -> pa.Table:
+                hh = xxh64_many(tbl.column("host")).view(np.int64)
+                tbl = tbl.append_column("host_hash", pa.array(hh, pa.int64()))
+                return tbl.select(keep_cols)
+
             step = max(256, sl.num_rows // nblocks + 1)
             chunks = [sl.slice(i, step) for i in range(0, sl.num_rows, step)]
             eds = rd.from_arrow(chunks)
             eds = eds.map_batches(canonicalize_batch, batch_format="pyarrow")
             eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
-            return eds.to_pandas()
+            eds = eds.map_batches(project, batch_format="pyarrow")
+            tables = [t for t in ray.get(eds.to_arrow_refs()) if t.num_rows]
+            if not tables:
+                return project(canonicalize_batch(sl.slice(0, 0)))  # empty, right schema
+            return pa.concat_tables(tables).combine_chunks()
 
-        def admit_epoch(cdf: pd.DataFrame, chunk: int = 32768) -> pd.DataFrame:
-            """Driver-orchestrated admission: rank-ordered chunks fan out
-            to the shard actors in parallel (per-shard FIFO preserved by
-            awaiting each chunk round)."""
-            cdf = cdf.sort_values("seed_rank", kind="mergesort")
-            outs = []
-            for st in range(0, len(cdf), chunk):
-                sub = cdf.iloc[st : st + chunk]
-                hashes = sub["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
-                hh = xxh64_many(sub["host"].tolist())
-                a, ft, hi = pool.admit_and_schedule(hashes, sub["host"].tolist(), hh)
-                keep = sub.loc[a].copy()
-                keep["fetch_time_ms"] = ft[a]
-                keep["host_index"] = hi[a]
-                outs.append(keep)
-            if outs:
-                return pd.concat(outs)
-            empty = cdf.iloc[0:0].copy()
-            empty["fetch_time_ms"] = pd.Series(dtype="int64")
-            empty["host_index"] = pd.Series(dtype="int64")
-            return empty
+        def admit_epoch(ct: pa.Table, chunk: int = 65536) -> pa.Table:
+            """Driver-orchestrated admission, Arrow-native: rank-ordered
+            chunks fan out to the shard actors in parallel (per-shard
+            FIFO preserved by awaiting each chunk round)."""
+            ct = ct.sort_by([("seed_rank", "ascending")])
+            n_ = ct.num_rows
+            uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            hh = ct.column("host_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            admit = np.zeros(n_, dtype=bool)
+            ft = np.empty(n_, dtype=np.int64)
+            hi = np.empty(n_, dtype=np.int64)
+            for st in range(0, n_, chunk):
+                en = min(st + chunk, n_)
+                a, f, i = pool.admit_and_schedule(uh[st:en], hh[st:en])
+                admit[st:en] = a
+                ft[st:en] = f
+                hi[st:en] = i
+            out = ct.filter(pa.array(admit))
+            return out.append_column(
+                "fetch_time_ms", pa.array(ft[admit], pa.int64())
+            ).append_column("host_index", pa.array(hi[admit], pa.int64()))
 
         def build_validated_ds(admitted: pa.Table):
             if broadcast_mode:
@@ -253,9 +266,10 @@ def run_crawl(
 
         # Epoch pipelining: admission is inherently sequential (the
         # seen-set defines epoch order), but fetch/decode/write is not —
-        # epoch k+1's admission and fetch overlap epoch k's fetch.
-        # Commits stay strictly in epoch order on this thread, so the
-        # resume invariant (contiguous committed prefix) holds.
+        # epoch k+1's admission and fetch overlap epoch k's fetch, and a
+        # single committer thread applies commits strictly in epoch
+        # order (the resume invariant: contiguous committed prefix)
+        # without ever blocking the admission loop.
         executor = ThreadPoolExecutor(max_workers=2)
         inflight: list[tuple] = []
 
@@ -301,6 +315,32 @@ def run_crawl(
                 epoch_,
             )
 
+        import queue
+        import time
+
+        executor2 = ThreadPoolExecutor(max_workers=1)
+        commit_q: "queue.Queue" = queue.Queue()
+        commit_err: list[BaseException] = []
+        committer = None
+
+        def commit_loop():
+            while True:
+                tok = commit_q.get()
+                if tok is StopIteration:
+                    # drain whatever is queued, in order
+                    while inflight and not commit_err:
+                        try:
+                            commit_oldest()
+                        except BaseException as ex:  # surfaced to the main thread
+                            commit_err.append(ex)
+                    return
+                if commit_err:
+                    continue
+                try:
+                    commit_oldest()
+                except BaseException as ex:
+                    commit_err.append(ex)
+
         n = seeds.num_rows
         bounds = [(k * n) // num_epochs for k in range(num_epochs + 1)]
         # canonicalize every remaining epoch in ONE parallel execution up
@@ -316,14 +356,17 @@ def run_crawl(
             )
             all_cdf = canonicalize_range(sl)
         try:
+            import pyarrow.compute as pc
+
             for epoch in range(start_epoch, num_epochs):
                 lo, hi = bounds[epoch], bounds[epoch + 1]
                 if hi <= lo:
                     continue
                 stats_before = pool.stats()
-                mask = (all_cdf["_pos"] >= lo) & (all_cdf["_pos"] < hi)
-                cdf = all_cdf.loc[mask].drop(columns=["_pos"])
-                adf = admit_epoch(cdf)
+                pos = all_cdf.column("_pos")
+                mask = pc.and_(pc.greater_equal(pos, lo), pc.less(pos, hi))
+                cdf = all_cdf.filter(mask).drop_columns(["_pos"])
+                admitted = admit_epoch(cdf)
                 stats_after = pool.stats()
                 d_admit = sum(s["admitted"] for s in stats_after) - sum(
                     s["admitted"] for s in stats_before
@@ -333,9 +376,8 @@ def run_crawl(
                 )
                 blobs = pool.checkpoints()  # exactly epochs <= this one
 
-                admitted = pa.Table.from_pandas(adf, preserve_index=False)
                 admitted = admitted.append_column(
-                    "epoch", pa.array(np.full(len(adf), epoch, dtype=np.int64))
+                    "epoch", pa.array(np.full(admitted.num_rows, epoch, dtype=np.int64))
                 )
                 admitted = add_image_ids(admitted, store_size)
                 admitted = admitted.sort_by(
@@ -346,16 +388,28 @@ def run_crawl(
                     run.images_out.write_partition_files, build_validated_ds(admitted), epoch
                 )
                 inflight.append((epoch, admitted, blobs, (hi - lo, d_admit, d_dup), fut))
-                while len(inflight) > 1:
-                    commit_oldest()
+                if committer is None:
+                    committer = executor2.submit(commit_loop)
+                commit_q.put(None)  # signal one epoch ready
+                if commit_err:
+                    raise commit_err[0]
+                # backpressure: at most 2 epochs' writes in flight
+                while sum(1 for t in inflight if not t[4].done()) > 1:
+                    time.sleep(0.02)
                 if fail_after_epoch is not None and epoch >= fail_after_epoch:
-                    while inflight:
-                        commit_oldest()
+                    commit_q.put(StopIteration)
+                    committer.result()
+                    if commit_err:
+                        raise commit_err[0]
                     raise RuntimeError(f"injected failure after epoch {epoch}")
-            while inflight:
-                commit_oldest()
+            if committer is not None:
+                commit_q.put(StopIteration)
+                committer.result()
+            if commit_err:
+                raise commit_err[0]
         finally:
             executor.shutdown(wait=False, cancel_futures=True)
+            executor2.shutdown(wait=False, cancel_futures=True)
     finally:
         pool.shutdown()
     return run

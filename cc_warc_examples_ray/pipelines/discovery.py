@@ -44,7 +44,7 @@ def _admit(pool: FrontierPool, cdf: pd.DataFrame, chunk: int = 32768) -> pd.Data
         sub = cdf.iloc[st : st + chunk]
         hashes = sub["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
         hh = xxh64_many(sub["host"].tolist())
-        a, ft, hi = pool.admit_and_schedule(hashes, sub["host"].tolist(), hh)
+        a, ft, hi = pool.admit_and_schedule(hashes, hh)
         keep = sub.loc[a].copy()
         keep["fetch_time_ms"] = ft[a]
         keep["host_index"] = hi[a]

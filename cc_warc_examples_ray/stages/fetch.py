@@ -60,8 +60,8 @@ def add_image_ids(tbl: pa.Table, store_size: int) -> pa.Table:
         for i in np.flatnonzero(miss):
             keys[i] = xxh64((plist[i] or "").encode()) % store_size
     keys = keys.astype(np.int64) % store_size
-    ids = pa.array([f"img-{k:010d}" for k in keys], pa.string())
-    return tbl.append_column("image_id", ids)
+    ids = np.char.add("img-", np.char.zfill(keys.astype("U10"), 10))
+    return tbl.append_column("image_id", pa.array(ids, pa.string()))
 
 
 class StoreLookupFetcher:

@@ -45,7 +45,11 @@ class FrontierShard:
         self.shard_id = shard_id
         self.seen = CuckooFilter(capacity=capacity, fp_bits=32, seed=shard_id)
         self.domains_seen = CuckooFilter(capacity=max(capacity // 64, 1 << 12), fp_bits=32, seed=shard_id + 7)
-        # host -> [next_index, crawl_delay_ms]
+        # politeness state keyed by xxhash64(host) — no python strings in
+        # the hot path: counters[h] = next host_index, delays[h] = crawl delay
+        self.counters: dict[int, int] = {}
+        self.delays: dict[int, int] = {}
+        # string-keyed state for the streaming heap path only
         self.hosts: dict[str, list[int]] = {}
         self.default_delay_ms = default_delay_ms
         self.admitted = 0
@@ -53,14 +57,18 @@ class FrontierShard:
 
     def set_robots(self, delays: dict[str, int]) -> None:
         """Install per-host crawl delays (robots.txt crawl-delay)."""
+        from ..hashing import xxh64
+
         for h, d in delays.items():
             st = self.hosts.setdefault(h, [0, self.default_delay_ms])
             st[1] = int(d)
+            self.delays[int(xxh64(h.encode()))] = int(d)
 
     def admit_and_schedule(
-        self, url_hashes: np.ndarray, hosts: list[str]
+        self, url_hashes: np.ndarray, host_hashes: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """First-seen admit + politeness schedule for one batch.
+        """First-seen admit + politeness schedule for one batch —
+        fully vectorized (cuckoo membership + per-host cumcount).
 
         Returns ``(admit_mask, fetch_time_ms, host_index)`` aligned with
         the inputs (rejected rows get -1 in the int arrays).  Rows must
@@ -68,21 +76,32 @@ class FrontierShard:
         the pipeline guarantees this by sorting each epoch before
         routing and submitting shard batches from a single caller.
         """
-        from ..hashing import xxh64_many
-
         admit = self.seen.add_if_absent(np.asarray(url_hashes, dtype=np.uint64))
         n = len(admit)
         fetch_time = np.full(n, -1, dtype=np.int64)
         host_index = np.full(n, -1, dtype=np.int64)
-        for j in np.flatnonzero(admit):
-            st = self.hosts.setdefault(hosts[j], [0, self.default_delay_ms])
-            host_index[j] = st[0]
-            fetch_time[j] = st[0] * st[1]
-            st[0] += 1
-        if n:
+        idx = np.flatnonzero(admit)
+        if len(idx):
+            hh = np.asarray(host_hashes, dtype=np.uint64)[idx]
+            # occurrence index per host within this batch (stable cumcount)
+            uniq, inv, counts = np.unique(hh, return_inverse=True, return_counts=True)
+            order = np.argsort(inv, kind="stable")
+            starts = np.zeros(len(uniq), dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            occ = np.empty(len(idx), dtype=np.int64)
+            occ[order] = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, counts)
+            base = np.array([self.counters.get(int(u), 0) for u in uniq], dtype=np.int64)
+            delay = np.array(
+                [self.delays.get(int(u), self.default_delay_ms) for u in uniq],
+                dtype=np.int64,
+            )
+            host_index[idx] = base[inv] + occ
+            fetch_time[idx] = host_index[idx] * delay[inv]
+            for u, b, c in zip(uniq, base, counts):
+                self.counters[int(u)] = int(b + c)
             # domain-seen namespace (Statistics.java:60) — approximate
             # distinct-host accounting per shard (A6)
-            self.domains_seen.add_if_absent(xxh64_many(list(hosts)))
+            self.domains_seen.add_if_absent(uniq)
         self.admitted += int(admit.sum())
         self.rejected_dup += int(n - admit.sum())
         return admit, fetch_time, host_index
@@ -167,6 +186,8 @@ class FrontierShard:
                 "seen": self.seen.to_bytes(),
                 "domains": self.domains_seen.to_bytes(),
                 "hosts": self.hosts,
+                "counters": self.counters,
+                "delays": self.delays,
                 "admitted": self.admitted,
                 "rejected_dup": self.rejected_dup,
             },
@@ -179,6 +200,8 @@ class FrontierShard:
         self.seen = CuckooFilter.from_bytes(st["seen"], seed=self.shard_id)
         self.domains_seen = CuckooFilter.from_bytes(st["domains"], seed=self.shard_id + 7)
         self.hosts = st["hosts"]
+        self.counters = st.get("counters", {})
+        self.delays.update(st.get("delays", {}))
         self.admitted = st["admitted"]
         self.rejected_dup = st["rejected_dup"]
 
@@ -212,26 +235,24 @@ class FrontierPool:
         ray.get([s.set_robots.remote(m) for s, m in zip(self.shards, per_shard)])
 
     def admit_and_schedule(
-        self, url_hashes: np.ndarray, hosts: list[str], host_hashes: np.ndarray
+        self, url_hashes: np.ndarray, host_hashes: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Route one (seed_rank-ordered) batch across shards; reassemble
-        aligned outputs.  One round-trip per shard per batch."""
+        aligned outputs.  One round-trip per shard per batch; numpy-only
+        routing (no python strings cross the wire)."""
         n = len(url_hashes)
-        shard_of = self.route(np.asarray(host_hashes, dtype=np.uint64))
+        hh = np.asarray(host_hashes, dtype=np.uint64)
+        shard_of = self.route(hh)
         admit = np.zeros(n, dtype=bool)
         fetch_time = np.full(n, -1, dtype=np.int64)
         host_index = np.full(n, -1, dtype=np.int64)
         futs, idxs = [], []
+        uh = np.asarray(url_hashes, dtype=np.uint64)
         for s in range(self.num_shards):
             idx = np.flatnonzero(shard_of == s)
             if len(idx) == 0:
                 continue
-            futs.append(
-                self.shards[s].admit_and_schedule.remote(
-                    np.asarray(url_hashes, dtype=np.uint64)[idx],
-                    [hosts[i] for i in idx],
-                )
-            )
+            futs.append(self.shards[s].admit_and_schedule.remote(uh[idx], hh[idx]))
             idxs.append(idx)
         for idx, (a, ft, hi) in zip(idxs, ray.get(futs)):
             admit[idx] = a
