@@ -50,7 +50,6 @@ and checkpoint cost.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -87,14 +86,6 @@ def _robots_maps(robots: pa.Table) -> tuple[dict[str, int], dict[str, list[str]]
     return delays, dis
 
 
-def _shard_col(tbl: pa.Table, num_shards: int) -> pa.Table:
-    hh = xxh64_many(tbl.column("host"))
-    shard = (hh % np.uint64(num_shards)).astype(np.int64)
-    return tbl.append_column("host_hash", pa.array(hh.view(np.int64), pa.int64())).append_column(
-        "shard", pa.array(shard, pa.int64())
-    )
-
-
 def _make_robots_gate(disallow: dict[str, list[str]]):
     def gate(tbl: pa.Table) -> pa.Table:
         hosts = tbl.column("host").to_pylist()
@@ -113,32 +104,6 @@ def _make_robots_gate(disallow: dict[str, list[str]]):
         return tbl.filter(pa.array(keep))
 
     return gate
-
-
-def _make_admit_fn(shards, chunk: int = 8192):
-    """Per-shard map_groups fn: sort the shard's rows by seed_rank and
-    stream them to the owning FrontierShard actor in bounded chunks.
-    Runs as one Ray task per shard → admission parallelism = #shards,
-    no driver bottleneck, per-host FIFO order preserved."""
-
-    def admit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seed_rank", kind="mergesort")
-        s = int(g["shard"].iloc[0])
-        actor = shards[s]
-        outs = []
-        for st in range(0, len(g), chunk):
-            sub = g.iloc[st : st + chunk]
-            hashes = sub["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
-            a, ft, hi = ray.get(
-                actor.admit_and_schedule.remote(hashes, sub["host"].tolist())
-            )
-            keep = sub.loc[a].copy()
-            keep["fetch_time_ms"] = ft[a]
-            keep["host_index"] = hi[a]
-            outs.append(keep)
-        return pd.concat(outs) if outs else g.iloc[0:0]
-
-    return admit
 
 
 class CrawlRun:
