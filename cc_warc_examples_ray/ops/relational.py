@@ -188,6 +188,14 @@ def session_windows(
     return ds.groupby(key).map_groups(sessionize, batch_format="pandas")
 
 
+def native_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                num_partitions: int = 16, how: str = "inner") -> rd.Dataset:
+    """Ray Data's built-in hash-partitioned join (Ray >= 2.46).  Prefer
+    this when available; :func:`hash_join` is the portable explicit
+    fallback with the same semantics."""
+    return left.join(right, join_type=how, num_partitions=num_partitions, on=(key,))
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -198,7 +206,8 @@ def hash_join(
     """Explicit partitioned hash join for two large sides: bucket both by
     ``xxhash64(key) % B``, co-group, and merge per bucket with pandas.
     Use only when neither side fits a broadcast; skewed keys should be
-    salted into sub-buckets first (SURVEY.md §4)."""
+    salted into sub-buckets first (SURVEY.md §4).  See also
+    :func:`native_join` for Ray's built-in implementation."""
     from ..hashing import xxh64_many
 
     def bucketer(side: int):

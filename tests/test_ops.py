@@ -160,3 +160,27 @@ def test_windowed_aggregate(ray_session):
     out = out.sort_values("window_start")
     assert out["value_sum"].tolist() == [3.0, 4.0]
     assert out["n_events"].tolist() == [2, 1]
+
+
+def test_native_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "a": ["x", "y", "z"]}))
+    right = rd.from_arrow(pa.table({"k": [2, 3, 4], "b": [20, 30, 40]}))
+    out = relational.native_join(left, right, "k", num_partitions=2).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, 3]
+    assert out["b"].tolist() == [20, 30]
+
+
+def test_phash_salted_recall_tradeoff(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    ph = np.array([0x1111, 0x1111, 0x1110], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"image_id": ["a", "b", "c"], "phash": pa.array(ph)}))
+    unsalted = dedup.phash_neardup_groups(ds, max_hamming=2).to_pandas()
+    assert len(unsalted) == 3  # all three pairs found
+    salted = dedup.phash_neardup_groups(ds, max_hamming=2, salt=16).to_pandas()
+    # salting splits buckets: pairs found <= unsalted (documented tradeoff)
+    assert len(salted) <= len(unsalted)

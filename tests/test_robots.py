@@ -1,0 +1,50 @@
+"""robots.txt parser tests (functions/robots.py)."""
+
+from cc_warc_examples_ray.functions.robots import parse_robots_txt, robots_table_from_texts
+
+
+SAMPLE = """
+# sample robots
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Crawl-delay: 0.5
+
+User-agent: specialbot
+Disallow: /only-special/
+Crawl-delay: 2
+"""
+
+
+def test_wildcard_group():
+    delay, dis = parse_robots_txt(SAMPLE, agent="genericbot")
+    assert delay == 500
+    assert dis == ["/private/", "/tmp/"]
+
+
+def test_specific_group_wins():
+    delay, dis = parse_robots_txt(SAMPLE, agent="SpecialBot")
+    assert delay == 2000
+    assert dis == ["/only-special/"]
+
+
+def test_empty_and_malformed():
+    assert parse_robots_txt("", agent="*") == (150, [])
+    assert parse_robots_txt("garbage without colons\n\n:::", agent="*") == (150, [])
+    d, dis = parse_robots_txt("User-agent: *\nCrawl-delay: notanumber\nDisallow: /x/", agent="*")
+    assert d == 150 and dis == ["/x/"]
+
+
+def test_disallow_empty_means_allow_all():
+    d, dis = parse_robots_txt("User-agent: *\nDisallow:", agent="*")
+    assert dis == []
+
+
+def test_table_builder():
+    t = robots_table_from_texts({"a.example": SAMPLE, "b.example": ""})
+    assert t.num_rows == 2
+    row = {h: (d, p) for h, d, p in zip(t.column("host").to_pylist(),
+                                        t.column("crawl_delay_ms").to_pylist(),
+                                        t.column("disallow_prefixes").to_pylist())}
+    assert row["a.example"] == (500, ["/private/", "/tmp/"])
+    assert row["b.example"] == (150, [])
