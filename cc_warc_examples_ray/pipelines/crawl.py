@@ -142,14 +142,22 @@ def run_crawl(
     num_epochs: int = 4,
     store_size: int | None = None,
     min_dim: int = synth.SMALL_DIM_GATE,
-    shard_capacity: int = 1 << 18,
+    shard_capacity: int | None = None,
     fail_after_epoch: int | None = None,
     concurrency: int | tuple = (2, 8),
 ) -> CrawlRun:
     """Run (or resume) the crawl.  ``seeds``/``robots`` follow the
     FRONTIER_SEEDS / ROBOTS schemas; ``store_paths`` are the content
-    store's parquet fragments (input_hint images table)."""
+    store's parquet fragments (input_hint images table).
+
+    ``shard_capacity`` (seen-set slots per shard) auto-sizes to 2.5x the
+    expected per-shard key count when None — URL-hash routing keeps
+    shard load uniform, so this headroom is ample."""
     import pyarrow.parquet as pq
+
+    if shard_capacity is None:
+        need = max(1 << 16, int(2.5 * seeds.num_rows / num_shards))
+        shard_capacity = 1 << (need - 1).bit_length()
 
     run = CrawlRun(out_dir)
     if store_size is None:

@@ -124,7 +124,7 @@ def run_discovery_crawl(
     num_shards: int = 4,
     store_size: int | None = None,
     min_dim: int = synth.SMALL_DIM_GATE,
-    shard_capacity: int = 1 << 18,
+    shard_capacity: int = 1 << 20,
 ) -> CrawlRun:
     """Two-level crawl: pages (level 0) → discovered media (level 1)."""
     import pyarrow.parquet as pq

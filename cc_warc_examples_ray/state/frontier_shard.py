@@ -64,47 +64,48 @@ class FrontierShard:
             st[1] = int(d)
             self.delays[int(xxh64(h.encode()))] = int(d)
 
-    def admit_and_schedule(
-        self, url_hashes: np.ndarray, host_hashes: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """First-seen admit + politeness schedule for one batch —
-        fully vectorized (cuckoo membership + per-host cumcount).
-
-        Returns ``(admit_mask, fetch_time_ms, host_index)`` aligned with
-        the inputs (rejected rows get -1 in the int arrays).  Rows must
-        arrive in seed_rank order for the deterministic order spec —
-        the pipeline guarantees this by sorting each epoch before
-        routing and submitting shard batches from a single caller.
-        """
+    def admit_batch(self, url_hashes: np.ndarray) -> np.ndarray:
+        """First-seen admit (cuckoo, vectorized).  Routed by URL hash —
+        uniform across shards regardless of host skew, so no shard's
+        filter can overflow from a hot host (the failure mode of
+        host-routed seen-sets under Zipf frontiers)."""
         admit = self.seen.add_if_absent(np.asarray(url_hashes, dtype=np.uint64))
-        n = len(admit)
-        fetch_time = np.full(n, -1, dtype=np.int64)
-        host_index = np.full(n, -1, dtype=np.int64)
-        idx = np.flatnonzero(admit)
-        if len(idx):
-            hh = np.asarray(host_hashes, dtype=np.uint64)[idx]
-            # occurrence index per host within this batch (stable cumcount)
+        self.admitted += int(admit.sum())
+        self.rejected_dup += int(len(admit) - admit.sum())
+        return admit
+
+    def schedule_batch(
+        self, host_hashes: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Politeness schedule for already-admitted rows — routed by host
+        hash so each host's counter has a single owner.  Vectorized
+        per-host cumcount; returns (fetch_time_ms, host_index).  Rows
+        must arrive in seed_rank order (the pipeline sorts each epoch
+        and awaits each chunk round)."""
+        hh = np.asarray(host_hashes, dtype=np.uint64)
+        n = len(hh)
+        fetch_time = np.empty(n, dtype=np.int64)
+        host_index = np.empty(n, dtype=np.int64)
+        if n:
             uniq, inv, counts = np.unique(hh, return_inverse=True, return_counts=True)
             order = np.argsort(inv, kind="stable")
             starts = np.zeros(len(uniq), dtype=np.int64)
             starts[1:] = np.cumsum(counts)[:-1]
-            occ = np.empty(len(idx), dtype=np.int64)
-            occ[order] = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, counts)
+            occ = np.empty(n, dtype=np.int64)
+            occ[order] = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
             base = np.array([self.counters.get(int(u), 0) for u in uniq], dtype=np.int64)
             delay = np.array(
                 [self.delays.get(int(u), self.default_delay_ms) for u in uniq],
                 dtype=np.int64,
             )
-            host_index[idx] = base[inv] + occ
-            fetch_time[idx] = host_index[idx] * delay[inv]
+            host_index = base[inv] + occ
+            fetch_time = host_index * delay[inv]
             for u, b, c in zip(uniq, base, counts):
                 self.counters[int(u)] = int(b + c)
             # domain-seen namespace (Statistics.java:60) — approximate
             # distinct-host accounting per shard (A6)
             self.domains_seen.add_if_absent(uniq)
-        self.admitted += int(admit.sum())
-        self.rejected_dup += int(n - admit.sum())
-        return admit, fetch_time, host_index
+        return fetch_time, host_index
 
     def seen_domains_add(self, host_hashes: np.ndarray) -> np.ndarray:
         """Domain-seen namespace (Statistics.java:60 analog)."""
@@ -237,27 +238,46 @@ class FrontierPool:
     def admit_and_schedule(
         self, url_hashes: np.ndarray, host_hashes: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Route one (seed_rank-ordered) batch across shards; reassemble
-        aligned outputs.  One round-trip per shard per batch; numpy-only
-        routing (no python strings cross the wire)."""
+        """Route one (seed_rank-ordered) batch across shards in TWO
+        rounds; reassemble aligned outputs.  Round A: first-seen admit,
+        routed by ``url_hash % shards`` — uniformly balanced, so hot
+        hosts cannot overflow one shard's filter.  Round B: politeness
+        schedule for admitted rows, routed by ``host_hash % shards`` —
+        each host's counter has a single owner.  numpy-only routing;
+        ordering preserved per shard by awaiting each round."""
         n = len(url_hashes)
+        uh = np.asarray(url_hashes, dtype=np.uint64)
         hh = np.asarray(host_hashes, dtype=np.uint64)
-        shard_of = self.route(hh)
         admit = np.zeros(n, dtype=bool)
         fetch_time = np.full(n, -1, dtype=np.int64)
         host_index = np.full(n, -1, dtype=np.int64)
+
+        # round A: seen-set admit by url-hash
+        shard_of = self.route(uh)
         futs, idxs = [], []
-        uh = np.asarray(url_hashes, dtype=np.uint64)
         for s in range(self.num_shards):
             idx = np.flatnonzero(shard_of == s)
             if len(idx) == 0:
                 continue
-            futs.append(self.shards[s].admit_and_schedule.remote(uh[idx], hh[idx]))
+            futs.append(self.shards[s].admit_batch.remote(uh[idx]))
             idxs.append(idx)
-        for idx, (a, ft, hi) in zip(idxs, ray.get(futs)):
+        for idx, a in zip(idxs, ray.get(futs)):
             admit[idx] = a
-            fetch_time[idx] = ft
-            host_index[idx] = hi
+
+        # round B: politeness schedule by host-hash, admitted rows only
+        adm_idx = np.flatnonzero(admit)
+        if len(adm_idx):
+            shard_of_h = self.route(hh[adm_idx])
+            futs, idxs = [], []
+            for s in range(self.num_shards):
+                sub = adm_idx[shard_of_h == s]
+                if len(sub) == 0:
+                    continue
+                futs.append(self.shards[s].schedule_batch.remote(hh[sub]))
+                idxs.append(sub)
+            for sub, (ft, hi) in zip(idxs, ray.get(futs)):
+                fetch_time[sub] = ft
+                host_index[sub] = hi
         return admit, fetch_time, host_index
 
     def checkpoints(self) -> list[bytes]:
