@@ -9,8 +9,9 @@ pipeline:
     seeds (rank-contiguous epochs)
       → map_batches canonicalize (RFC 3986 + SURT + xxhash64)   [stateless]
       → robots gate (broadcast disallow prefixes)               [stateless]
-      → FrontierShard actors (routed by host-hash):
-          first-seen cuckoo admit + per-host politeness schedule [actor pool]
+      → FrontierShard actors, two balanced rounds:
+          first-seen cuckoo admit (routed by url-hash — uniform)
+          + per-host politeness schedule (routed by host-hash)   [actor pool]
       → crawl-order table commit (epoch partition)
       → fetch: semi-join against the content store              [stateless]
         (broadcast-store mode for cached stores / scan-store
