@@ -504,6 +504,34 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_brand_quantity(sf_dir: str) -> pd.DataFrame:
+    """Ray Data's native hash join (Dataset.join): lineitem ⋈ part on
+    partkey → total quantity per brand (integer cents)."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("l_partkey"),
+                "qty_c": pa.array(_cents(t.column("l_quantity").to_numpy())),
+            }
+        )
+
+    li = li.map_batches(prep_li, batch_format="pyarrow")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = relational.native_join(li, part, "p_partkey", num_partitions=8)
+    out = relational.grouped_sum(joined, ["p_brand"], "qty_c", alias="sum_qty_c").to_pandas()
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_BRAND_QUANTITY = """
+SELECT p_brand,
+       CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def q_stratified_docs(sf_dir: str) -> pd.DataFrame:
     """O5 class-balanced sampling: the 10 lowest-doc_id documents per
     language (deterministic winner rule)."""
@@ -729,6 +757,7 @@ QUERIES = {
     "embedding_pairs": q_embedding_pairs,
     "crawl_schedule": q_crawl_schedule,
     "orders_by_segment": q_orders_by_segment,
+    "brand_quantity": q_brand_quantity,
     "stratified_docs": q_stratified_docs,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
@@ -767,6 +796,7 @@ ORACLES = {
     "embedding_pairs": SQL_EMBEDDING_PAIRS,
     "crawl_schedule": SQL_CRAWL_SCHEDULE,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "brand_quantity": SQL_BRAND_QUANTITY,
     "stratified_docs": SQL_STRATIFIED_DOCS,
 }
 
