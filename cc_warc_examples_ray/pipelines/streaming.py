@@ -1,0 +1,126 @@
+"""Streaming (continuous) crawl mode: the min-heap politeness priority
+queue EMITS the fetch batches (the north-star scheduler shape), instead
+of the batch pipeline's analytic schedule.
+
+Each FrontierShard owns per-host FIFO queues + a min-heap keyed
+``(next_fetch_time, host)`` in virtual time; the driver drains shards in
+rounds and fetches each round as it arrives.  The emitted schedule is
+provably the same as :func:`..pipelines.crawl.run_crawl`'s analytic
+``fetch_time = host_index * crawl_delay`` order (tested:
+``test_streaming_crawl_order_equivalence``) — per-shard emissions are
+nondecreasing in virtual time, and the union sorted by
+``(fetch_time_ms, seed_rank)`` is identical.
+
+This mode exists for continuous/incremental crawling (URLs keep
+arriving); the epoch-checkpointed batch pipeline remains the bulk path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .. import lancelite
+from ..hashing import xxh64_many
+from ..stages.decode import DecodeValidate
+from ..stages.fetch import add_image_ids, fetch_broadcast_store
+from ..state.frontier_shard import FrontierPool
+from .crawl import CrawlRun, _make_robots_gate, _robots_maps
+
+
+def run_streaming_crawl(
+    seeds: pa.Table,
+    robots: pa.Table,
+    store_paths: list[str],
+    out_dir: str,
+    *,
+    num_shards: int = 4,
+    store_size: int | None = None,
+    batch_urls: int = 4096,
+    min_dim: int | None = None,
+) -> CrawlRun:
+    """Continuous-mode crawl over a (finite) seed list: enqueue in rank
+    order, then drain the per-shard heaps round by round; fetch + decode
+    each round's emission; commit one partition per drain round."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .. import synth
+    from ..functions.urls import canonicalize_batch
+
+    if store_size is None:
+        store_size = sum(pq.read_metadata(p).num_rows for p in store_paths)
+    if min_dim is None:
+        min_dim = synth.SMALL_DIM_GATE
+    delays, disallow = _robots_maps(robots)
+
+    run = CrawlRun(out_dir)
+    pool = FrontierPool(
+        num_shards,
+        capacity_per_shard=1 << max(16, (int(2.5 * seeds.num_rows / num_shards) - 1).bit_length()),
+    )
+    try:
+        pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
+
+        # canonicalize (parallel) and enqueue in rank order
+        nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        step = max(256, seeds.num_rows // nblocks + 1)
+        chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)]
+        eds = rd.from_arrow(chunks).map_batches(canonicalize_batch, batch_format="pyarrow")
+        eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
+        ct = pa.concat_tables(
+            [t for t in ray.get(eds.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks().sort_by([("seed_rank", "ascending")])
+
+        uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        hh = xxh64_many(ct.column("host"))
+        hosts = ct.column("host").to_pylist()
+        ranks = ct.column("seed_rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = ct.column("url").to_pylist()
+        shard_of = pool.route(hh)
+        for s in range(num_shards):
+            idx = np.flatnonzero(shard_of == s)
+            if len(idx):
+                ray.get(
+                    pool.shards[s].enqueue.remote(
+                        uh[idx], [hosts[i] for i in idx], ranks[idx],
+                        [urls[i] for i in idx],
+                    )
+                )
+
+        decoder = DecodeValidate(min_dim=min_dim)
+        rounds = 0
+        while True:
+            batches = ray.get([s.next_batch.remote(batch_urls) for s in pool.shards])
+            emitted = [b for sb in batches for b in sb]
+            if not emitted:
+                break
+            emitted.sort(key=lambda r: (r[0], r[1]))  # (virtual time, rank)
+            t_arr = pa.array([r[0] for r in emitted], pa.int64())
+            admitted = pa.table(
+                {
+                    "epoch": pa.array(np.full(len(emitted), rounds, dtype=np.int64)),
+                    "fetch_time_ms": t_arr,
+                    "seed_rank": pa.array([r[1] for r in emitted], pa.int64()),
+                    "url_hash": pa.array(
+                        np.array([r[3] for r in emitted], dtype=np.uint64).view(np.int64)
+                    ),
+                    "host": pa.array([r[4] for r in emitted], pa.string()),
+                    "host_index": pa.array([r[5] for r in emitted], pa.int64()),
+                    "url": pa.array([r[2] for r in emitted], pa.string()),
+                    "path": pa.array(
+                        ["/" + r[2].split("://", 1)[-1].split("/", 1)[-1] if "/" in r[2].split("://", 1)[-1] else "/" for r in emitted],
+                        pa.string(),
+                    ),
+                }
+            )
+            admitted = add_image_ids(admitted, store_size).drop_columns(["path"])
+            fetched = fetch_broadcast_store(store_paths, admitted)
+            validated = fetched.map_batches(decoder, batch_format="pyarrow", batch_size=256)
+            run.images_out.append_ray_partition(validated, rounds)
+            run.crawl_order.append_partition(admitted, rounds)
+            rounds += 1
+    finally:
+        pool.shutdown()
+    return run
