@@ -24,21 +24,29 @@ def parse_robots_txt(text: str, agent: str = "*",
     (exact name > '*'); within a group, directives accumulate."""
     groups: dict[str, dict] = {}
     current: list[str] = []
+    saw_directive = False  # a directive since the last User-agent line
     agent_l = agent.lower()
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             if not line:
                 current = []  # blank line ends a group header run
+                saw_directive = False
             continue
         field, _, value = line.partition(":")
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
+            # RFC 9309: a User-agent line AFTER directives starts a NEW
+            # group — only consecutive UA lines share one group.
+            if saw_directive:
+                current = []
+                saw_directive = False
             name = value.lower()
             groups.setdefault(name, {"disallow": [], "delay": None})
             current.append(name)
         elif field in ("disallow", "crawl-delay", "allow"):
+            saw_directive = True
             if not current:
                 continue
             for name in current:
@@ -50,9 +58,9 @@ def parse_robots_txt(text: str, agent: str = "*",
                         g["delay"] = int(float(value) * 1000)
                     except ValueError:
                         pass
-        # any other directive: ignore, but a directive ends the UA run
-        if field != "user-agent":
-            current = [n for n in current]  # keep group active until blank line
+        else:
+            # unknown directive: ignored, but it still ends the UA run
+            saw_directive = True
     chosen = None
     if agent_l in groups:
         chosen = groups[agent_l]

@@ -373,15 +373,27 @@ def run_crawl(
                 if fail_after_epoch is not None and epoch >= fail_after_epoch:
                     commit_q.put(StopIteration)
                     committer.result()
+                    committer = None  # already drained; finally must not re-drain
                     if commit_err:
                         raise commit_err[0]
                     raise RuntimeError(f"injected failure after epoch {epoch}")
             if committer is not None:
                 commit_q.put(StopIteration)
                 committer.result()
+                committer = None
             if commit_err:
                 raise commit_err[0]
         finally:
+            # ALWAYS unblock the committer: if the epoch loop raised, the
+            # thread would otherwise sit in commit_q.get() forever and be
+            # joined at interpreter exit (process hang after a crawl
+            # failure).  Drain-on-StopIteration is safe on every path.
+            if committer is not None:
+                commit_q.put(StopIteration)
+                try:
+                    committer.result(timeout=300)
+                except Exception:
+                    pass
             executor.shutdown(wait=False, cancel_futures=True)
             executor2.shutdown(wait=False, cancel_futures=True)
     finally:

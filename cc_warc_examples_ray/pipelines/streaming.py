@@ -11,6 +11,20 @@ provably the same as :func:`..pipelines.crawl.run_crawl`'s analytic
 nondecreasing in virtual time, and the union sorted by
 ``(fetch_time_ms, seed_rank)`` is identical.
 
+Admission routing: the first-seen check fans out by **url-hash** (round
+A of the batch path, uniformly balanced — a hot Zipf host cannot
+overflow one shard's cuckoo filter); only admitted rows are then
+enqueued on their **host-owning** shard.  The canonical query-free
+``path`` computed by canonicalization rides the queue tuples end-to-end,
+so ``image_id`` derivation is identical to the batch pipeline for
+query-bearing URLs.
+
+Checkpoint/resume: every drain round commits ``(images, crawl_order,
+state, lineage)`` partitions in round order — shard checkpoints include
+the heap + per-host queues, so a killed run restores the newest complete
+round and continues mid-drain bit-identically (the batch pipeline's
+kill/resume invariant, `crawl.py`, extended to continuous mode).
+
 This mode exists for continuous/incremental crawling (URLs keep
 arriving); the epoch-checkpointed batch pipeline remains the bulk path.
 """
@@ -21,7 +35,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .. import lancelite
 from ..hashing import xxh64_many
 from ..stages.decode import DecodeValidate
 from ..stages.fetch import add_image_ids, fetch_broadcast_store
@@ -39,10 +52,12 @@ def run_streaming_crawl(
     store_size: int | None = None,
     batch_urls: int = 4096,
     min_dim: int | None = None,
+    fail_after_round: int | None = None,
 ) -> CrawlRun:
     """Continuous-mode crawl over a (finite) seed list: enqueue in rank
     order, then drain the per-shard heaps round by round; fetch + decode
-    each round's emission; commit one partition per drain round."""
+    each round's emission; commit one partition per drain round.  Calling
+    again on the same ``out_dir`` resumes from the newest complete round."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -56,6 +71,7 @@ def run_streaming_crawl(
     delays, disallow = _robots_maps(robots)
 
     run = CrawlRun(out_dir)
+    start_round = run.resume_epoch()
     pool = FrontierPool(
         num_shards,
         capacity_per_shard=1 << max(16, (int(2.5 * seeds.num_rows / num_shards) - 1).bit_length()),
@@ -63,45 +79,67 @@ def run_streaming_crawl(
     try:
         pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
 
-        # canonicalize (parallel) and enqueue in rank order
-        nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-        step = max(256, seeds.num_rows // nblocks + 1)
-        chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)]
-        eds = rd.from_arrow(chunks).map_batches(canonicalize_batch, batch_format="pyarrow")
-        eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
-        ct = pa.concat_tables(
-            [t for t in ray.get(eds.to_arrow_refs()) if t.num_rows]
-        ).combine_chunks().sort_by([("seed_rank", "ascending")])
+        if start_round > 0:
+            # resume: queue/heap/seen state all live in the round checkpoint
+            blobs_tbl = run.state.partition_table(start_round - 1)
+            order = np.argsort(blobs_tbl.column("shard").to_numpy())
+            pool.restore([blobs_tbl.column("blob")[int(i)].as_py() for i in order])
+        else:
+            # canonicalize (parallel) and enqueue in rank order
+            nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+            step = max(256, seeds.num_rows // nblocks + 1)
+            chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)]
+            eds = rd.from_arrow(chunks).map_batches(canonicalize_batch, batch_format="pyarrow")
+            eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
+            ct = pa.concat_tables(
+                [t for t in ray.get(eds.to_arrow_refs()) if t.num_rows]
+            ).combine_chunks().sort_by([("seed_rank", "ascending")])
 
-        uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        hh = xxh64_many(ct.column("host"))
-        hosts = ct.column("host").to_pylist()
-        ranks = ct.column("seed_rank").to_numpy(zero_copy_only=False).astype(np.int64)
-        urls = ct.column("url").to_pylist()
-        shard_of = pool.route(hh)
-        for s in range(num_shards):
-            idx = np.flatnonzero(shard_of == s)
-            if len(idx):
-                ray.get(
-                    pool.shards[s].enqueue.remote(
-                        uh[idx], [hosts[i] for i in idx], ranks[idx],
-                        [urls[i] for i in idx],
+            uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            hh = xxh64_many(ct.column("host"))
+            hosts = ct.column("host").to_pylist()
+            ranks = ct.column("seed_rank").to_numpy(zero_copy_only=False).astype(np.int64)
+            urls = ct.column("url").to_pylist()
+            paths = ct.column("path").to_pylist()
+
+            # round A: first-seen admit, url-hash routed (uniform)
+            admit = np.zeros(len(uh), dtype=bool)
+            shard_a = pool.route(uh)
+            futs, idxs = [], []
+            for s in range(num_shards):
+                idx = np.flatnonzero(shard_a == s)
+                if len(idx):
+                    futs.append(pool.shards[s].admit_batch.remote(uh[idx]))
+                    idxs.append(idx)
+            for idx, a in zip(idxs, ray.get(futs)):
+                admit[idx] = a
+
+            # round B: enqueue admitted rows on their host-owning shard
+            adm_idx = np.flatnonzero(admit)
+            shard_h = pool.route(hh[adm_idx])
+            for s in range(num_shards):
+                sub = adm_idx[shard_h == s]
+                if len(sub):
+                    ray.get(
+                        pool.shards[s].enqueue.remote(
+                            uh[sub], [hosts[i] for i in sub], ranks[sub],
+                            [urls[i] for i in sub], [paths[i] for i in sub],
+                            admit=False,
+                        )
                     )
-                )
 
         decoder = DecodeValidate(min_dim=min_dim)
-        rounds = 0
+        rounds = start_round
         while True:
             batches = ray.get([s.next_batch.remote(batch_urls) for s in pool.shards])
             emitted = [b for sb in batches for b in sb]
             if not emitted:
                 break
             emitted.sort(key=lambda r: (r[0], r[1]))  # (virtual time, rank)
-            t_arr = pa.array([r[0] for r in emitted], pa.int64())
             admitted = pa.table(
                 {
                     "epoch": pa.array(np.full(len(emitted), rounds, dtype=np.int64)),
-                    "fetch_time_ms": t_arr,
+                    "fetch_time_ms": pa.array([r[0] for r in emitted], pa.int64()),
                     "seed_rank": pa.array([r[1] for r in emitted], pa.int64()),
                     "url_hash": pa.array(
                         np.array([r[3] for r in emitted], dtype=np.uint64).view(np.int64)
@@ -109,10 +147,7 @@ def run_streaming_crawl(
                     "host": pa.array([r[4] for r in emitted], pa.string()),
                     "host_index": pa.array([r[5] for r in emitted], pa.int64()),
                     "url": pa.array([r[2] for r in emitted], pa.string()),
-                    "path": pa.array(
-                        ["/" + r[2].split("://", 1)[-1].split("/", 1)[-1] if "/" in r[2].split("://", 1)[-1] else "/" for r in emitted],
-                        pa.string(),
-                    ),
+                    "path": pa.array([r[6] for r in emitted], pa.string()),
                 }
             )
             admitted = add_image_ids(admitted, store_size).drop_columns(["path"])
@@ -120,7 +155,30 @@ def run_streaming_crawl(
             validated = fetched.map_batches(decoder, batch_format="pyarrow", batch_size=256)
             run.images_out.append_ray_partition(validated, rounds)
             run.crawl_order.append_partition(admitted, rounds)
+            run.state.append_partition(
+                pa.table(
+                    {
+                        "shard": pa.array(range(num_shards), pa.int64()),
+                        "blob": pa.array(pool.checkpoints(), pa.binary()),
+                    }
+                ),
+                rounds,
+            )
+            run.lineage.append_partition(
+                pa.table(
+                    {
+                        "epoch": pa.array([rounds], pa.int64()),
+                        "partition": pa.array([rounds], pa.int64()),
+                        "stage": pa.array(["stream"], pa.string()),
+                        "counter": pa.array(["fetched"], pa.string()),
+                        "value": pa.array([admitted.num_rows], pa.int64()),
+                    }
+                ),
+                rounds,
+            )
             rounds += 1
+            if fail_after_round is not None and rounds > fail_after_round:
+                raise RuntimeError(f"injected failure after round {fail_after_round}")
     finally:
         pool.shutdown()
     return run

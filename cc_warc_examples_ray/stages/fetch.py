@@ -115,7 +115,16 @@ def fetch_scan_store(
     parquet fragments and semi-join each batch against the broadcast
     admitted epoch.  Parallelism follows store blocks — at real scale the
     store dwarfs the epoch and this is the natural layout; payload bytes
-    never leave their read task."""
+    never leave their read task.
+
+    Mode parity with broadcast fetch: admitted ids absent from the store
+    are emitted as rows with null payload columns (a fetch failure is a
+    crawl outcome; crawl-order and lineage counters must not depend on
+    fetch mode).  Misses are found with a column-pruned scan of the
+    store's ``image_id`` column only — tiny relative to payloads."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     ref = ray.put(admitted)
     if num_blocks is None:
         num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
@@ -130,7 +139,27 @@ def fetch_scan_store(
         return f(batch)
 
     ds = rd.read_parquet(store_paths, override_num_blocks=num_blocks)
-    return ds.map_batches(fetch, batch_format="pyarrow")
+    out = ds.map_batches(fetch, batch_format="pyarrow")
+
+    if admitted.num_rows:
+        store_ids = pa.concat_tables(
+            [pq.read_table(p, columns=["image_id"]) for p in store_paths]
+        ).column("image_id").combine_chunks()
+        present = pc.is_in(admitted.column("image_id"), value_set=store_ids)
+        miss = admitted.filter(pc.invert(present))
+        if miss.num_rows:
+            store_schema = pq.read_schema(store_paths[0])
+            cols: dict = {}
+            for f in store_schema:
+                cols[f.name] = (
+                    miss.column("image_id") if f.name == "image_id"
+                    else pa.nulls(miss.num_rows, f.type)
+                )
+            mt = pa.table(cols)
+            for col in StoreLookupFetcher.META_COLS:
+                mt = mt.append_column(col, miss.column(col))
+            out = out.union(rd.from_arrow(mt))
+    return out
 
 
 def make_broadcast_fetch_fn(store_paths: list[str]):

@@ -118,17 +118,33 @@ class FrontierShard:
     # (next_fetch_time(host), seed_rank) — the north-rule priority queue.
 
     def enqueue(self, url_hashes: np.ndarray, hosts: list[str], ranks: np.ndarray,
-                urls: list[str]) -> int:
-        """First-seen admit + push into per-host FIFO queues; hosts enter
-        the ready-heap at their next legal fetch time.  Returns #admitted."""
+                urls: list[str], paths: list[str] | None = None,
+                admit: bool = True) -> int:
+        """Push URLs into per-host FIFO queues; hosts enter the
+        ready-heap at their next legal fetch time.  Returns #enqueued.
+
+        ``admit=True`` runs the first-seen check on THIS shard (single
+        shard / test use).  The streaming pipeline instead pre-admits
+        rows via url-hash-routed :meth:`admit_batch` (uniform — immune
+        to Zipf host skew overflowing a host-routed filter) and calls
+        ``enqueue(..., admit=False)`` with only the admitted rows,
+        routed by host.  ``paths`` carries the canonical query-free path
+        so downstream never re-derives it from the URL."""
         import heapq
 
         if not hasattr(self, "_queues"):
             self._queues: dict[str, list] = {}
             self._heap: list = []
             self._in_heap: set = set()
-        admit = self.seen.add_if_absent(np.asarray(url_hashes, dtype=np.uint64))
-        for j in np.flatnonzero(admit):
+        uh = np.asarray(url_hashes, dtype=np.uint64)
+        if admit:
+            adm = self.seen.add_if_absent(uh)
+            self.admitted += int(adm.sum())
+            self.rejected_dup += int(len(adm) - adm.sum())
+            keep = np.flatnonzero(adm)
+        else:
+            keep = np.arange(len(uh))
+        for j in keep:
             h = hosts[j]
             st = self.hosts.setdefault(h, [0, self.default_delay_ms])
             q = self._queues.setdefault(h, [])
@@ -136,16 +152,16 @@ class FrontierShard:
                 next_t = st[0] * st[1]  # continue politeness across calls
                 heapq.heappush(self._heap, (next_t, h))
                 self._in_heap.add(h)
-            q.append((int(ranks[j]), urls[j], int(url_hashes[j])))
-        self.admitted += int(admit.sum())
-        self.rejected_dup += int(len(admit) - admit.sum())
-        return int(admit.sum())
+            q.append((int(ranks[j]), urls[j], int(uh[j]),
+                      "" if paths is None else paths[j]))
+        return int(len(keep))
 
     def next_batch(self, max_urls: int = 256) -> list[tuple]:
         """Pop up to ``max_urls`` due URLs in global schedule order
         ``(next_fetch_time, seed_rank)``.  Each pop advances the host's
         next_fetch_time by its crawl delay and re-heaps the host —
-        deterministic regardless of wall clock (virtual time)."""
+        deterministic regardless of wall clock (virtual time).  Tuple
+        shape: ``(t, rank, url, url_hash, host, host_index, path)``."""
         import heapq
 
         if not hasattr(self, "_heap"):
@@ -158,9 +174,9 @@ class FrontierShard:
                 self._in_heap.discard(h)
                 continue
             q.sort(key=lambda r: r[0])
-            rank, url, uh = q.pop(0)
+            rank, url, uh, path = q.pop(0)
             st = self.hosts.setdefault(h, [0, self.default_delay_ms])
-            out.append((t, rank, url, uh, h, st[0]))
+            out.append((t, rank, url, uh, h, st[0], path))
             st[0] += 1
             if q:
                 heapq.heappush(self._heap, (t + st[1], h))
@@ -191,6 +207,11 @@ class FrontierShard:
                 "delays": self.delays,
                 "admitted": self.admitted,
                 "rejected_dup": self.rejected_dup,
+                # streaming-mode scheduler state (queues + heap), so a
+                # killed continuous crawl resumes mid-drain exactly
+                "queues": getattr(self, "_queues", {}),
+                "heap": getattr(self, "_heap", []),
+                "in_heap": getattr(self, "_in_heap", set()),
             },
             protocol=4,
         )
@@ -205,6 +226,10 @@ class FrontierShard:
         self.delays.update(st.get("delays", {}))
         self.admitted = st["admitted"]
         self.rejected_dup = st["rejected_dup"]
+        if st.get("queues") or st.get("heap"):
+            self._queues = st["queues"]
+            self._heap = st["heap"]
+            self._in_heap = st["in_heap"]
 
 
 class FrontierPool:

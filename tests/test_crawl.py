@@ -124,3 +124,36 @@ def test_crawl_kill_resume(ray_session, store, fixtures, tmp_path):
     ib = resumed.images_out.to_table().sort_by("image_id")
     assert ia.column("image_id").to_pylist() == ib.column("image_id").to_pylist()
     assert ia.column("valid").to_pylist() == ib.column("valid").to_pylist()
+
+
+def test_epoch_loop_failure_drains_committer(ray_session, tmp_path, monkeypatch):
+    """If the epoch loop raises (not via fail_after_epoch), the committer
+    thread must still get StopIteration: already-submitted epochs commit
+    and the process can exit (no blocked non-daemon thread)."""
+    import pytest as _pytest
+
+    import cc_warc_examples_ray.pipelines.crawl as cp
+    from cc_warc_examples_ray import lancelite, synth
+
+    store = lancelite.LanceLiteTable(str(tmp_path / "imgs"))
+    store.write(synth.images_table(60))
+    seeds = synth.frontier_seeds_table(300, n_hosts=10)
+    robots = synth.robots_table(10)
+
+    calls = {"n": 0}
+    real = cp.add_image_ids
+
+    def flaky(tbl, n):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise ValueError("boom in epoch loop")
+        return real(tbl, n)
+
+    monkeypatch.setattr(cp, "add_image_ids", flaky)
+    out = str(tmp_path / "run")
+    with _pytest.raises(ValueError, match="boom"):
+        cp.run_crawl(seeds, robots, store.fragment_paths(), out,
+                     num_shards=2, num_epochs=3, store_size=60)
+    # epoch 0 was in flight when the loop raised; the finally-drain must
+    # have committed it (images + state), so a resume starts at epoch 1
+    assert cp.CrawlRun(out).resume_epoch() == 1

@@ -86,3 +86,19 @@ def test_same_content_many_urls(ray_session, store):
     assert len(b) == 4 and len(s) == 4
     assert sorted(b["seed_rank"]) == [0, 1, 2, 3]
     assert sorted(s["seed_rank"]) == [0, 1, 2, 3]
+
+
+def test_scan_mode_keeps_fetch_misses(ray_session, store):
+    """Scan mode emits miss rows with null payloads too — fetched-row
+    count and lineage counters must not depend on fetch mode."""
+    adm = _admitted(n=10, miss=3)
+    b = fetch.fetch_broadcast_store(store.fragment_paths(), adm).to_pandas()
+    s = fetch.fetch_scan_store(store.fragment_paths(), adm).to_pandas()
+    b = b.sort_values("seed_rank").reset_index(drop=True)
+    s = s.sort_values("seed_rank").reset_index(drop=True)
+    assert len(s) == len(b) == 13
+    assert b["image_id"].tolist() == s["image_id"].tolist()
+    miss = s["image_id"].str.startswith("img-0009").values
+    assert miss.sum() == 3
+    assert s.loc[miss, "bytes"].isna().all()
+    assert (b["bytes"].isna() == s["bytes"].isna()).all()

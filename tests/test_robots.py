@@ -48,3 +48,19 @@ def test_table_builder():
                                         t.column("disallow_prefixes").to_pylist())}
     assert row["a.example"] == (500, ["/private/", "/tmp/"])
     assert row["b.example"] == (150, [])
+
+
+def test_ua_line_after_directives_starts_new_group():
+    """RFC 9309: a User-agent line following directives begins a NEW
+    group — later groups' rules must not leak into earlier ones."""
+    txt = "User-agent: *\nDisallow: /a\nUser-agent: bot\nDisallow: /b"
+    assert parse_robots_txt(txt, agent="*")[1] == ["/a"]
+    assert parse_robots_txt(txt, agent="bot")[1] == ["/b"]
+    # consecutive UA lines still share one group
+    txt2 = "User-agent: x\nUser-agent: y\nDisallow: /c"
+    assert parse_robots_txt(txt2, agent="x")[1] == ["/c"]
+    assert parse_robots_txt(txt2, agent="y")[1] == ["/c"]
+    # unknown directive also ends the UA run
+    txt3 = "User-agent: *\nSitemap: http://e/s.xml\nUser-agent: bot\nDisallow: /d"
+    assert parse_robots_txt(txt3, agent="*")[1] == []
+    assert parse_robots_txt(txt3, agent="bot")[1] == ["/d"]

@@ -40,3 +40,64 @@ def test_streaming_matches_batch_schedule(ray_session, fixtures, tmp_path):
     imgs = stream.images_out.to_table()
     assert imgs.num_rows == len(ss)
     assert imgs.to_pandas()["valid"].all()
+
+
+def test_streaming_kill_resume_bit_identical(ray_session, fixtures, tmp_path):
+    """A streaming run killed mid-drain resumes from the round checkpoint
+    (heap + queues + seen set) and produces bit-identical tables."""
+    seeds, robots, store = fixtures
+    full = run_streaming_crawl(
+        seeds, robots, store.fragment_paths(), str(tmp_path / "full"),
+        num_shards=3, store_size=120, batch_urls=64,
+    )
+    killed_dir = str(tmp_path / "killed")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_streaming_crawl(
+            seeds, robots, store.fragment_paths(), killed_dir,
+            num_shards=3, store_size=120, batch_urls=64, fail_after_round=1,
+        )
+    resumed = run_streaming_crawl(
+        seeds, robots, store.fragment_paths(), killed_dir,
+        num_shards=3, store_size=120, batch_urls=64,
+    )
+    assert _schedule(full.crawl_order.to_table()) == _schedule(resumed.crawl_order.to_table())
+    fa = full.images_out.to_table().to_pandas().sort_values("seed_rank").reset_index(drop=True)
+    ra = resumed.images_out.to_table().to_pandas().sort_values("seed_rank").reset_index(drop=True)
+    assert fa["image_id"].tolist() == ra["image_id"].tolist()
+    assert (fa["valid"] == ra["valid"]).all()
+
+
+def test_streaming_query_url_image_id_parity(ray_session, tmp_path):
+    """Query-bearing URLs: image_id derives from the canonical query-free
+    path carried through the queues, matching the batch pipeline."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cc_warc_examples_ray import schemas
+
+    urls = [f"http://host0001.example/img/i{i}.png?session=abc{i}" for i in range(12)]
+    seeds = pa.table(
+        {
+            "seed_url": pa.array(urls, pa.string()),
+            "page_url": pa.array(["http://host0001.example/"] * 12, pa.string()),
+            "seed_rank": pa.array(np.arange(12, dtype=np.int64)),
+        },
+        schema=schemas.FRONTIER_SEEDS,
+    )
+    store = lancelite.LanceLiteTable(str(tmp_path / "imgs"))
+    store.write(synth.images_table(30))
+    robots = synth.robots_table(5)
+    batch = run_crawl(
+        seeds, robots, store.fragment_paths(), str(tmp_path / "b"),
+        num_shards=2, num_epochs=1, store_size=30,
+    )
+    stream = run_streaming_crawl(
+        seeds, robots, store.fragment_paths(), str(tmp_path / "s"),
+        num_shards=2, store_size=30, batch_urls=8,
+    )
+    bdf = batch.crawl_order.to_table().to_pandas().sort_values("seed_rank")
+    sdf = stream.crawl_order.to_table().to_pandas().sort_values("seed_rank")
+    assert bdf["image_id"].tolist() == sdf["image_id"].tolist()
+    # the synthetic key regex must have hit (no hash fallback drift)
+    assert bdf["image_id"].tolist() == [f"img-{i % 30:010d}" for i in range(12)]

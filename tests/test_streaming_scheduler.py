@@ -30,13 +30,13 @@ def test_heap_schedule_matches_analytic(ray_session, shard):
     assert times == sorted(times)
     # per-host spacing >= crawl delay
     per_host = {}
-    for t, rank, url, uh, h, idx in batch:
+    for t, rank, url, uh, h, idx, path in batch:
         per_host.setdefault(h, []).append(t)
     assert per_host["a"] == [0, 100, 200]
     assert per_host["b"] == [0, 300]
     assert per_host["c"] == [0]
     # within host, seed_rank order
-    a_ranks = [rank for t, rank, u, uh, h, i in batch if h == "a"]
+    a_ranks = [rank for t, rank, u, uh, h, i, p in batch if h == "a"]
     assert a_ranks == sorted(a_ranks)
 
 
