@@ -88,21 +88,27 @@ def _robots_maps(robots: pa.Table) -> tuple[dict[str, int], dict[str, list[str]]
 
 
 def _make_robots_gate(disallow: dict[str, list[str]]):
+    """Vectorized robots gate: drop rows with empty host or a path under
+    a disallowed prefix.  Per batch: one equality + one ``starts_with``
+    kernel per (host-with-disallows present in the batch, prefix) — the
+    disallow map is the small broadcast side (robots table)."""
+    import pyarrow.compute as pc
+
     def gate(tbl: pa.Table) -> pa.Table:
-        hosts = tbl.column("host").to_pylist()
-        paths = tbl.column("path").to_pylist()
-        keep = np.ones(len(hosts), dtype=bool)
-        n_invalid = 0
-        for i, (h, p) in enumerate(zip(hosts, paths)):
-            if not h:
-                keep[i] = False
-                n_invalid += 1
-                continue
-            for pref in disallow.get(h, ()):
-                if p.startswith(pref):
-                    keep[i] = False
-                    break
-        return tbl.filter(pa.array(keep))
+        hosts = tbl.column("host")
+        keep = pc.not_equal(hosts, "")
+        if disallow:
+            paths = tbl.column("path")
+            present = set(pc.unique(hosts.combine_chunks()).to_pylist())
+            for h in present:
+                prefs = disallow.get(h)
+                if not prefs:
+                    continue
+                hm = pc.equal(hosts, h)
+                for pref in prefs:
+                    bad = pc.and_(hm, pc.starts_with(paths, pref))
+                    keep = pc.and_(keep, pc.invert(bad))
+        return tbl.filter(keep)
 
     return gate
 
@@ -188,10 +194,11 @@ def run_crawl(
         def canonicalize_range(sl: pa.Table) -> pa.Table:
             """One parallel execution: canonicalize + robots gate.  The
             range's METADATA (no payloads, ~100 B/URL) is collected on
-            the driver as Arrow — range size is the driver-memory bound.
-            Arrow end-to-end: pandas conversions here were the dominant
-            serial cost at large frontiers (~tens of µs/URL)."""
-            keep_cols = ["seed_rank", "url", "url_hash", "host", "host_hash", "path", "_pos"]
+            the driver as Arrow — range size (ONE epoch) is the
+            driver-memory bound.  Arrow end-to-end: pandas conversions
+            here were the dominant serial cost at large frontiers
+            (~tens of µs/URL)."""
+            keep_cols = ["seed_rank", "url", "url_hash", "host", "host_hash", "path"]
 
             def project(tbl: pa.Table) -> pa.Table:
                 hh = xxh64_many(tbl.column("host")).view(np.int64)
@@ -209,23 +216,14 @@ def run_crawl(
                 return project(canonicalize_batch(sl.slice(0, 0)))  # empty, right schema
             return pa.concat_tables(tables).combine_chunks()
 
-        def admit_epoch(ct: pa.Table, chunk: int = 65536) -> pa.Table:
-            """Driver-orchestrated admission, Arrow-native: rank-ordered
-            chunks fan out to the shard actors in parallel (per-shard
-            FIFO preserved by awaiting each chunk round)."""
+        def admit_epoch(ct: pa.Table) -> pa.Table:
+            """Epoch admission via the PIPELINED shard protocol: all
+            chunks' admit calls in flight at once, schedule calls
+            streamed behind them — no per-chunk driver sync."""
             ct = ct.sort_by([("seed_rank", "ascending")])
-            n_ = ct.num_rows
             uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
             hh = ct.column("host_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            admit = np.zeros(n_, dtype=bool)
-            ft = np.empty(n_, dtype=np.int64)
-            hi = np.empty(n_, dtype=np.int64)
-            for st in range(0, n_, chunk):
-                en = min(st + chunk, n_)
-                a, f, i = pool.admit_and_schedule(uh[st:en], hh[st:en])
-                admit[st:en] = a
-                ft[st:en] = f
-                hi[st:en] = i
+            admit, ft, hi = pool.admit_and_schedule_pipelined(uh, hh)
             out = ct.filter(pa.array(admit))
             return out.append_column(
                 "fetch_time_ms", pa.array(ft[admit], pa.int64())
@@ -317,29 +315,33 @@ def run_crawl(
 
         n = seeds.num_rows
         bounds = [(k * n) // num_epochs for k in range(num_epochs + 1)]
-        # canonicalize every remaining epoch in ONE parallel execution up
-        # front (the stateless prefix of the pipeline does not depend on
-        # epoch order).  seeds are already driver-resident here; at
-        # larger-than-driver frontier scale, canonicalize per epoch with
-        # canonicalize_range(seeds.slice(...)) instead.
-        all_cdf = None
-        if start_epoch < num_epochs and seeds.num_rows:
-            lo0 = bounds[start_epoch]
-            sl = seeds.slice(lo0, n - lo0).append_column(
-                "_pos", pa.array(np.arange(lo0, n, dtype=np.int64))
-            )
-            all_cdf = canonicalize_range(sl)
-        try:
-            import pyarrow.compute as pc
+        # Canonicalization is PER EPOCH: the driver holds at most two
+        # epochs of frontier metadata at a time (the one being admitted
+        # + the next, prefetched on a thread while epoch k's admission /
+        # fetch runs).  This is the 10^10-frontier driver-memory bound:
+        # O(epoch), never O(frontier).
+        canon_pool = ThreadPoolExecutor(max_workers=1)
+        canon_futs: dict[int, object] = {}
 
+        def canon_epoch(e: int):
+            return canonicalize_range(seeds.slice(bounds[e], bounds[e + 1] - bounds[e]))
+
+        def prefetch_from(e: int) -> None:
+            for e2 in range(e, num_epochs):
+                if bounds[e2 + 1] > bounds[e2]:
+                    if e2 not in canon_futs:
+                        canon_futs[e2] = canon_pool.submit(canon_epoch, e2)
+                    return
+
+        prefetch_from(start_epoch)
+        try:
             for epoch in range(start_epoch, num_epochs):
                 lo, hi = bounds[epoch], bounds[epoch + 1]
                 if hi <= lo:
                     continue
                 stats_before = pool.stats()
-                pos = all_cdf.column("_pos")
-                mask = pc.and_(pc.greater_equal(pos, lo), pc.less(pos, hi))
-                cdf = all_cdf.filter(mask).drop_columns(["_pos"])
+                cdf = canon_futs.pop(epoch).result()
+                prefetch_from(epoch + 1)
                 admitted = admit_epoch(cdf)
                 stats_after = pool.stats()
                 d_admit = sum(s["admitted"] for s in stats_after) - sum(
@@ -396,6 +398,7 @@ def run_crawl(
                     pass
             executor.shutdown(wait=False, cancel_futures=True)
             executor2.shutdown(wait=False, cancel_futures=True)
+            canon_pool.shutdown(wait=False, cancel_futures=True)
     finally:
         pool.shutdown()
     return run

@@ -305,6 +305,57 @@ class FrontierPool:
                 host_index[sub] = hi
         return admit, fetch_time, host_index
 
+    def admit_and_schedule_pipelined(
+        self, url_hashes: np.ndarray, host_hashes: np.ndarray, chunk: int = 65536
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Same semantics as :meth:`admit_and_schedule`, pipelined: every
+        chunk's round-A admit calls are submitted UP FRONT (actor tasks
+        execute in submission order, so per-shard rank order is
+        preserved without awaiting), round-B schedule calls are submitted
+        as each chunk's admit mask arrives and gathered once at the end.
+        The driver never sits in a per-chunk sync barrier — shards stay
+        busy across the whole epoch.  Correctness: admit_batch touches
+        only the seen-set, schedule_batch only the per-host counters, so
+        their interleaving per shard is free; each method's calls arrive
+        in rank order."""
+        n = len(url_hashes)
+        uh = np.asarray(url_hashes, dtype=np.uint64)
+        hh = np.asarray(host_hashes, dtype=np.uint64)
+        admit = np.zeros(n, dtype=bool)
+        fetch_time = np.full(n, -1, dtype=np.int64)
+        host_index = np.full(n, -1, dtype=np.int64)
+
+        rounds = []
+        for st in range(0, n, chunk):
+            en = min(st + chunk, n)
+            shard_of = self.route(uh[st:en])
+            futs, idxs = [], []
+            for s in range(self.num_shards):
+                idx = st + np.flatnonzero(shard_of == s)
+                if len(idx):
+                    futs.append(self.shards[s].admit_batch.remote(uh[idx]))
+                    idxs.append(idx)
+            rounds.append((st, en, futs, idxs))
+
+        pending: list[tuple[np.ndarray, "ray.ObjectRef"]] = []
+        for st, en, futs, idxs in rounds:
+            for idx, a in zip(idxs, ray.get(futs)):
+                admit[idx] = a
+            adm_idx = st + np.flatnonzero(admit[st:en])
+            if len(adm_idx):
+                shard_of_h = self.route(hh[adm_idx])
+                for s in range(self.num_shards):
+                    sub = adm_idx[shard_of_h == s]
+                    if len(sub):
+                        pending.append(
+                            (sub, self.shards[s].schedule_batch.remote(hh[sub]))
+                        )
+        for sub, fut in pending:
+            ft, hi = ray.get(fut)
+            fetch_time[sub] = ft
+            host_index[sub] = hi
+        return admit, fetch_time, host_index
+
     def checkpoints(self) -> list[bytes]:
         return ray.get([s.checkpoint.remote() for s in self.shards])
 
