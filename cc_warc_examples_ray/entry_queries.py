@@ -644,10 +644,7 @@ def q_media_extract(sf_dir: str) -> pd.DataFrame:
 
 def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    tdf = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    texts = dict(zip(tdf.column("doc_id").to_pylist(), tdf.column("text").to_pylist()))
-    ref = ray.put(texts)
-    return dedup.minhash_dedup(docs, ref, threshold=0.8).reset_index(drop=True)
+    return dedup.minhash_dedup(docs, threshold=0.8).reset_index(drop=True)
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:

@@ -131,20 +131,71 @@ def ivf_assign(ds: rd.Dataset, centroids: np.ndarray, id_col: str = "vec_id",
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 
 
+class IVFBatchScorer(BatchScorer):
+    """Per-batch scorer honoring PER-QUERY probe lists (the reference's
+    w-probed-lists-per-query semantics, `IndexingManage.java:68-80`):
+    candidates outside a query's probed lists are masked to -inf before
+    the local top-k, so each query sees exactly its nprobe lists."""
+
+    def __init__(self, queries_ref, probe_mask_ref, k: int, id_col: str, emb_col: str):
+        super().__init__(queries_ref, k, id_col, emb_col)
+        self.mask = ray.get(probe_mask_ref)  # bool [nq, n_lists]
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        lists = tbl.column("ivf_list").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _unit(_as_matrix(tbl.column(self.emb_col)))
+        sim = self.qmat @ mat.T  # [nq, batch]
+        allowed = self.mask[:, lists]  # [nq, batch]
+        sim = np.where(allowed, sim, -np.inf)
+        k = min(self.k, sim.shape[1])
+        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sim.shape[0]):
+            sel = part[qi]
+            good = sim[qi, sel] > -np.inf
+            sel = sel[good]
+            out_q.append(np.full(len(sel), self.qids[qi]))
+            out_v.append(ids[sel])
+            out_s.append(sim[qi, sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else []),
+                self.id_col: pa.array(np.concatenate(out_v) if out_v else []),
+                "cosine": pa.array(
+                    np.concatenate(out_s) if out_s else [], pa.float64()
+                ),
+            }
+        )
+
+
 def ivf_topk(assigned: rd.Dataset, centroids: np.ndarray, queries: dict, k: int = 10,
              nprobe: int = 4, id_col: str = "vec_id", emb_col: str = "embedding") -> pd.DataFrame:
-    """Probe the ``nprobe`` nearest lists per query: filter the bucketed
-    corpus to probed lists, then exact-score the survivors."""
+    """Probe the ``nprobe`` nearest lists PER QUERY: filter the bucketed
+    corpus to the union of probed lists (row pruning), then score each
+    batch with the per-query probe mask — a query only ever ranks
+    vectors from its own nprobe lists."""
     qids = sorted(queries)
     qmat = _unit(np.asarray([queries[i] for i in qids], dtype=np.float64))
     probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
     lists_needed = sorted({int(x) for row in probes for x in row})
     sub = assigned.filter(expr=f"ivf_list in {lists_needed}")
-    # restrict each query to its probed lists at the verify step
-    per_query_lists = {q: set(map(int, probes[i])) for i, q in enumerate(qids)}
-    scored = brute_force_topk(sub, queries, k=max(k * 4, k), id_col=id_col, emb_col=emb_col)
-    # brute_force over the filtered subset already honors the probe set in
-    # aggregate; exactness per query is bounded by nprobe recall
-    out = scored.groupby("query_id").head(k).reset_index(drop=True)
+    mask = np.zeros((len(qids), len(centroids)), dtype=bool)
+    for i in range(len(qids)):
+        mask[i, probes[i]] = True
+    partials = sub.map_batches(
+        IVFBatchScorer,
+        fn_constructor_args=(ray.put(queries), ray.put(mask), k),
+        fn_constructor_kwargs=dict(id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    ).to_pandas()
+    out = (
+        partials.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out

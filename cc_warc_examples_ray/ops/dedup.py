@@ -103,12 +103,42 @@ class MinHasher:
         )
 
 
+def _typed_empty(id_dtype, extra: dict | None = None) -> pd.DataFrame:
+    """Schema-stable empty pair frame (object-dtype empties make Ray's
+    streaming executor emit block-schema-mismatch warnings)."""
+    cols = {"id_a": pd.Series(dtype=id_dtype), "id_b": pd.Series(dtype=id_dtype)}
+    for name, dt in (extra or {}).items():
+        cols[name] = pd.Series(dtype=dt)
+    return pd.DataFrame(cols)
+
+
+def distinct_pairs(cand: rd.Dataset, extra_cols: tuple[str, ...] = ()) -> rd.Dataset:
+    """Distinct (id_a, id_b) rows: per-batch grouped partial + ONE global
+    grouped aggregate — the exact_dedup pattern.  Never one pandas group
+    per pair (death by group overhead at corpus scale).  ``extra_cols``
+    are pair-constant payloads (hamming, cosine) carried via Min."""
+    from ray.data.aggregate import Count, Min
+
+    keys = ["id_a", "id_b"]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by(keys).aggregate(
+            [(c, "min") for c in extra_cols]
+        ).rename_columns(keys + list(extra_cols))
+
+    aggs = [Min(c, alias_name=c) for c in extra_cols] or [Count(alias_name="_c")]
+    out = cand.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
+    if not extra_cols:
+        out = out.map_batches(lambda t: t.drop_columns(["_c"]), batch_format="pyarrow")
+    return out
+
+
 def _pairs_from_buckets(id_col: str):
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].to_numpy())
         ids = np.unique(ids)
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            return _typed_empty(g[id_col].dtype)
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
@@ -131,58 +161,71 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc
         _pairs_from_buckets(id_col), batch_format="pandas"
     )
     # distinct pairs (a pair can collide in several bands)
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return distinct_pairs(cand)
+
+
+def _jaccard_rows(tbl: pa.Table, shingle_n: int) -> pa.Table:
+    """Exact shingle Jaccard per (text_a, text_b) row — block-local."""
+    a = tbl.column("text_a").to_pylist()
+    b = tbl.column("text_b").to_pylist()
+    sims = np.zeros(len(a))
+    for i, (x, y) in enumerate(zip(a, b)):
+        sa = shingle_hashes(x or "", shingle_n)
+        sb = shingle_hashes(y or "", shingle_n)
+        if len(sa) == 0 and len(sb) == 0:
+            sims[i] = 1.0
+        else:
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            sims[i] = inter / union if union else 0.0
+    return tbl.drop_columns(["text_a", "text_b"]).append_column(
+        "jaccard", pa.array(sims, pa.float64())
     )
 
 
-class JaccardVerifier:
-    """Verify candidate pairs with exact shingle Jaccard.  Texts for the
-    pair are looked up from a broadcast id→text mapping (small-side
-    pattern); at larger scale re-join signatures instead."""
+def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
+                         threshold: float = 0.8, shingle_n: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_buckets: int = 16) -> rd.Dataset:
+    """Verify candidate pairs with exact shingle Jaccard.  Texts are
+    REJOINED to the pairs on id (two bucketed hash joins) — the corpus is
+    never broadcast, so verification scales with the pair list, not the
+    corpus (the 100 TB shape).  Jaccard runs block-locally after the
+    second join."""
+    from .relational import hash_join
 
-    def __init__(self, texts_ref, shingle_n: int = 3):
-        import ray
+    def rename(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select([id_col, text_col]).rename_columns(
+                [f"id_{side}", f"text_{side}"]
+            )
 
-        self.texts: dict = ray.get(texts_ref)
-        self.n = shingle_n
+        return fn
 
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        a = tbl.column("id_a").to_pylist()
-        b = tbl.column("id_b").to_pylist()
-        sims = np.zeros(len(a))
-        for i, (x, y) in enumerate(zip(a, b)):
-            sa = shingle_hashes(self.texts.get(x, ""), self.n)
-            sb = shingle_hashes(self.texts.get(y, ""), self.n)
-            if len(sa) == 0 and len(sb) == 0:
-                sims[i] = 1.0
-            else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                sims[i] = inter / union if union else 0.0
-        return tbl.append_column("jaccard", pa.array(sims, pa.float64()))
-
-
-def ngram_jaccard_verify(pairs: rd.Dataset, texts_ref, threshold: float = 0.8,
-                         shingle_n: int = 3) -> rd.Dataset:
-    verified = pairs.map_batches(
-        JaccardVerifier,
-        fn_constructor_args=(texts_ref,),
-        fn_constructor_kwargs=dict(shingle_n=shingle_n),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    docs_a = docs.map_batches(rename("a"), batch_format="pyarrow")
+    docs_b = docs.map_batches(rename("b"), batch_format="pyarrow")
+    witha = hash_join(pairs, docs_a, "id_a", num_buckets=num_buckets)
+    withb = hash_join(witha, docs_b, "id_b", num_buckets=num_buckets)
+    verified = withb.map_batches(
+        lambda t: _jaccard_rows(t, shingle_n), batch_format="pyarrow"
     )
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 
-def minhash_dedup(ds: rd.Dataset, texts_ref, text_col: str = "text",
-                  id_col: str = "doc_id", threshold: float = 0.8) -> pd.DataFrame:
+def minhash_dedup(ds: rd.Dataset, docs: rd.Dataset | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.8) -> pd.DataFrame:
     """Full near-dup pipeline → pandas (id, group) assignment: LSH pairs →
-    Jaccard verify → connected components.  Components run driver-side
-    (union-find) over the verified pair list, which is tiny relative to
-    the corpus; at extreme scale use iterative min-label propagation."""
+    Jaccard verify (rejoin, no corpus broadcast) → connected components.
+    Components run driver-side (union-find) over the verified pair list,
+    which is tiny relative to the corpus; at extreme scale use
+    :func:`pair_components` (distributed min-label propagation)."""
+    if docs is None:
+        docs = ds
     pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col)
-    good = ngram_jaccard_verify(pairs, texts_ref, threshold=threshold).to_pandas()
+    good = ngram_jaccard_verify(
+        pairs, docs, threshold=threshold, text_col=text_col, id_col=id_col
+    ).to_pandas()
     parent: dict = {}
 
     def find(x):
@@ -208,28 +251,43 @@ def minhash_dedup(ds: rd.Dataset, texts_ref, text_col: str = "text",
 class SimHasher:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
-        self._bit = np.uint64(1)
 
     def simhash(self, text: str) -> np.uint64:
-        toks = _TOKEN_RE.findall((text or "").lower())
-        if not toks:
-            return np.uint64(0)
-        hs = xxh64_many(toks)
-        acc = np.zeros(64, dtype=np.int64)
-        for b in range(64):
-            bits = (hs >> np.uint64(b)) & np.uint64(1)
-            acc[b] = int(bits.sum()) * 2 - len(hs)
-        code = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                code |= np.uint64(1) << np.uint64(b)
-        return code
+        """Single-doc convenience wrapper over the batch kernel."""
+        return np.uint64(
+            self._codes([_TOKEN_RE.findall((text or "").lower())])[0]
+        )
+
+    @staticmethod
+    def _codes(toks_per_doc: list[list[str]]) -> np.ndarray:
+        """Vectorized Charikar simhash across the WHOLE batch: hash every
+        token once, unpack all bits in one kernel, segment-sum per doc —
+        no per-doc 64-iteration Python loop."""
+        n = len(toks_per_doc)
+        counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        codes = np.zeros(n, dtype=np.uint64)
+        all_toks = [tok for toks in toks_per_doc for tok in toks]
+        if not all_toks:
+            return codes
+        hs = xxh64_many(all_toks)  # uint64 [T]
+        # little-endian byte view + bitorder="little" → column b == (h>>b)&1
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)  # [T, 64]
+        nz = counts > 0
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        seg_sums = np.add.reduceat(bits, offsets[nz], axis=0)  # [n_nz, 64]
+        maj = (2 * seg_sums) > counts[nz, None]  # bit set iff majority
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        codes[nz] = (maj.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return codes
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        codes = np.array(
-            [self.simhash(t) for t in tbl.column(self.text_col).to_pylist()],
-            dtype=np.uint64,
-        )
+        toks = [
+            _TOKEN_RE.findall((t or "").lower())
+            for t in tbl.column(self.text_col).to_pylist()
+        ]
+        codes = self._codes(toks)
         return pa.table(
             {
                 self.id_col: tbl.column(self.id_col),
@@ -270,15 +328,82 @@ def simhash_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return _typed_empty(g[id_col].dtype, {"hamming": "int64"})
         ia, ib = np.triu_indices(len(ids), k=1)
         ham = hamming64(sh[ia], sh[ib])
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "hamming": ham[keep]})
+                             "hamming": ham[keep].astype(np.int64)})
 
     cand = exploded.groupby(["block", "block_key"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return distinct_pairs(cand, extra_cols=("hamming",))
+
+
+def pair_components(pairs: rd.Dataset, max_iters: int = 100) -> rd.Dataset:
+    """Connected components over (id_a, id_b) pair edges by distributed
+    **min-label propagation** — the 100 TB replacement for driver-side
+    union-find: every node starts labeled with itself; each round joins
+    current labels onto the (symmetric) edge list and takes the per-node
+    min over neighbors ∪ self.  Labels are monotonically non-increasing,
+    so the global label sum strictly decreases until the fixpoint
+    (#rounds ≤ graph diameter).  Returns (node, group_id)."""
+    from ray.data.aggregate import Min, Sum
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").combine_chunks()
+        b = t.column("id_b").combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def labsum(ds: rd.Dataset) -> int:
+        def partial(t: pa.Table) -> pa.Table:
+            lab = t.column("label")
+            if pa.types.is_integer(lab.type):
+                v = lab.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                v = xxh64_many(lab).view(np.int64)
+            return pa.table({"_s": pa.array([int(v.sum())], pa.int64())})
+
+        res = ds.map_batches(partial, batch_format="pyarrow").aggregate(Sum("_s"))
+        return int(res["sum(_s)"] or 0)
+
+    from .relational import hash_join
+
+    prev = labsum(labels)
+    for _ in range(max_iters):
+        lab_src = labels.map_batches(
+            lambda t: t.rename_columns(["src", "label"]), batch_format="pyarrow"
+        )
+        prop = hash_join(edges, lab_src, "src").map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            prop.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labsum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "group_id"]), batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +480,7 @@ def embedding_neardup_pairs(ds: rd.Dataset, dim: int, threshold: float = 0.95,
         ids = g[id_col].to_numpy()
         mat = np.stack(g["unit"].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return _typed_empty(g[id_col].dtype, {"cosine": "float64"})
         sim = mat @ mat.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sim[ia, ib] >= threshold
@@ -437,7 +562,7 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
         ids = g[id_col].to_numpy()
         ph = g[phash_col].to_numpy().astype(np.int64).view(np.uint64)
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return _typed_empty(g[id_col].dtype, {"hamming": "int64"})
         ia, ib = np.triu_indices(len(ids), k=1)
         ham = hamming64(ph[ia], ph[ib])
         keep = ham <= max_hamming
@@ -448,6 +573,4 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
     cand = exploded.groupby(["block", "block_key", "salt"]).map_groups(
         verify, batch_format="pandas"
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return distinct_pairs(cand, extra_cols=("hamming",))

@@ -210,6 +210,29 @@ def hash_join(
     :func:`native_join` for Ray's built-in implementation."""
     from ..hashing import xxh64_many
 
+    def _arrow_types(schema) -> dict:
+        """Dataset.schema() types can be numpy dtypes (pandas-backed
+        blocks); normalize to Arrow types (object dtype → string)."""
+        out = {}
+        for n, t in zip(schema.names, schema.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()
+            out[n] = t
+        return out
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = [key] + [c for c in rschema.names if c != key and c not in lcols]
+    # union schema (typed): every block carries every column (typed nulls
+    # for the absent side) so a bucket group that happens to contain only
+    # one side's rows still has the full column set after the shuffle.
+    types = _arrow_types(rschema)
+    types.update(_arrow_types(lschema))
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
     def bucketer(side: int):
         def fn(tbl: pa.Table) -> pa.Table:
             kcol = tbl.column(key)
@@ -217,20 +240,29 @@ def hash_join(
                 kb = (kcol.to_numpy(zero_copy_only=False).astype(np.uint64)) % np.uint64(num_buckets)
             else:
                 kb = xxh64_many(pc.cast(kcol.combine_chunks(), pa.string())) % np.uint64(num_buckets)
+            for c in all_cols:
+                if c not in tbl.column_names:
+                    tbl = tbl.append_column(c, pa.nulls(tbl.num_rows, types[c]))
+            tbl = tbl.select(all_cols)
             return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
                 "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
             )
 
         return fn
 
-    lcols = list(left.schema().names)
-    rcols = [key] + [c for c in right.schema().names if c != key and c not in lcols]
     lt = left.map_batches(bucketer(0), batch_format="pyarrow")
     rt = right.map_batches(bucketer(1), batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    out_cols = lcols + [c for c in rcols if c != key]
+    out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
+
+    def merge(g: pd.DataFrame) -> pa.Table:
         lg = g.loc[g["_side"] == 0, lcols]
         rg = g.loc[g["_side"] == 1, rcols]
-        return lg.merge(rg, on=key, how=how)
+        m = lg.merge(rg, on=key, how=how)
+        # emit Arrow with the FIXED output schema: one-sided groups and
+        # empty merges otherwise produce float/object-drifted pandas
+        # blocks that poison downstream shuffles
+        return pa.Table.from_pandas(m[out_cols], schema=out_schema, preserve_index=False)
 
     return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pandas")

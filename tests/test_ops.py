@@ -77,8 +77,7 @@ def test_minhash_near_dup(ray_session, docs_ds):
         4: "",
         5: "unique short text",
     }
-    ref = ray.put(texts)
-    groups = dedup.minhash_dedup(docs_ds, ref, threshold=0.5)
+    groups = dedup.minhash_dedup(docs_ds, threshold=0.5)
     gmap = dict(zip(groups["doc_id"], groups["group_id"]))
     # 0 and 3 identical → same group; 1 near-dup → same group at 0.5
     assert gmap[0] == gmap[3]
@@ -184,3 +183,66 @@ def test_phash_salted_recall_tradeoff(ray_session):
     salted = dedup.phash_neardup_groups(ds, max_hamming=2, salt=16).to_pandas()
     # salting splits buckets: pairs found <= unsalted (documented tradeoff)
     assert len(salted) <= len(unsalted)
+
+
+def test_pair_components_matches_union_find(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 5, 9, 9], pa.int64()),
+        "id_b": pa.array([2, 3, 6, 10, 11], pa.int64()),
+    }))
+    out = dedup.pair_components(pairs).to_pandas()
+    gmap = dict(zip(out["node"], out["group_id"]))
+    assert gmap[1] == gmap[2] == gmap[3] == 1
+    assert gmap[5] == gmap[6] == 5
+    assert gmap[9] == gmap[10] == gmap[11] == 9
+
+
+def test_distinct_pairs_typed_and_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    cand = rd.from_pandas(pd.DataFrame({
+        "id_a": ["a", "a", "b", "a"],
+        "id_b": ["b", "b", "c", "c"],
+        "hamming": [1, 1, 2, 0],
+    }))
+    out = dedup.distinct_pairs(cand, extra_cols=("hamming",)).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert list(zip(out["id_a"], out["id_b"], out["hamming"])) == [
+        ("a", "b", 1), ("a", "c", 0), ("b", "c", 2)]
+
+
+def test_ivf_per_query_probe_semantics(ray_session):
+    """Every IVF candidate must come from its query's OWN probed lists
+    (reference: w probed lists per query, IndexingManage.java:68-80)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cc_warc_examples_ray.ops import ann
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((300, 8))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    }))
+    cent = ann.train_centroids(ds, n_centroids=8, sample=300, seed=5)
+    assigned = ann.ivf_assign(ds, cent).materialize()
+    queries = {0: list(map(float, mat[0])), 1: list(map(float, mat[1]))}
+    out = ann.ivf_topk(assigned, cent, queries, k=5, nprobe=2)
+
+    qmat = mat[[0, 1]] / np.linalg.norm(mat[[0, 1]], axis=1, keepdims=True)
+    centn = cent  # already unit
+    probes = np.argsort(-(qmat @ centn.T), axis=1)[:, :2]
+    lists_of = dict(zip(
+        assigned.to_pandas()["vec_id"], assigned.to_pandas()["ivf_list"]))
+    for q, vid in zip(out["query_id"], out["vec_id"]):
+        qi = 0 if q == 0 else 1
+        assert lists_of[vid] in set(probes[qi]), (q, vid)
+    # the query vector itself lives in its own nearest list → rank 1, cos 1
+    top = out[out["rank"] == 1].set_index("query_id")["vec_id"]
+    assert top[0] == 0 and top[1] == 1
