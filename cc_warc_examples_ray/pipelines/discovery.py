@@ -114,6 +114,59 @@ def discover_media(pages: pa.Table, nblocks: int = 16) -> pa.Table:
     return tbl.cast(_EMPTY_MEDIA.schema) if tbl.num_rows else _EMPTY_MEDIA
 
 
+def _page_fetch_and_discover(
+    admitted: pa.Table, pages_store_paths: list[str], nblocks: int,
+    force_scan: bool = False,
+) -> tuple[pa.Table, int]:
+    """Fetch admitted level-0 pages and extract media → (media table,
+    n_pages_fetched).  Two modes, mirroring the image fetch dispatch:
+
+    - **broadcast** (page store fits the object store): driver-side url
+      index + take — fastest at bench scale.
+    - **scan** (the 100 TB path, or ``force_scan``): stream the page
+      store's parquet fragments and semi-join each batch against the
+      broadcast admitted epoch on canonical url
+      (:func:`..stages.fetch.fetch_scan_keyed`); page payloads never
+      touch the driver — extraction runs inside the same ``map_batches``
+      chain.  Hit count comes from a column-pruned ``record_url`` scan."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.fetch import BROADCAST_STORE_MAX_BYTES, fetch_scan_keyed
+
+    size = sum(os.path.getsize(p) for p in pages_store_paths)
+    if force_scan or size > BROADCAST_STORE_MAX_BYTES:
+        sel = admitted.select(["url", "seed_rank"])
+        fetched_ds = fetch_scan_keyed(
+            pages_store_paths, sel, store_key="record_url", admitted_key="url",
+            meta_cols=("url", "seed_rank"), num_blocks=nblocks,
+        )
+        media_ds = fetched_ds.map_batches(discover_kernel, batch_format="pyarrow")
+        mt = pa.Table.from_pandas(media_ds.to_pandas(), preserve_index=False)
+        media = mt.cast(_EMPTY_MEDIA.schema) if mt.num_rows else _EMPTY_MEDIA
+        store_urls = pa.concat_tables(
+            [pq.read_table(p, columns=["record_url"]) for p in pages_store_paths]
+        ).column("record_url").combine_chunks()
+        hit_mask = pc.is_in(admitted.column("url"), value_set=store_urls)
+        n_hit = int(pc.sum(pc.cast(hit_mask, pa.int64())).as_py() or 0)
+        return media, n_hit
+
+    pages_tbl = pa.concat_tables([pq.read_table(p) for p in pages_store_paths])
+    page_index = {
+        u: i for i, u in enumerate(pages_tbl.column("record_url").to_pylist())
+    }
+    pos = [page_index.get(u, -1) for u in admitted.column("url").to_pylist()]
+    hit = [i for i, p in enumerate(pos) if p >= 0]
+    fetched_pages = pages_tbl.take(pa.array([pos[i] for i in hit], pa.int64()))
+    meta = admitted.take(pa.array(hit, pa.int64()))
+    fetched = meta.append_column("mime", fetched_pages.column("mime")).append_column(
+        "payload", fetched_pages.column("payload")
+    )
+    return discover_media(fetched), len(hit)
+
+
 def run_discovery_crawl(
     page_seeds: pa.Table,
     robots: pa.Table,
@@ -125,8 +178,12 @@ def run_discovery_crawl(
     store_size: int | None = None,
     min_dim: int = synth.SMALL_DIM_GATE,
     shard_capacity: int = 1 << 20,
+    force_scan_pages: bool = False,
 ) -> CrawlRun:
-    """Two-level crawl: pages (level 0) → discovered media (level 1)."""
+    """Two-level crawl: pages (level 0) → discovered media (level 1).
+    ``force_scan_pages`` forces the streaming scan-store page join even
+    when the page store would fit a broadcast (test hook for the scale
+    path)."""
     import pyarrow.parquet as pq
 
     run = CrawlRun(out_dir)
@@ -143,13 +200,6 @@ def run_discovery_crawl(
             order = np.argsort(blobs_tbl.column("shard").to_numpy())
             pool.restore([blobs_tbl.column("blob")[int(i)].as_py() for i in order])
         pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
-
-        # page store: (record_url, mime, payload) — broadcast-size here;
-        # at scale use the scan-store streaming join on the url key
-        pages_tbl = pa.concat_tables([pq.read_table(p) for p in pages_store_paths])
-        page_index = {
-            u: i for i, u in enumerate(pages_tbl.column("record_url").to_pylist())
-        }
 
         def commit(level: int, admitted: pa.Table, counters: dict):
             if admitted.num_rows and "image_id" not in admitted.column_names:
@@ -192,15 +242,9 @@ def run_discovery_crawl(
             admitted = admitted.sort_by(
                 [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
             )
-            # fetch pages (broadcast lookup by canonical url)
-            pos = [page_index.get(u, -1) for u in admitted.column("url").to_pylist()]
-            hit = [i for i, p in enumerate(pos) if p >= 0]
-            fetched_pages = pages_tbl.take(pa.array([pos[i] for i in hit], pa.int64()))
-            meta = admitted.take(pa.array(hit, pa.int64()))
-            fetched = meta.append_column("mime", fetched_pages.column("mime")).append_column(
-                "payload", fetched_pages.column("payload")
+            media, n_hit = _page_fetch_and_discover(
+                admitted, pages_store_paths, nblocks, force_scan_pages
             )
-            media = discover_media(fetched)
             order_cols = [c for c in ORDER_COLS if c in admitted.column_names]
             commit(
                 0,
@@ -208,7 +252,7 @@ def run_discovery_crawl(
                 {
                     "seeds_in": frontier.num_rows,
                     "admitted": admitted.num_rows,
-                    "pages_fetched": len(hit),
+                    "pages_fetched": n_hit,
                     "media_extracted": media.num_rows,
                 },
             )
@@ -230,14 +274,9 @@ def run_discovery_crawl(
             # deterministically by re-running the (idempotent) level-0
             # extraction against the committed level-0 crawl order
             order0 = run.crawl_order.partition_table(0)
-            pos = [page_index.get(u, -1) for u in order0.column("url").to_pylist()]
-            hit = [i for i, p in enumerate(pos) if p >= 0]
-            fetched_pages = pages_tbl.take(pa.array([pos[i] for i in hit], pa.int64()))
-            meta = order0.take(pa.array(hit, pa.int64()))
-            fetched = meta.append_column("mime", fetched_pages.column("mime")).append_column(
-                "payload", fetched_pages.column("payload")
+            media, _ = _page_fetch_and_discover(
+                order0, pages_store_paths, nblocks, force_scan_pages
             )
-            media = discover_media(fetched)
             m = media.sort_by([("parent_rank", "ascending"), ("intra_pos", "ascending")])
             base = int(page_seeds.num_rows)
             discovered = pa.table(

@@ -66,24 +66,37 @@ def add_image_ids(tbl: pa.Table, store_size: int) -> pa.Table:
 
 class StoreLookupFetcher:
     """``map_batches`` callable over the STORE dataset: keep rows whose
-    ``image_id`` is in the broadcast admitted set, attach schedule
-    metadata columns.  Stateful (actor pool): the admitted-side index is
+    key is in the broadcast admitted set, attach schedule metadata
+    columns.  Stateful (actor pool): the admitted-side index is
     deserialized once per actor in ``__init__``, not per batch — the
-    ray.put-once / read-everywhere broadcast pattern."""
+    ray.put-once / read-everywhere broadcast pattern.  Generic over the
+    key column (``image_id`` for the image store, ``record_url`` vs
+    canonical ``url`` for the page store)."""
 
     META_COLS = ("fetch_time_ms", "host_index", "seed_rank", "url", "url_hash", "host", "epoch")
 
-    def __init__(self, admitted_ref: "ray.ObjectRef"):
+    def __init__(self, admitted_ref: "ray.ObjectRef", store_key: str = "image_id",
+                 admitted_key: str = "image_id", meta_cols: tuple | None = None):
+        import pyarrow.compute as pc  # noqa: F401  (used in __call__)
+
         admitted: pa.Table = ray.get(admitted_ref)
         self._meta = admitted
+        self.store_key = store_key
+        self.meta_cols = tuple(meta_cols) if meta_cols is not None else self.META_COLS
         # one admitted URL = one fetch, even when several URLs resolve to
-        # the same content row: index image_id -> ALL admitted positions
-        self._index: dict[str, list[int]] = {}
-        for i, v in enumerate(admitted.column("image_id").to_pylist()):
+        # the same content row: index store key -> ALL admitted positions
+        self._index: dict = {}
+        for i, v in enumerate(admitted.column(admitted_key).to_pylist()):
             self._index.setdefault(v, []).append(i)
+        self._keyset = pa.array(list(self._index))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("image_id").to_pylist()
+        import pyarrow.compute as pc
+
+        # vectorized pre-filter: at scale almost every store row misses
+        # the admitted set — drop them before the python fan-out loop
+        batch = batch.filter(pc.is_in(batch.column(self.store_key), value_set=self._keyset))
+        ids = batch.column(self.store_key).to_pylist()
         store_pos: list[int] = []
         meta_pos: list[int] = []
         for i, v in enumerate(ids):
@@ -92,8 +105,9 @@ class StoreLookupFetcher:
                 meta_pos.append(j)
         out = batch.take(pa.array(store_pos, pa.int64()))
         meta = self._meta.take(pa.array(meta_pos, pa.int64()))
-        for col in self.META_COLS:
-            out = out.append_column(col, meta.column(col))
+        for col in self.meta_cols:
+            if col not in out.column_names:
+                out = out.append_column(col, meta.column(col))
         return out
 
 
@@ -160,6 +174,41 @@ def fetch_scan_store(
                 mt = mt.append_column(col, miss.column(col))
             out = out.union(rd.from_arrow(mt))
     return out
+
+
+def fetch_scan_keyed(
+    store_paths: list[str],
+    admitted: pa.Table,
+    store_key: str,
+    admitted_key: str,
+    meta_cols: tuple,
+    num_blocks: int | None = None,
+) -> rd.Dataset:
+    """Generic store-driven fetch for keyed stores (e.g. the discovery
+    page store keyed on ``record_url`` vs admitted canonical ``url``):
+    stream the store's parquet fragments, semi-join each batch against
+    the broadcast admitted epoch.  Misses are dropped (a page miss just
+    discovers nothing); count them against the admitted table if the
+    lineage needs it."""
+    ref = ray.put(admitted)
+    if num_blocks is None:
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    key = f"{ref.hex()}:{store_key}"
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        f = _FETCHER_CACHE.get(key)
+        if f is None:
+            if len(_FETCHER_CACHE) > 4:
+                _FETCHER_CACHE.clear()
+            f = _FETCHER_CACHE.setdefault(
+                key,
+                StoreLookupFetcher(ref, store_key=store_key,
+                                   admitted_key=admitted_key, meta_cols=meta_cols),
+            )
+        return f(batch)
+
+    ds = rd.read_parquet(store_paths, override_num_blocks=num_blocks)
+    return ds.map_batches(fetch, batch_format="pyarrow")
 
 
 def make_broadcast_fetch_fn(store_paths: list[str]):

@@ -80,3 +80,27 @@ def test_discovery_resume_after_level0(ray_session, fixtures, tmp_path):
         num_shards=2, store_size=N_IMAGES,
     )
     assert _key(full.order_table()) == _key(again.order_table())
+
+
+def test_discovery_scan_store_mode_parity(ray_session, fixtures, tmp_path):
+    """force_scan_pages streams the page store (scan-store join on
+    canonical url) and must reproduce the broadcast mode's tables."""
+    seeds, robots, warc, pages_path, images = fixtures
+    a = run_discovery_crawl(
+        seeds, robots, [pages_path], images.fragment_paths(), str(tmp_path / "bc"),
+        num_shards=3, store_size=N_IMAGES,
+    )
+    b = run_discovery_crawl(
+        seeds, robots, [pages_path], images.fragment_paths(), str(tmp_path / "scan"),
+        num_shards=3, store_size=N_IMAGES, force_scan_pages=True,
+    )
+    assert _key(a.order_table()) == _key(b.order_table())
+    ia = a.images_out.to_table().to_pandas().sort_values("seed_rank").reset_index(drop=True)
+    ib = b.images_out.to_table().to_pandas().sort_values("seed_rank").reset_index(drop=True)
+    assert ia["image_id"].tolist() == ib["image_id"].tolist()
+    # lineage page counters agree across modes
+    la = a.lineage.to_table().to_pandas()
+    lb = b.lineage.to_table().to_pandas()
+    ka = dict(zip(la["counter"], la["value"]))
+    kb = dict(zip(lb["counter"], lb["value"]))
+    assert ka["pages_fetched"] == kb["pages_fetched"] > 0
