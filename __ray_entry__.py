@@ -29,6 +29,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from cc_warc_examples_ray.entry_queries import ORACLES
+    from cc_warc_examples_ray.entry_queries import oracles_impl
 
-    return dict(ORACLES)
+    return oracles_impl()

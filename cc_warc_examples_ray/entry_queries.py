@@ -50,6 +50,13 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
+def _r5(x):
+    """Deterministic 5-decimal rounding identical in numpy and DuckDB:
+    floor(x*1e5 + 0.5)/1e5 (np.round / SQL round() disagree on .5 ties
+    — half-even vs half-away)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 100000.0 + 0.5) / 100000.0
+
+
 # ---------------------------------------------------------------------------
 # SQL-checked queries
 # ---------------------------------------------------------------------------
@@ -571,6 +578,38 @@ def _sf_scale(sf_dir: str) -> int:
 _PAGES_CACHE = "/tmp/ccwarc_pages_cache.parquet"
 
 
+# deterministic WARC fixture, parquet-ized so DuckDB oracles can read it.
+# Fixed size (sf-independent): oracle_sql() returns static SQL strings.
+_WARC_FIXTURE = "/tmp/ccwarc_warc_fixture.parquet"
+_WARC_N = 1000
+_PHASH_FIXTURE = "/tmp/ccwarc_phash_fixture.parquet"
+
+
+def _ensure_warc_fixture() -> str:
+    """Write the WARC-records fixture (plus a ``payload_text`` column =
+    payload decoded utf-8/replace, the form SQL string functions can
+    process) if absent.  Content is a pure function of the global seed —
+    safe to race, safe to cache."""
+    if not os.path.exists(_WARC_FIXTURE):
+        t = synth.warc_records_table(_WARC_N)
+        txt = [p.decode("utf-8", errors="replace") for p in t.column("payload").to_pylist()]
+        t = t.append_column("payload_text", pa.array(txt, pa.string()))
+        tmp = _WARC_FIXTURE + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _WARC_FIXTURE)
+    return _WARC_FIXTURE
+
+
+def _ensure_phash_fixture() -> str:
+    """(image_id, phash) of the content store, for the pHash SQL oracle."""
+    if not os.path.exists(_PHASH_FIXTURE):
+        t = _store().to_table().select(["image_id", "phash"])
+        tmp = _PHASH_FIXTURE + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _PHASH_FIXTURE)
+    return _PHASH_FIXTURE
+
+
 def q_discovery_crawl(sf_dir: str) -> pa.Table:
     """Two-level discovery crawl (pages → extracted media → image fetch):
     rows-only check; oracle equivalence is a pytest golden."""
@@ -617,24 +656,84 @@ def q_crawl_flagship(sf_dir: str) -> pa.Table:
 
 
 def _warc(sf_dir: str) -> rd.Dataset:
-    n = 2 * _sf_scale(sf_dir)
-    return rd.from_arrow(synth.warc_records_table(n))
+    """The WARC-records fixture as a Dataset (binary ``payload`` column —
+    the Ray pipelines never touch ``payload_text``, that column exists
+    for the SQL oracles)."""
+    path = _ensure_warc_fixture()
+    return rd.read_parquet(path, columns=["record_url", "warc_type", "mime", "payload"])
 
 
 def q_warc_tag_counts(sf_dir: str) -> pd.DataFrame:
     return classics.tag_counts(_warc(sf_dir)).to_pandas().sort_values("tag").reset_index(drop=True)
 
 
+# TagCounterMap.java:27,55-60 semantics: response records whose HTTP
+# header declares text/html; tag = first token of a non-closing element.
+# RE2 has no lookahead — `<([^\s>/][^\s>]*)[^>]*>` is `<(?!/)([^\s>]+)`
+# restated (only the FIRST char is guarded in both).
+SQL_WARC_TAG_COUNTS = f"""
+WITH rec AS (SELECT * FROM read_parquet('{_WARC_FIXTURE}')),
+resp AS (
+  SELECT payload_text, strpos(payload_text, chr(13)||chr(10)||chr(13)||chr(10)) AS p
+  FROM rec WHERE mime = 'application/http; msgtype=response'
+),
+hb AS (
+  SELECT CASE WHEN p > 0 THEN substr(payload_text, 1, p - 1) ELSE '' END AS header,
+         CASE WHEN p > 0 THEN substr(payload_text, p + 4) ELSE payload_text END AS body
+  FROM resp
+),
+tags AS (
+  SELECT unnest(regexp_extract_all(body, '<([^\\s>/][^\\s>]*)[^>]*>', 1)) AS tag
+  FROM hb WHERE contains(header, 'Content-Type: text/html')
+)
+SELECT lower(tag) AS tag, count(*) AS cnt FROM tags GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_warc_word_counts(sf_dir: str) -> pd.DataFrame:
     return classics.word_counts(_warc(sf_dir)).to_pandas().sort_values("word").reset_index(drop=True)
+
+
+SQL_WARC_WORD_COUNTS = f"""
+SELECT word, count(*) AS cnt FROM (
+  SELECT unnest(string_split_regex(payload_text, '\\s+')) AS word
+  FROM read_parquet('{_WARC_FIXTURE}') WHERE mime = 'text/plain'
+) WHERE word <> '' GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_warc_server_counts(sf_dir: str) -> pd.DataFrame:
     return classics.server_counts(_warc(sf_dir)).to_pandas().sort_values("server").reset_index(drop=True)
 
 
+SQL_WARC_SERVER_COUNTS = f"""
+SELECT server, count(*) AS cnt FROM (
+  SELECT json_extract_string(payload_text,
+    '$.Envelope."Payload-Metadata"."HTTP-Response-Metadata".Headers.Server') AS server
+  FROM read_parquet('{_WARC_FIXTURE}') WHERE mime = 'application/json'
+) WHERE server IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_warc_job_counters(sf_dir: str) -> pd.DataFrame:
     return classics.job_counters(_warc(sf_dir)).to_pandas().sort_values("counter").reset_index(drop=True)
+
+
+SQL_WARC_JOB_COUNTERS = f"""
+WITH rec AS (SELECT * FROM read_parquet('{_WARC_FIXTURE}'))
+SELECT 'RECORDS_IN' AS counter, count(*)::BIGINT AS total FROM rec
+UNION ALL
+SELECT 'EMPTY_PAGE_TEXT', count(*)::BIGINT FROM rec
+WHERE mime = 'text/plain' AND trim(payload_text) = ''
+UNION ALL
+SELECT 'NO_SERVER', count(*)::BIGINT FROM rec
+WHERE mime = 'application/json' AND json_extract_string(payload_text,
+  '$.Envelope."Payload-Metadata"."HTTP-Response-Metadata".Headers.Server') IS NULL
+UNION ALL
+SELECT 'NON_PLAIN_TEXT', count(*)::BIGINT FROM rec
+WHERE mime NOT IN ('text/plain', 'application/json', 'application/http; msgtype=response')
+ORDER BY counter
+"""
 
 
 def q_media_extract(sf_dir: str) -> pd.DataFrame:
@@ -642,50 +741,338 @@ def q_media_extract(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("src").reset_index(drop=True)
 
 
+def q_media_src_index(sf_dir: str) -> pd.DataFrame:
+    """The SQL-checkable core of media extraction: (src, page_url) after
+    first-per-src dedup.  The full visitor output (dom depth/siblings/
+    parent text) stays rows-only in q_media_extract."""
+    out = classics.media_extract(_warc(sf_dir)).to_pandas()
+    return out[["src", "page_url"]].sort_values("src").reset_index(drop=True)
+
+
+# The fixture's HTML only produces media via <img src> and <a href=media>
+# (synth.py _html_body), so attribute regexes replicate the DOM visitor
+# exactly for THIS corpus; first-per-src winner = min page_url
+# (MediaReduce.java:12-19 made deterministic).
+SQL_MEDIA_SRC_INDEX = f"""
+WITH rec AS (SELECT * FROM read_parquet('{_WARC_FIXTURE}')),
+resp AS (
+  SELECT record_url, payload_text,
+         strpos(payload_text, chr(13)||chr(10)||chr(13)||chr(10)) AS p
+  FROM rec WHERE mime = 'application/http; msgtype=response'
+),
+hb AS (
+  SELECT record_url,
+         CASE WHEN p > 0 THEN substr(payload_text, 1, p - 1) ELSE '' END AS header,
+         CASE WHEN p > 0 THEN substr(payload_text, p + 4) ELSE payload_text END AS body
+  FROM resp
+),
+html AS (SELECT record_url, body FROM hb WHERE contains(header, 'Content-Type: text/html')),
+srcs AS (
+  SELECT unnest(regexp_extract_all(body, '<img src="([^"]*)"', 1)) AS src, record_url FROM html
+  UNION ALL
+  SELECT s, record_url FROM (
+    SELECT unnest(regexp_extract_all(body, '<a href="([^"]*)"', 1)) AS s, record_url FROM html
+  ) WHERE regexp_matches(s,
+      '\\.(jpe?g|png|gif|bmp|tiff?|svg|webp|mp4|avi|mov|mpe?g|wmv)([?#].*)?$', 'i')
+)
+SELECT src, min(record_url) AS page_url FROM srcs GROUP BY src ORDER BY src
+"""
+
+
+# word-3-gram shingle set reconstruction, shared by the minhash oracles:
+# tokens = \w+ of lower(text); shingles = joined 3-grams (all tokens when
+# fewer than 3); Jaccard on the DISTINCT shingle sets (dedup.py
+# shingle_hashes semantics).  LSH recall at the 0.8 threshold is
+# 1-(1-j^4)^16 (>1-2e-4 at j=0.8); deterministic on this corpus — the
+# harness verifies equality at every sf before shipping.
+_SQL_MINHASH_PAIRS_CTE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        FROM toks WHERE len(t) >= 3)
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+dsh AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM dsh a JOIN dsh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, i::DOUBLE / (sa.n + sb.n - i) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+vpairs AS (
+  SELECT id_a, id_b, j FROM jac WHERE j >= 0.8
+  UNION ALL
+  SELECT e1.doc_id, e2.doc_id, 1.0
+  FROM (SELECT doc_id FROM toks WHERE len(t) = 0) e1
+  JOIN (SELECT doc_id FROM toks WHERE len(t) = 0) e2 ON e1.doc_id < e2.doc_id
+)
+"""
+
+
+def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Verified near-dup pairs: LSH candidates → exact shingle-Jaccard
+    >= 0.8 (join-based verify, no corpus broadcast)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(docs)
+    good = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8).to_pandas()
+    if good.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard_r": pd.Series(dtype="float64")})
+    good["jaccard_r"] = _r5(good["jaccard"])
+    return good[["id_a", "id_b", "jaccard_r"]].sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
+
+
+SQL_MINHASH_PAIRS = _SQL_MINHASH_PAIRS_CTE + """
+SELECT id_a, id_b, floor(j * 100000 + 0.5) / 100000 AS jaccard_r FROM vpairs ORDER BY id_a, id_b
+"""
+
+
 def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup components (doc_id, group_id) over the verified pairs."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.minhash_dedup(docs, threshold=0.8).reset_index(drop=True)
 
 
+SQL_MINHASH_NEARDUP = _SQL_MINHASH_PAIRS_CTE.replace(
+    "WITH toks", "WITH RECURSIVE toks", 1
+) + """,
+sym AS (SELECT id_a AS a, id_b AS b FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS group_id
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """md5-token-hash simhash (DuckDB-replicable) → Hamming<=3 pairs."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dedup.simhash_pairs(docs, max_hamming=3).to_pandas()
+    out = dedup.simhash_pairs(docs, max_hamming=3, token_hash="md5").to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_SIMHASH_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, i, CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS v
+  FROM th CROSS JOIN range(64) t(i)
+),
+sums AS (SELECT doc_id, i, sum(v) AS s FROM bits GROUP BY 1, 2),
+codes0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS code
+  FROM sums GROUP BY 1
+),
+sh AS (
+  SELECT d.doc_id, coalesce(c.code, 0::UBIGINT)::UBIGINT AS code
+  FROM documents d LEFT JOIN codes0 c ON d.doc_id = c.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.code, b.code))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.code, b.code)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def q_phash_neardup(sf_dir: str) -> pd.DataFrame:
     store = _store()
+    _ensure_phash_fixture()
     ds = store.read_ray(columns=["image_id", "phash"])
     out = dedup.phash_neardup_groups(ds, max_hamming=2).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+SQL_PHASH_NEARDUP = f"""
+WITH p AS (SELECT image_id, phash FROM read_parquet('{_PHASH_FIXTURE}'))
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+FROM p a JOIN p b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 def q_langid(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    out = docs.map_batches(text.LangIdentifier, batch_format="pyarrow",
-                           concurrency=(1, 4)).to_pandas()
-    out["lang_conf"] = out["lang_conf"].round(5)
+    out = docs.map_batches(text.LangIdentifier(), batch_format="pyarrow").to_pandas()
+    out["lang_conf"] = _r5(out["lang_conf"])
     return out[["doc_id", "lang", "lang_pred", "lang_conf"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_stopword_values() -> str:
+    """The LANG_PROFILES stopword lists as a SQL VALUES literal."""
+    rows = [
+        f"('{lang}', '{w}')"
+        for lang in sorted(text.LANG_PROFILES)
+        for w in sorted(text.LANG_PROFILES[lang])
+    ]
+    return ", ".join(rows)
+
+
+# Mirrors ops/text.py LangIdentifier: score(lang) = stopword hits /
+# token count (single exact-int division both sides); winner = max by
+# (score, lang) i.e. ORDER BY score DESC, lang DESC; 'und' at <= 0.02.
+SQL_LANGID = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok FROM documents
+),
+tot AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+profiles(plang, w) AS (VALUES {{values}}),
+hits AS (
+  SELECT t.doc_id, p.plang, count(*) AS h
+  FROM toks t JOIN profiles p ON t.tok = p.w GROUP BY 1, 2
+),
+scores AS (
+  SELECT tot.doc_id, l.plang, coalesce(hits.h, 0)::DOUBLE / tot.n AS score
+  FROM tot CROSS JOIN (SELECT DISTINCT plang FROM profiles) l
+  LEFT JOIN hits ON hits.doc_id = tot.doc_id AND hits.plang = l.plang
+),
+best AS (
+  SELECT doc_id, plang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang DESC) AS rn
+  FROM scores
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN b.score > 0.02 THEN b.plang ELSE 'und' END AS lang_pred,
+       floor(coalesce(b.score, 0.0) * 100000 + 0.5) / 100000 AS lang_conf
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+""".replace("{values}", _sql_stopword_values())
 
 
 def q_quality_scores(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(lambda t: text.quality_scores(t), batch_format="pyarrow").to_pandas()
     for c in ("mean_word_len", "punct_ratio", "digit_ratio", "stopword_ratio", "upper_ratio", "quality"):
-        out[c] = out[c].round(5)
+        out[c] = _r5(out[c])
     return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
 
 
+# Mirrors ops/text.py quality_scores byte-class ratios (corpus is ASCII,
+# so char counts == utf-8 byte counts); every ratio is one exact-int
+# division; quality is the identical 4-term double expression.
+SQL_QUALITY_SCORES = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS nc,
+    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha_cnt,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
+    length(text) - length(regexp_replace(text, '[ ' || chr(9) || chr(10) || chr(13) || ']', '', 'g')) AS space_cnt,
+    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_cnt
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok FROM documents
+),
+wstats AS (
+  SELECT doc_id, count(*) AS nw, sum(length(tok))::BIGINT AS wlen,
+         sum(CASE WHEN tok IN ({{en_stop}}) THEN 1 ELSE 0 END)::BIGINT AS stop_hits
+  FROM toks GROUP BY 1
+),
+r AS (
+  SELECT b.doc_id, b.nc AS n_chars_text,
+    CASE WHEN w.nw > 0 THEN w.wlen::DOUBLE / w.nw ELSE 0.0 END AS mean_word_len,
+    CASE WHEN b.nc > 0 THEN (b.nc - b.alpha_cnt - b.digit_cnt - b.space_cnt)::DOUBLE / b.nc ELSE 0.0 END AS punct_ratio,
+    CASE WHEN b.nc > 0 THEN b.digit_cnt::DOUBLE / b.nc ELSE 0.0 END AS digit_ratio,
+    CASE WHEN w.nw > 0 THEN w.stop_hits::DOUBLE / w.nw ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN b.nc > 0 THEN b.upper_cnt::DOUBLE / greatest(b.alpha_cnt, 1) ELSE 0.0 END AS upper_ratio
+  FROM base b LEFT JOIN wstats w ON w.doc_id = b.doc_id
+)
+SELECT doc_id, n_chars_text,
+  floor(mean_word_len * 100000 + 0.5) / 100000 AS mean_word_len,
+  floor(punct_ratio * 100000 + 0.5) / 100000 AS punct_ratio,
+  floor(digit_ratio * 100000 + 0.5) / 100000 AS digit_ratio,
+  floor(stopword_ratio * 100000 + 0.5) / 100000 AS stopword_ratio,
+  floor(upper_ratio * 100000 + 0.5) / 100000 AS upper_ratio,
+  floor((
+    (CASE WHEN n_chars_text >= 50 THEN 1.0 ELSE 0.0 END) * 0.25
+    + least(mean_word_len / 8.0, 1.0) * 0.25
+    + least(stopword_ratio * 4.0, 1.0) * 0.25
+    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25) * 100000 + 0.5) / 100000 AS quality
+FROM r ORDER BY doc_id
+""".replace("{en_stop}", ", ".join(f"'{w}'" for w in sorted(text.LANG_PROFILES["en"])))
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """md5-hash variant of the winnowing fingerprint (DuckDB-replicable:
+    md5_number_lower on both sides)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(lambda t: text.fingerprint(t), batch_format="pyarrow").to_pandas()
+    out = docs.map_batches(
+        lambda t: text.fingerprint(t, hash_fn="md5"), batch_format="pyarrow"
+    ).to_pandas()
     return out[["doc_id", "text_hash", "min_fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# uint64 → signed two's complement (the Ray side stores int64 views)
+_SQL_U2S = "(({v})::HUGEINT - CASE WHEN ({v}) >= 9223372036854775808::UBIGINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT"
+
+SQL_FINGERPRINT = f"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 3), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1) + 1)) AS i
+        FROM toks WHERE len(t) > 0)
+),
+mins AS (SELECT doc_id, min(md5_number_lower(g)) AS mf FROM grams GROUP BY 1)
+SELECT k.doc_id,
+  {_SQL_U2S.format(v="md5_number_lower(k.text)")} AS text_hash,
+  CASE WHEN m.mf IS NULL THEN 0
+       ELSE {_SQL_U2S.format(v="m.mf")} END AS min_fingerprint
+FROM toks k LEFT JOIN mins m ON m.doc_id = k.doc_id
+ORDER BY k.doc_id
+"""
 
 
 def q_ngram_scores(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["text", "lang"])
     out = text.ngram_class_scores(docs, "text", "lang", pos_label="en", min_count=5).to_pandas()
     return out.sort_values(["score", "ngram"], ascending=[False, True]).head(500).reset_index(drop=True)
+
+
+# char 3-5-grams of the cleaned text (\\W+ → single space, trimmed,
+# lowered — ops/text.py char_ngrams), counted per class, pruned at 5,
+# scored pos-neg (NgamFeatureSelection.java:156-163), top 500.
+SQL_NGRAM_SCORES = """
+WITH cleaned AS (
+  SELECT trim(regexp_replace(lower(text), '\\W+', ' ', 'g')) AS s, lang FROM documents
+),
+grams AS (
+  SELECT substr(s, i::INT, n::INT) AS ngram, lang
+  FROM (SELECT s, lang, n, unnest(range(1, greatest(length(s) - n + 2, 1))) AS i
+        FROM cleaned CROSS JOIN range(3, 6) t(n)
+        WHERE length(s) >= n)
+),
+counts AS (
+  SELECT ngram,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos_cnt,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS neg_cnt
+  FROM grams GROUP BY 1
+)
+SELECT ngram, (pos_cnt - neg_cnt)::BIGINT AS score
+FROM counts WHERE pos_cnt + neg_cnt >= 5
+ORDER BY score DESC, ngram LIMIT 500
+"""
 
 
 def q_media_classify(sf_dir: str) -> pd.DataFrame:
@@ -712,6 +1099,90 @@ def q_media_classify(sf_dir: str) -> pd.DataFrame:
     return out[["src", "ngram_hits", "p_feat", "p_ngram", "is_big"]].sort_values(
         "src"
     ).reset_index(drop=True)
+
+
+def q_crawl_admission(sf_dir: str) -> pd.DataFrame:
+    """North-rule admission + politeness semantics with a SQL oracle:
+    a frontier derived from documents (www./default-port/whitespace
+    disguises + canonical duplicates) flows through the REAL pipeline —
+    ``canonicalize_batch`` (RFC 3986 + SURT) → sharded cuckoo first-seen
+    admit (pipelined protocol) → per-host politeness schedule.  The
+    oracle reconstructs canonical urls analytically and replicates
+    first-seen + schedule with window functions."""
+    from .functions.urls import canonicalize_batch
+    from .hashing import xxh64_many
+    from .pipelines.crawl import _robots_maps
+    from .state.frontier_shard import FrontierPool
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+    d = docs.column("doc_id").to_numpy().astype(np.int64)
+    seed_urls = []
+    for k in d.tolist():
+        t = k - 1 if (k % 11 == 5 and k > 0) else k
+        host = f"host{t % 20:04d}.example"
+        path = f"/img/i{t}.png"
+        if k % 11 == 5 and k > 0:
+            u = f"http://{host}:80{path}"  # duplicate, disguised via default port
+        elif k % 7 == 1:
+            u = f"http://www.{host}{path}"
+        elif k % 7 == 2:
+            u = f"http://{host}:80{path}"
+        elif k % 7 == 3:
+            u = f"http://{host}{path[:4]} {path[4:]}"  # embedded whitespace
+        else:
+            u = f"http://{host}{path}"
+        seed_urls.append(u)
+    seeds = pa.table(
+        {
+            "seed_url": pa.array(seed_urls, pa.string()),
+            "page_url": pa.array([""] * len(d), pa.string()),
+            "seed_rank": pa.array(d),
+        }
+    )
+    ct = canonicalize_batch(seeds).sort_by([("seed_rank", "ascending")])
+    robots = synth.robots_table(20)
+    delays, _dis = _robots_maps(robots)
+    pool = FrontierPool(4, capacity_per_shard=1 << max(16, (int(2.5 * len(d)) - 1).bit_length()))
+    try:
+        pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
+        uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        hh = xxh64_many(ct.column("host"))
+        admit, ft, hi = pool.admit_and_schedule_pipelined(uh, hh)
+        out = ct.filter(pa.array(admit))
+        out = out.append_column("fetch_time_ms", pa.array(ft[admit], pa.int64()))
+        out = out.append_column("host_index", pa.array(hi[admit], pa.int64()))
+    finally:
+        pool.shutdown()
+    df = out.to_pandas()[["seed_rank", "url", "host", "host_index", "fetch_time_ms"]]
+    return df.sort_values(["fetch_time_ms", "seed_rank"]).reset_index(drop=True)
+
+
+SQL_CRAWL_ADMISSION = """
+WITH seeds AS (
+  SELECT doc_id AS seed_rank,
+         CASE WHEN doc_id % 11 = 5 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS t
+  FROM documents
+),
+urls AS (
+  SELECT seed_rank,
+         'http://host' || lpad(CAST(t % 20 AS VARCHAR), 4, '0') || '.example/img/i'
+           || CAST(t AS VARCHAR) || '.png' AS url,
+         'host' || lpad(CAST(t % 20 AS VARCHAR), 4, '0') || '.example' AS host,
+         (t % 20) % 4 AS dk
+  FROM seeds
+),
+admitted AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY seed_rank) AS rn FROM urls
+),
+sched AS (
+  SELECT seed_rank, url, host,
+         row_number() OVER (PARTITION BY host ORDER BY seed_rank) - 1 AS host_index,
+         CASE dk WHEN 0 THEN 0 WHEN 1 THEN 150 WHEN 2 THEN 500 ELSE 1000 END AS delay
+  FROM admitted WHERE rn = 1
+)
+SELECT seed_rank, url, host, host_index, CAST(host_index * delay AS BIGINT) AS fetch_time_ms
+FROM sched ORDER BY fetch_time_ms, seed_rank
+"""
 
 
 def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
@@ -756,14 +1227,14 @@ QUERIES = {
     "orders_by_segment": q_orders_by_segment,
     "brand_quantity": q_brand_quantity,
     "stratified_docs": q_stratified_docs,
-    # rows-only
-    "crawl_flagship": q_crawl_flagship,
-    "discovery_crawl": q_discovery_crawl,
+    # SQL-checked (round 2): fixture-backed + analytic oracles
+    "crawl_admission": q_crawl_admission,
     "warc_tag_counts": q_warc_tag_counts,
     "warc_word_counts": q_warc_word_counts,
     "warc_server_counts": q_warc_server_counts,
     "warc_job_counters": q_warc_job_counters,
-    "media_extract": q_media_extract,
+    "media_src_index": q_media_src_index,
+    "minhash_pairs": q_minhash_pairs,
     "minhash_neardup": q_minhash_neardup,
     "simhash_pairs": q_simhash_pairs,
     "phash_neardup": q_phash_neardup,
@@ -771,6 +1242,10 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprint": q_fingerprint,
     "ngram_scores": q_ngram_scores,
+    # rows-only (non-SQL-expressible: full pipelines / kmeans / DOM visitor detail)
+    "crawl_flagship": q_crawl_flagship,
+    "discovery_crawl": q_discovery_crawl,
+    "media_extract": q_media_extract,
     "ivf_ann": q_ivf_ann,
     "media_classify": q_media_classify,
 }
@@ -795,7 +1270,30 @@ ORACLES = {
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "brand_quantity": SQL_BRAND_QUANTITY,
     "stratified_docs": SQL_STRATIFIED_DOCS,
+    "crawl_admission": SQL_CRAWL_ADMISSION,
+    "warc_tag_counts": SQL_WARC_TAG_COUNTS,
+    "warc_word_counts": SQL_WARC_WORD_COUNTS,
+    "warc_server_counts": SQL_WARC_SERVER_COUNTS,
+    "warc_job_counters": SQL_WARC_JOB_COUNTERS,
+    "media_src_index": SQL_MEDIA_SRC_INDEX,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "phash_neardup": SQL_PHASH_NEARDUP,
+    "langid": SQL_LANGID,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "fingerprint": SQL_FINGERPRINT,
+    "ngram_scores": SQL_NGRAM_SCORES,
 }
+
+
+def oracles_impl() -> dict[str, str]:
+    """The ORACLES registry; materializes the /tmp fixtures the
+    fixture-backed SQL strings read (warc records, phash table) so the
+    oracle side never depends on queries() having run first."""
+    _ensure_warc_fixture()
+    _ensure_phash_fixture()
+    return dict(ORACLES)
 
 
 def entry_impl() -> rd.Dataset:

@@ -228,3 +228,33 @@ def combine64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     b = b.astype(np.uint64, copy=False)
     a ^= b + np.uint64(0x9E3779B97F4A7C15) + (a << np.uint64(6)) + (a >> np.uint64(2))
     return a
+
+
+def md5_64(s: str) -> int:
+    """64-bit md5-derived hash matching DuckDB's ``md5_number_lower``:
+    bytes 8..16 of the digest, little-endian, as uint64.  Used only by
+    the oracle-checked query variants (md5 is the one 64-bit hash both
+    Python and DuckDB SQL can compute identically); xxh64 remains the
+    hot-path hash."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
+def md5_64_many(strings, cache: dict | None = None) -> "np.ndarray":
+    """Vector md5_64 with an optional memo cache (per-actor token cache)."""
+    import hashlib
+
+    out = np.empty(len(strings), dtype=np.uint64)
+    if cache is None:
+        for i, s in enumerate(strings):
+            out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+        return out
+    for i, s in enumerate(strings):
+        v = cache.get(s)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+            if len(cache) < 1_000_000:
+                cache[s] = v
+        out[i] = v
+    return out

@@ -150,12 +150,13 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc
     """Candidate near-dup pairs: any two docs sharing an LSH band bucket.
     Pair explosion is bounded per bucket; hot buckets indicate a
     degenerate shingle (e.g. empty text) and should be pre-filtered."""
+    # instance-based task pool: the hasher state (permutation params) is
+    # tiny — serialized once with the task closure; an actor pool's
+    # spin-up latency would dominate at small inputs for zero benefit.
     exploded = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k, bands=bands,
-                                   shingle_n=shingle_n),
+        MinHasher(text_col=text_col, id_col=id_col, k=k, bands=bands,
+                  shingle_n=shingle_n),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     cand = exploded.groupby(["band", "band_hash"]).map_groups(
         _pairs_from_buckets(id_col), batch_format="pandas"
@@ -186,24 +187,38 @@ def _jaccard_rows(tbl: pa.Table, shingle_n: int) -> pa.Table:
 def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
                          threshold: float = 0.8, shingle_n: int = 3,
                          text_col: str = "text", id_col: str = "doc_id",
-                         num_buckets: int = 16) -> rd.Dataset:
+                         num_buckets: int = 8) -> rd.Dataset:
     """Verify candidate pairs with exact shingle Jaccard.  Texts are
-    REJOINED to the pairs on id (two bucketed hash joins) — the corpus is
-    never broadcast, so verification scales with the pair list, not the
-    corpus (the 100 TB shape).  Jaccard runs block-locally after the
-    second join."""
+    REJOINED to the pairs on id — the corpus is never broadcast, so
+    verification scales with the pair list, not the corpus (the 100 TB
+    shape).  The docs side is first pruned with a broadcast SEMI-join on
+    the pair-id set (ids only — tiny relative to texts by construction:
+    it is the candidate list), then two bucketed hash joins attach
+    text_a/text_b and Jaccard runs block-locally."""
+    import pyarrow.compute as pc
+    import ray
+
     from .relational import hash_join
+
+    pairs = pairs.materialize()  # consumed three times (ids + two joins)
+    idt = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    need = ray.put(pa.array(sorted(set(idt["id_a"]) | set(idt["id_b"]))))
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.select([id_col, text_col]).filter(
+            pc.is_in(t.column(id_col), value_set=ray.get(need))
+        )
+
+    docs_small = docs.map_batches(prune, batch_format="pyarrow")
 
     def rename(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            return t.select([id_col, text_col]).rename_columns(
-                [f"id_{side}", f"text_{side}"]
-            )
+            return t.rename_columns([f"id_{side}", f"text_{side}"])
 
         return fn
 
-    docs_a = docs.map_batches(rename("a"), batch_format="pyarrow")
-    docs_b = docs.map_batches(rename("b"), batch_format="pyarrow")
+    docs_a = docs_small.map_batches(rename("a"), batch_format="pyarrow")
+    docs_b = docs_small.map_batches(rename("b"), batch_format="pyarrow")
     witha = hash_join(pairs, docs_a, "id_a", num_buckets=num_buckets)
     withb = hash_join(witha, docs_b, "id_b", num_buckets=num_buckets)
     verified = withb.map_batches(
@@ -249,8 +264,22 @@ def minhash_dedup(ds: rd.Dataset, docs: rd.Dataset | None = None,
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    """``token_hash``: "xxh64" (default, hot path) or "md5" — the md5
+    variant matches DuckDB's ``md5_number_lower`` so the SQL oracle can
+    recompute identical simhashes (see SQL_SIMHASH_PAIRS)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 token_hash: str = "xxh64"):
         self.text_col, self.id_col = text_col, id_col
+        self.token_hash = token_hash
+        self._md5_cache: dict = {}
+
+    def _hash_tokens(self, toks: list[str]) -> np.ndarray:
+        if self.token_hash == "md5":
+            from ..hashing import md5_64_many
+
+            return md5_64_many(toks, cache=self._md5_cache)
+        return xxh64_many(toks)
 
     def simhash(self, text: str) -> np.uint64:
         """Single-doc convenience wrapper over the batch kernel."""
@@ -258,8 +287,7 @@ class SimHasher:
             self._codes([_TOKEN_RE.findall((text or "").lower())])[0]
         )
 
-    @staticmethod
-    def _codes(toks_per_doc: list[list[str]]) -> np.ndarray:
+    def _codes(self, toks_per_doc: list[list[str]]) -> np.ndarray:
         """Vectorized Charikar simhash across the WHOLE batch: hash every
         token once, unpack all bits in one kernel, segment-sum per doc —
         no per-doc 64-iteration Python loop."""
@@ -269,7 +297,7 @@ class SimHasher:
         all_toks = [tok for toks in toks_per_doc for tok in toks]
         if not all_toks:
             return codes
-        hs = xxh64_many(all_toks)  # uint64 [T]
+        hs = self._hash_tokens(all_toks)  # uint64 [T]
         # little-endian byte view + bitorder="little" → column b == (h>>b)&1
         bits = np.unpackbits(
             hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
@@ -297,12 +325,14 @@ class SimHasher:
 
 
 def simhash_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> rd.Dataset:
+                  max_hamming: int = 3, token_hash: str = "xxh64") -> rd.Dataset:
     """Near-dup pairs by simhash: 4×16-bit block keys (pigeonhole — any
     pair within Hamming<=3 of 64 bits shares at least one exact 16-bit
     block), groupby block, verify Hamming within bucket."""
-    sigs = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-                          batch_format="pyarrow", concurrency=(1, 8))
+    sigs = ds.map_batches(
+        SimHasher(text_col=text_col, id_col=id_col, token_hash=token_hash),
+        batch_format="pyarrow",
+    )
 
     def explode(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)

@@ -121,18 +121,27 @@ class LangIdentifier:
         )
 
 
-def fingerprint(tbl: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
+def fingerprint(tbl: pa.Table, text_col: str = "text", window: int = 8,
+                hash_fn: str = "xxh64") -> pa.Table:
     """Winnowing-style document fingerprint: min rolling-window hash over
-    word 4-gram hashes (Schleimer et al. 2003 family) + full-text hash."""
+    word 4-gram hashes (Schleimer et al. 2003 family) + full-text hash.
+    ``hash_fn="md5"`` switches to DuckDB-replicable ``md5_number_lower``
+    semantics so the SQL oracle can recompute identical fingerprints."""
     texts = tbl.column(text_col).to_pylist()
-    full = xxh64_many([t or "" for t in texts]).view(np.int64)
+    if hash_fn == "md5":
+        from ..hashing import md5_64_many
+
+        hasher = md5_64_many
+    else:
+        hasher = xxh64_many
+    full = hasher([t or "" for t in texts]).view(np.int64)
     mins = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         toks = _WORD_RE.findall((t or "").lower())
         if not toks:
             continue
         grams = [" ".join(toks[j : j + 4]) for j in range(max(1, len(toks) - 3))]
-        hs = xxh64_many(grams)
+        hs = hasher(grams)
         mins[i] = hs.min()
     return tbl.append_column("text_hash", pa.array(full, pa.int64())).append_column(
         "min_fingerprint", pa.array(mins.view(np.int64), pa.int64())
