@@ -333,6 +333,11 @@ def run_crawl(
                         canon_futs[e2] = canon_pool.submit(canon_epoch, e2)
                     return
 
+        import os as _os
+        import time as _time
+
+        _dbg = _os.environ.get("CRAWL_TIMING") == "1"
+
         prefetch_from(start_epoch)
         try:
             for epoch in range(start_epoch, num_epochs):
@@ -340,9 +345,15 @@ def run_crawl(
                 if hi <= lo:
                     continue
                 stats_before = pool.stats()
+                _t = _time.time()
                 cdf = canon_futs.pop(epoch).result()
+                if _dbg:
+                    print(f"[crawl-timing] epoch {epoch} canon_wait {_time.time()-_t:.2f}s", flush=True)
                 prefetch_from(epoch + 1)
+                _t = _time.time()
                 admitted = admit_epoch(cdf)
+                if _dbg:
+                    print(f"[crawl-timing] epoch {epoch} admit {_time.time()-_t:.2f}s", flush=True)
                 stats_after = pool.stats()
                 d_admit = sum(s["admitted"] for s in stats_after) - sum(
                     s["admitted"] for s in stats_before
@@ -370,8 +381,11 @@ def run_crawl(
                 if commit_err:
                     raise commit_err[0]
                 # backpressure: at most 2 epochs' writes in flight
+                _t = time.time()
                 while sum(1 for t in inflight if not t[4].done()) > 1:
                     time.sleep(0.02)
+                if _dbg:
+                    print(f"[crawl-timing] epoch {epoch} backpressure_wait {time.time()-_t:.2f}s", flush=True)
                 if fail_after_epoch is not None and epoch >= fail_after_epoch:
                     commit_q.put(StopIteration)
                     committer.result()
