@@ -37,24 +37,20 @@ from ..state.frontier_shard import FrontierPool
 from .crawl import ORDER_COLS, CrawlRun, _make_robots_gate, _robots_maps
 
 
-def _admit(pool: FrontierPool, cdf: pd.DataFrame, chunk: int = 32768) -> pd.DataFrame:
+def _admit(pool: FrontierPool, cdf: pd.DataFrame) -> pd.DataFrame:
     cdf = cdf.sort_values("seed_rank", kind="mergesort")
-    outs = []
-    for st in range(0, len(cdf), chunk):
-        sub = cdf.iloc[st : st + chunk]
-        hashes = sub["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
-        hh = xxh64_many(sub["host"].tolist())
-        a, ft, hi = pool.admit_and_schedule(hashes, hh)
-        keep = sub.loc[a].copy()
-        keep["fetch_time_ms"] = ft[a]
-        keep["host_index"] = hi[a]
-        outs.append(keep)
-    if outs:
-        return pd.concat(outs)
-    empty = cdf.iloc[0:0].copy()
-    empty["fetch_time_ms"] = pd.Series(dtype="int64")
-    empty["host_index"] = pd.Series(dtype="int64")
-    return empty
+    if not len(cdf):
+        empty = cdf.iloc[0:0].copy()
+        empty["fetch_time_ms"] = pd.Series(dtype="int64")
+        empty["host_index"] = pd.Series(dtype="int64")
+        return empty
+    hashes = cdf["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
+    hh = xxh64_many(cdf["host"].tolist())
+    a, ft, hi = pool.admit_and_schedule_pipelined(hashes, hh)
+    keep = cdf.loc[a].copy()
+    keep["fetch_time_ms"] = ft[a]
+    keep["host_index"] = hi[a]
+    return keep
 
 
 def _canonicalize(seeds: pa.Table, disallow, nblocks: int) -> pd.DataFrame:

@@ -60,3 +60,16 @@ def test_statistics_report(ray_session, tmp_path):
     freqs = stats_report.host_frequencies(run.crawl_order.read_ray()).to_pandas()
     assert freqs["cnt"].sum() == run.crawl_order.to_table().num_rows
     assert set(freqs["kind"]) <= {"webpage", "image", "video"}
+
+
+def test_read_warc_files_uri_scheme(ray_session, tmp_path):
+    """S4 analog: read_binary_files through a URI scheme string (the
+    S3ReaderTest.java path shape) — file:// resolves via the same
+    pyarrow/fsspec filesystem dispatch the anonymous-S3 path uses."""
+    t = synth.warc_records_table(20)
+    p = tmp_path / "remote.warc.gz"
+    p.write_bytes(warc.write_warc(t))
+    ds = warc.read_warc_files(f"file://{p}")
+    assert ds.count() == 20
+    urls = sorted(ds.to_pandas()["record_url"])
+    assert urls == sorted(t.column("record_url").to_pylist())
