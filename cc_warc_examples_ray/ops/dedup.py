@@ -145,6 +145,49 @@ def _pairs_from_buckets(id_col: str):
     return pairs
 
 
+def grouped_bucket_pairs(exploded: rd.Dataset, keys: list[str], per_bucket_fn,
+                         num_partitions: int = 32) -> rd.Dataset:
+    """Run ``per_bucket_fn`` over every distinct bucket of ``keys``
+    WITHOUT one pandas group per bucket: buckets are hash-partitioned
+    into ``num_partitions`` groups (one shuffle, bounded group count),
+    and each group's kernel walks its bucket boundaries with numpy —
+    per-bucket Python work only happens for buckets that can pair
+    (>= 2 rows), which near-dup explosion makes rare by construction."""
+    from ..hashing import combine64
+
+    def add_part(tbl: pa.Table) -> pa.Table:
+        acc = None
+        for k in keys:
+            col = tbl.column(k)
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            else:
+                v = xxh64_many(col)
+            acc = v.astype(np.uint64, copy=True) if acc is None else combine64(acc, v)
+        part = (acc % np.uint64(num_partitions)).astype(np.int64)
+        return tbl.append_column("_part", pa.array(part))
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys, kind="mergesort")
+        karr = g[keys].to_numpy()
+        if len(g) < 2:
+            return per_bucket_fn(g.iloc[0:0])
+        change = (karr[1:] != karr[:-1]).any(axis=1)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1, [len(g)]])
+        outs = []
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            if s1 - s0 < 2:
+                continue
+            sub = per_bucket_fn(g.iloc[s0:s1])
+            if len(sub):
+                outs.append(sub)
+        return pd.concat(outs) if outs else per_bucket_fn(g.iloc[0:0])
+
+    return exploded.map_batches(add_part, batch_format="pyarrow").groupby(
+        "_part"
+    ).map_groups(kern, batch_format="pandas")
+
+
 def minhash_lsh_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 64, bands: int = 16, shingle_n: int = 3) -> rd.Dataset:
     """Candidate near-dup pairs: any two docs sharing an LSH band bucket.
@@ -158,9 +201,7 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc
                   shingle_n=shingle_n),
         batch_format="pyarrow",
     )
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(
-        _pairs_from_buckets(id_col), batch_format="pandas"
-    )
+    cand = grouped_bucket_pairs(exploded, ["band", "band_hash"], _pairs_from_buckets(id_col))
     # distinct pairs (a pair can collide in several bands)
     return distinct_pairs(cand)
 
@@ -365,7 +406,7 @@ def simhash_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
                              "hamming": ham[keep].astype(np.int64)})
 
-    cand = exploded.groupby(["block", "block_key"]).map_groups(pairs, batch_format="pandas")
+    cand = grouped_bucket_pairs(exploded, ["block", "block_key"], pairs)
     return distinct_pairs(cand, extra_cols=("hamming",))
 
 
@@ -600,7 +641,5 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
                              "hamming": ham[keep].astype(np.int64)})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    cand = exploded.groupby(["block", "block_key", "salt"]).map_groups(
-        verify, batch_format="pandas"
-    )
+    cand = grouped_bucket_pairs(exploded, ["block", "block_key", "salt"], verify)
     return distinct_pairs(cand, extra_cols=("hamming",))
