@@ -912,6 +912,38 @@ ORDER BY id_a, id_b
 """
 
 
+def q_phash_groups(sf_dir: str) -> pd.DataFrame:
+    """Visual near-dup GROUPS: pHash Hamming pairs → distributed
+    min-label propagation (`ops/dedup.py:pair_components` — the 100 TB
+    replacement for driver union-find).  Oracle: recursive-CTE
+    transitive closure over the same pairs."""
+    store = _store()
+    _ensure_phash_fixture()
+    ds = store.read_ray(columns=["image_id", "phash"])
+    pairs = dedup.phash_neardup_groups(ds, max_hamming=2)
+    out = dedup.pair_components(pairs).to_pandas()
+    out = out.rename(columns={"node": "image_id"})
+    return out[["image_id", "group_id"]].sort_values("image_id").reset_index(drop=True)
+
+
+SQL_PHASH_GROUPS = f"""
+WITH RECURSIVE p AS (SELECT image_id, phash FROM read_parquet('{_PHASH_FIXTURE}')),
+vpairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM p a JOIN p b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS image_id, least(a, min(b)) AS group_id
+FROM reach GROUP BY a ORDER BY image_id
+"""
+
+
 def q_langid(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = docs.map_batches(text.LangIdentifier(), batch_format="pyarrow").to_pandas()
@@ -1238,6 +1270,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash_pairs": q_simhash_pairs,
     "phash_neardup": q_phash_neardup,
+    "phash_groups": q_phash_groups,
     "langid": q_langid,
     "quality_scores": q_quality_scores,
     "fingerprint": q_fingerprint,
@@ -1280,6 +1313,7 @@ ORACLES = {
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "phash_neardup": SQL_PHASH_NEARDUP,
+    "phash_groups": SQL_PHASH_GROUPS,
     "langid": SQL_LANGID,
     "quality_scores": SQL_QUALITY_SCORES,
     "fingerprint": SQL_FINGERPRINT,

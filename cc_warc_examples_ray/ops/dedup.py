@@ -146,13 +146,18 @@ def _pairs_from_buckets(id_col: str):
 
 
 def grouped_bucket_pairs(exploded: rd.Dataset, keys: list[str], per_bucket_fn,
+                         out_schema: pa.Schema,
                          num_partitions: int = 32) -> rd.Dataset:
     """Run ``per_bucket_fn`` over every distinct bucket of ``keys``
     WITHOUT one pandas group per bucket: buckets are hash-partitioned
     into ``num_partitions`` groups (one shuffle, bounded group count),
     and each group's kernel walks its bucket boundaries with numpy —
     per-bucket Python work only happens for buckets that can pair
-    (>= 2 rows), which near-dup explosion makes rare by construction."""
+    (>= 2 rows), which near-dup explosion makes rare by construction.
+    Runs in pyarrow format with an explicit ``out_schema`` so every
+    emitted block (including empty partitions) is a schema-stable Arrow
+    block — empty blocks bypass map UDFs, so a pandas empty here would
+    leak through downstream Arrow stages and crash unions."""
     from ..hashing import combine64
 
     def add_part(tbl: pa.Table) -> pa.Table:
@@ -167,25 +172,28 @@ def grouped_bucket_pairs(exploded: rd.Dataset, keys: list[str], per_bucket_fn,
         part = (acc % np.uint64(num_partitions)).astype(np.int64)
         return tbl.append_column("_part", pa.array(part))
 
-    def kern(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(keys, kind="mergesort")
-        karr = g[keys].to_numpy()
-        if len(g) < 2:
-            return per_bucket_fn(g.iloc[0:0])
-        change = (karr[1:] != karr[:-1]).any(axis=1)
-        starts = np.concatenate([[0], np.flatnonzero(change) + 1, [len(g)]])
+    def kern(gt: pa.Table) -> pa.Table:
+        g = gt.to_pandas()
         outs = []
-        for s0, s1 in zip(starts[:-1], starts[1:]):
-            if s1 - s0 < 2:
-                continue
-            sub = per_bucket_fn(g.iloc[s0:s1])
-            if len(sub):
-                outs.append(sub)
-        return pd.concat(outs) if outs else per_bucket_fn(g.iloc[0:0])
+        if len(g) >= 2:
+            g = g.sort_values(keys, kind="mergesort")
+            karr = g[keys].to_numpy()
+            change = (karr[1:] != karr[:-1]).any(axis=1)
+            starts = np.concatenate([[0], np.flatnonzero(change) + 1, [len(g)]])
+            for s0, s1 in zip(starts[:-1], starts[1:]):
+                if s1 - s0 < 2:
+                    continue
+                sub = per_bucket_fn(g.iloc[s0:s1])
+                if len(sub):
+                    outs.append(sub)
+        if not outs:
+            return out_schema.empty_table()
+        res = pd.concat(outs)
+        return pa.Table.from_pandas(res, schema=out_schema, preserve_index=False)
 
     return exploded.map_batches(add_part, batch_format="pyarrow").groupby(
         "_part"
-    ).map_groups(kern, batch_format="pandas")
+    ).map_groups(kern, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
@@ -201,7 +209,13 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc
                   shingle_n=shingle_n),
         batch_format="pyarrow",
     )
-    cand = grouped_bucket_pairs(exploded, ["band", "band_hash"], _pairs_from_buckets(id_col))
+    from .relational import _arrow_types
+
+    idt = _arrow_types(ds.schema()).get(id_col, pa.string())
+    cand = grouped_bucket_pairs(
+        exploded, ["band", "band_hash"], _pairs_from_buckets(id_col),
+        out_schema=pa.schema([("id_a", idt), ("id_b", idt)]),
+    )
     # distinct pairs (a pair can collide in several bands)
     return distinct_pairs(cand)
 
@@ -406,7 +420,13 @@ def simhash_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
                              "hamming": ham[keep].astype(np.int64)})
 
-    cand = grouped_bucket_pairs(exploded, ["block", "block_key"], pairs)
+    from .relational import _arrow_types
+
+    idt = _arrow_types(ds.schema()).get(id_col, pa.string())
+    cand = grouped_bucket_pairs(
+        exploded, ["block", "block_key"], pairs,
+        out_schema=pa.schema([("id_a", idt), ("id_b", idt), ("hamming", pa.int64())]),
+    )
     return distinct_pairs(cand, extra_cols=("hamming",))
 
 
@@ -641,5 +661,11 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
                              "hamming": ham[keep].astype(np.int64)})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    cand = grouped_bucket_pairs(exploded, ["block", "block_key", "salt"], verify)
+    from .relational import _arrow_types
+
+    idt = _arrow_types(ds.schema()).get(id_col, pa.string())
+    cand = grouped_bucket_pairs(
+        exploded, ["block", "block_key", "salt"], verify,
+        out_schema=pa.schema([("id_a", idt), ("id_b", idt), ("hamming", pa.int64())]),
+    )
     return distinct_pairs(cand, extra_cols=("hamming",))

@@ -28,6 +28,20 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+def _arrow_types(schema) -> dict:
+    """``Dataset.schema()`` types can be numpy dtypes (pandas-backed
+    blocks); normalize to Arrow types (object dtype → string)."""
+    out = {}
+    for n, t in zip(schema.names, schema.types):
+        if not isinstance(t, pa.DataType):
+            try:
+                t = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                t = pa.string()
+        out[n] = t
+    return out
+
+
 def _partial_counts(keys: Sequence[str]):
     """map_batches kernel: per-batch groupby(keys).count() partial."""
 
@@ -210,19 +224,6 @@ def hash_join(
     :func:`native_join` for Ray's built-in implementation."""
     from ..hashing import xxh64_many
 
-    def _arrow_types(schema) -> dict:
-        """Dataset.schema() types can be numpy dtypes (pandas-backed
-        blocks); normalize to Arrow types (object dtype → string)."""
-        out = {}
-        for n, t in zip(schema.names, schema.types):
-            if not isinstance(t, pa.DataType):
-                try:
-                    t = pa.from_numpy_dtype(t)
-                except (pa.ArrowNotImplementedError, TypeError):
-                    t = pa.string()
-            out[n] = t
-        return out
-
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     rcols = [key] + [c for c in rschema.names if c != key and c not in lcols]
@@ -256,13 +257,17 @@ def hash_join(
     out_cols = lcols + [c for c in rcols if c != key]
     out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
 
-    def merge(g: pd.DataFrame) -> pa.Table:
+    # map_groups runs in PYARROW format so Ray's machinery emits empty
+    # partitions as empty ARROW blocks (empty blocks bypass map UDFs, so
+    # pandas empties would otherwise leak into Arrow datasets and crash
+    # later unions/sort samplers); merge emits the FIXED output schema
+    # (one-sided groups and empty merges would otherwise float/object-
+    # drift pandas dtypes and poison downstream shuffles).
+    def merge(gt: pa.Table) -> pa.Table:
+        g = gt.to_pandas()
         lg = g.loc[g["_side"] == 0, lcols]
         rg = g.loc[g["_side"] == 1, rcols]
         m = lg.merge(rg, on=key, how=how)
-        # emit Arrow with the FIXED output schema: one-sided groups and
-        # empty merges otherwise produce float/object-drifted pandas
-        # blocks that poison downstream shuffles
         return pa.Table.from_pandas(m[out_cols], schema=out_schema, preserve_index=False)
 
-    return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pandas")
+    return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pyarrow")
