@@ -85,22 +85,67 @@ def topk(ds: rd.Dataset, col: str, k: int, descending: bool = True) -> rd.Datase
     return ds.map_batches(prune, batch_format="pyarrow").sort(col, descending=descending).limit(k)
 
 
-def first_per_key(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
-    """Exact first-per-key dedup (A3/O7): hash-partition by ``key``, keep
-    the row with the smallest ``order_col`` in each group — the spec'd
-    version of `MediaReduce.java:14-18`'s "first value wins"."""
+def partitioned_map(ds: rd.Dataset, keys: Sequence[str], kern,
+                    out_schema: pa.Schema | None = None,
+                    num_partitions: int = 32) -> rd.Dataset:
+    """Key-coherent pandas kernel WITHOUT one Ray group per key: rows are
+    hash-partitioned on ``keys`` into ``num_partitions`` groups (every
+    row of a key lands in one partition), ``kern(df)`` runs once per
+    partition on a pandas frame holding MANY whole key-groups.  This
+    replaces fine-grained ``groupby(keys).map_groups`` where the per-key
+    work is cheap and the per-group Ray/pandas overhead dominates.
+    Blocks are schema-stable Arrow (``out_schema`` defaults to the input
+    schema)."""
+    from ..hashing import combine64, xxh64_many
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="mergesort").head(1)
+    if out_schema is None:
+        out_schema = pa.schema(list(_arrow_types(ds.schema()).items()))
+
+    def add_part(tbl: pa.Table) -> pa.Table:
+        acc = None
+        for k in keys:
+            col = tbl.column(k)
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            else:
+                v = xxh64_many(pc.cast(col.combine_chunks(), pa.string()))
+            acc = v.astype(np.uint64, copy=True) if acc is None else combine64(acc, v)
+        part = (acc % np.uint64(num_partitions)).astype(np.int64)
+        return tbl.append_column("_part", pa.array(part))
+
+    def wrapped(gt: pa.Table) -> pa.Table:
+        g = gt.to_pandas()
+        if "_part" in g.columns:
+            g = g.drop(columns=["_part"])
+        res = kern(g)
+        if not len(res):
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(
+            res[[f.name for f in out_schema]], schema=out_schema, preserve_index=False
+        )
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("_part").map_groups(
+        wrapped, batch_format="pyarrow"
+    )
+
+
+def first_per_key(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
+    """Exact first-per-key dedup (A3/O7): per-batch pre-dedup (combiner),
+    hash-partition by ``key``, then ONE vectorized drop_duplicates per
+    partition — the spec'd version of `MediaReduce.java:14-18`'s "first
+    value wins" without a pandas group per key."""
 
     # pre-dedup inside each batch before the shuffle (combiner)
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order_col, kind="mergesort").drop_duplicates(key, keep="first")
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(key)
-        .map_groups(first, batch_format="pandas")
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").drop_duplicates(key, keep="first")
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return partitioned_map(
+        parts, [key], kern,
+        out_schema=pa.schema(list(_arrow_types(ds.schema()).items())),
     )
 
 
@@ -173,21 +218,26 @@ def windowed_aggregate(
 def session_windows(
     ds: rd.Dataset, key: str, ts_col: str, gap: str, value_col: str
 ) -> rd.Dataset:
-    """Session windows over an event stream: per-key groups sorted by
+    """Session windows over an event stream: per-key runs sorted by
     timestamp, a new session starts when the gap to the previous event
-    exceeds ``gap`` (pandas offset alias).  Ordering assumption: events
-    for one key fit one group (partition by key); the gaps-and-islands
-    computation is vectorized within the group."""
+    exceeds ``gap`` (pandas offset alias).  Keys are hash-partitioned
+    (``partitioned_map``) and the gaps-and-islands computation runs
+    vectorized across ALL keys of a partition at once — no per-key
+    python group."""
     gap_td = pd.Timedelta(gap)
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        new = (g[ts_col].diff() > gap_td) | g[ts_col].diff().isna()
-        g = g.assign(session_id=new.cumsum().astype("int64"))
+        g = g.sort_values([key, ts_col, value_col], kind="mergesort").reset_index(drop=True)
+        new_key = g[key].ne(g[key].shift())
+        new = new_key | (g[ts_col].diff() > gap_td)
+        # per-key session counter: global cumsum minus the key's base
+        glob = new.cumsum()
+        base = glob.where(new_key).ffill()
+        g = g.assign(session_id=(glob - base + 1).astype("int64"))
         c = np.floor(g[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
         g = g.assign(_c=c)
         out = (
-            g.groupby("session_id", sort=True)
+            g.groupby([key, "session_id"], sort=True)
             .agg(
                 n_events=(ts_col, "size"),
                 value_sum_c=("_c", "sum"),
@@ -195,11 +245,19 @@ def session_windows(
             )
             .reset_index()
         )
-        out[key] = g[key].iloc[0]
         out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
         return out[[key, "session_id", "session_start", "n_events", "value_sum_c"]]
 
-    return ds.groupby(key).map_groups(sessionize, batch_format="pandas")
+    out_schema = pa.schema(
+        [
+            (key, _arrow_types(ds.schema())[key]),
+            ("session_id", pa.int64()),
+            ("session_start", pa.string()),
+            ("n_events", pa.int64()),
+            ("value_sum_c", pa.int64()),
+        ]
+    )
+    return partitioned_map(ds, [key], sessionize, out_schema=out_schema)
 
 
 def native_join(left: rd.Dataset, right: rd.Dataset, key: str,
