@@ -152,8 +152,12 @@ class FrontierShard:
                 next_t = st[0] * st[1]  # continue politeness across calls
                 heapq.heappush(self._heap, (next_t, h))
                 self._in_heap.add(h)
-            q.append((int(ranks[j]), urls[j], int(uh[j]),
-                      "" if paths is None else paths[j]))
+            # per-host queue is itself a rank-keyed min-heap: O(log n)
+            # push/pop instead of sort-per-pop
+            heapq.heappush(
+                q, (int(ranks[j]), urls[j], int(uh[j]),
+                    "" if paths is None else paths[j])
+            )
         return int(len(keep))
 
     def next_batch(self, max_urls: int = 256) -> list[tuple]:
@@ -173,8 +177,7 @@ class FrontierShard:
             if not q:
                 self._in_heap.discard(h)
                 continue
-            q.sort(key=lambda r: r[0])
-            rank, url, uh, path = q.pop(0)
+            rank, url, uh, path = heapq.heappop(q)
             st = self.hosts.setdefault(h, [0, self.default_delay_ms])
             out.append((t, rank, url, uh, h, st[0], path))
             st[0] += 1
