@@ -254,10 +254,14 @@ def make_broadcast_fetch_fn(store_paths: list[str]):
 def fetch_broadcast_store(
     store_paths: list[str], admitted: pa.Table, num_blocks: int | None = None
 ) -> rd.Dataset:
-    """Dataset-in/out wrapper over :func:`make_broadcast_fetch_fn`."""
+    """Dataset-in/out wrapper over :func:`make_broadcast_fetch_fn`.
+    The admitted table is block-split by driver-side zero-copy slicing
+    (it is already driver-resident metadata) — no repartition shuffle."""
     if num_blocks is None:
         num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    ds = rd.from_arrow(admitted).repartition(num_blocks)
+    step = max(64, admitted.num_rows // num_blocks + 1)
+    chunks = [admitted.slice(i, step) for i in range(0, admitted.num_rows, step)] or [admitted]
+    ds = rd.from_arrow(chunks)
     return ds.map_batches(make_broadcast_fetch_fn(store_paths), batch_format="pyarrow")
 
 
