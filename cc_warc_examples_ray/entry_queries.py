@@ -594,9 +594,9 @@ def _ensure_warc_fixture() -> str:
         t = synth.warc_records_table(_WARC_N)
         txt = [p.decode("utf-8", errors="replace") for p in t.column("payload").to_pylist()]
         t = t.append_column("payload_text", pa.array(txt, pa.string()))
-        tmp = _WARC_FIXTURE + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, _WARC_FIXTURE)
+        tmp = f"{_WARC_FIXTURE}.{os.getpid()}.tmp"  # unique per writer: racing
+        pq.write_table(t, tmp)                      # processes each replace
+        os.replace(tmp, _WARC_FIXTURE)              # atomically, same content
     return _WARC_FIXTURE
 
 
@@ -604,7 +604,7 @@ def _ensure_phash_fixture() -> str:
     """(image_id, phash) of the content store, for the pHash SQL oracle."""
     if not os.path.exists(_PHASH_FIXTURE):
         t = _store().to_table().select(["image_id", "phash"])
-        tmp = _PHASH_FIXTURE + ".tmp"
+        tmp = f"{_PHASH_FIXTURE}.{os.getpid()}.tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, _PHASH_FIXTURE)
     return _PHASH_FIXTURE

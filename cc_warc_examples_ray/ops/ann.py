@@ -191,6 +191,13 @@ def ivf_topk(assigned: rd.Dataset, centroids: np.ndarray, queries: dict, k: int 
         batch_size=4096,
         concurrency=(1, 8),
     ).to_pandas()
+    if partials.empty:
+        # every probed list was empty (k-means can keep empty clusters):
+        # return a typed empty result instead of KeyError-ing on sort
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             id_col: pd.Series(dtype="object"),
+                             "cosine": pd.Series(dtype="float64"),
+                             "rank": pd.Series(dtype="int64")})
     out = (
         partials.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
         .groupby("query_id", sort=True)

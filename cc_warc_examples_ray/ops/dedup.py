@@ -158,19 +158,9 @@ def grouped_bucket_pairs(exploded: rd.Dataset, keys: list[str], per_bucket_fn,
     emitted block (including empty partitions) is a schema-stable Arrow
     block — empty blocks bypass map UDFs, so a pandas empty here would
     leak through downstream Arrow stages and crash unions."""
-    from ..hashing import combine64
+    from .relational import make_part_assigner
 
-    def add_part(tbl: pa.Table) -> pa.Table:
-        acc = None
-        for k in keys:
-            col = tbl.column(k)
-            if pa.types.is_integer(col.type):
-                v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            else:
-                v = xxh64_many(col)
-            acc = v.astype(np.uint64, copy=True) if acc is None else combine64(acc, v)
-        part = (acc % np.uint64(num_partitions)).astype(np.int64)
-        return tbl.append_column("_part", pa.array(part))
+    add_part = make_part_assigner(keys, num_partitions)
 
     def kern(gt: pa.Table) -> pa.Table:
         g = gt.to_pandas()
@@ -438,7 +428,7 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100) -> rd.Dataset:
     min over neighbors ∪ self.  Labels are monotonically non-increasing,
     so the global label sum strictly decreases until the fixpoint
     (#rounds ≤ graph diameter).  Returns (node, group_id)."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = t.column("id_a").combine_chunks()
@@ -460,16 +450,26 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100) -> rd.Dataset:
     )
 
     def labsum(ds: rd.Dataset) -> int:
+        """Convergence checksum: per-block label sums folded mod 2^64.
+        Explicit uint64 wraparound on BOTH the block partial and the
+        driver fold — mod addition is commutative, so the checksum is
+        block-boundary-independent (int64 partials + an unbounded Python
+        reduce previously overflowed Arrow and made the checksum
+        partition-dependent)."""
+
         def partial(t: pa.Table) -> pa.Table:
             lab = t.column("label")
             if pa.types.is_integer(lab.type):
-                v = lab.to_numpy(zero_copy_only=False).astype(np.int64)
+                v = lab.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
             else:
-                v = xxh64_many(lab).view(np.int64)
-            return pa.table({"_s": pa.array([int(v.sum())], pa.int64())})
+                v = xxh64_many(lab)
+            s = np.uint64(v.sum(dtype=np.uint64))
+            return pa.table({"_s": pa.array([np.int64(s.view(np.int64))], pa.int64())})
 
-        res = ds.map_batches(partial, batch_format="pyarrow").aggregate(Sum("_s"))
-        return int(res["sum(_s)"] or 0)
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            return 0
+        return int(parts["_s"].to_numpy().astype(np.int64).view(np.uint64).sum(dtype=np.uint64))
 
     from .relational import hash_join
 

@@ -85,21 +85,12 @@ def topk(ds: rd.Dataset, col: str, k: int, descending: bool = True) -> rd.Datase
     return ds.map_batches(prune, batch_format="pyarrow").sort(col, descending=descending).limit(k)
 
 
-def partitioned_map(ds: rd.Dataset, keys: Sequence[str], kern,
-                    out_schema: pa.Schema | None = None,
-                    num_partitions: int = 32) -> rd.Dataset:
-    """Key-coherent pandas kernel WITHOUT one Ray group per key: rows are
-    hash-partitioned on ``keys`` into ``num_partitions`` groups (every
-    row of a key lands in one partition), ``kern(df)`` runs once per
-    partition on a pandas frame holding MANY whole key-groups.  This
-    replaces fine-grained ``groupby(keys).map_groups`` where the per-key
-    work is cheap and the per-group Ray/pandas overhead dominates.
-    Blocks are schema-stable Arrow (``out_schema`` defaults to the input
-    schema)."""
+def make_part_assigner(keys: Sequence[str], num_partitions: int):
+    """map_batches kernel factory: append ``_part = combined-key-hash %
+    num_partitions`` (int columns hashed directly, everything else via a
+    string cast + xxh64).  Shared by :func:`partitioned_map` and
+    ``dedup.grouped_bucket_pairs`` so the two partitioners can't drift."""
     from ..hashing import combine64, xxh64_many
-
-    if out_schema is None:
-        out_schema = pa.schema(list(_arrow_types(ds.schema()).items()))
 
     def add_part(tbl: pa.Table) -> pa.Table:
         acc = None
@@ -112,6 +103,25 @@ def partitioned_map(ds: rd.Dataset, keys: Sequence[str], kern,
             acc = v.astype(np.uint64, copy=True) if acc is None else combine64(acc, v)
         part = (acc % np.uint64(num_partitions)).astype(np.int64)
         return tbl.append_column("_part", pa.array(part))
+
+    return add_part
+
+
+def partitioned_map(ds: rd.Dataset, keys: Sequence[str], kern,
+                    out_schema: pa.Schema | None = None,
+                    num_partitions: int = 32) -> rd.Dataset:
+    """Key-coherent pandas kernel WITHOUT one Ray group per key: rows are
+    hash-partitioned on ``keys`` into ``num_partitions`` groups (every
+    row of a key lands in one partition), ``kern(df)`` runs once per
+    partition on a pandas frame holding MANY whole key-groups.  This
+    replaces fine-grained ``groupby(keys).map_groups`` where the per-key
+    work is cheap and the per-group Ray/pandas overhead dominates.
+    Blocks are schema-stable Arrow (``out_schema`` defaults to the input
+    schema)."""
+    if out_schema is None:
+        out_schema = pa.schema(list(_arrow_types(ds.schema()).items()))
+
+    add_part = make_part_assigner(keys, num_partitions)
 
     def wrapped(gt: pa.Table) -> pa.Table:
         g = gt.to_pandas()

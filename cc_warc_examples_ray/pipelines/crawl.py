@@ -253,15 +253,6 @@ def run_crawl(
             run.crawl_order.append_partition(
                 admitted_ if admitted_.num_rows else pa.table({}), epoch_
             )
-            run.state.append_partition(
-                pa.table(
-                    {
-                        "shard": pa.array(range(num_shards), pa.int64()),
-                        "blob": pa.array(blobs_, pa.binary()),
-                    }
-                ),
-                epoch_,
-            )
             n_in_, d_admit_, d_dup_ = nums_
             counters = {
                 "seeds_in": n_in_,
@@ -282,6 +273,19 @@ def run_crawl(
                         "stage": pa.array(["crawl"] * len(counters), pa.string()),
                         "counter": pa.array(list(counters), pa.string()),
                         "value": pa.array([int(v) for v in counters.values()], pa.int64()),
+                    }
+                ),
+                epoch_,
+            )
+            # state LAST: it is the epoch-completion marker resume_epoch
+            # checks (state ∧ images) — committing it before lineage
+            # could leave a permanent lineage gap after a crash between
+            # the two appends
+            run.state.append_partition(
+                pa.table(
+                    {
+                        "shard": pa.array(range(num_shards), pa.int64()),
+                        "blob": pa.array(blobs_, pa.binary()),
                     }
                 ),
                 epoch_,

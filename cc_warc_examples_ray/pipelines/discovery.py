@@ -110,6 +110,29 @@ def discover_media(pages: pa.Table, nblocks: int = 16) -> pa.Table:
     return tbl.cast(_EMPTY_MEDIA.schema) if tbl.num_rows else _EMPTY_MEDIA
 
 
+# broadcast page-store table + url index, cached per store so the fresh
+# and resume call sites (and repeated runs in one process) read it once
+_PAGES_IDX_CACHE: dict[tuple, tuple[pa.Table, dict]] = {}
+
+
+def _pages_index(paths: tuple) -> tuple[pa.Table, dict]:
+    import os
+
+    import pyarrow.parquet as pq
+
+    # cache key includes file stats: fixture paths can be overwritten
+    # with different content (e.g. per-sf regeneration at a fixed path)
+    key = (paths, tuple((os.path.getmtime(p), os.path.getsize(p)) for p in paths))
+    got = _PAGES_IDX_CACHE.get(key)
+    if got is None:
+        if len(_PAGES_IDX_CACHE) > 2:
+            _PAGES_IDX_CACHE.clear()
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+        idx = {u: i for i, u in enumerate(tbl.column("record_url").to_pylist())}
+        got = _PAGES_IDX_CACHE.setdefault(key, (tbl, idx))
+    return got
+
+
 def _page_fetch_and_discover(
     admitted: pa.Table, pages_store_paths: list[str], nblocks: int,
     force_scan: bool = False,
@@ -142,17 +165,14 @@ def _page_fetch_and_discover(
         media_ds = fetched_ds.map_batches(discover_kernel, batch_format="pyarrow")
         mt = pa.Table.from_pandas(media_ds.to_pandas(), preserve_index=False)
         media = mt.cast(_EMPTY_MEDIA.schema) if mt.num_rows else _EMPTY_MEDIA
-        store_urls = pa.concat_tables(
-            [pq.read_table(p, columns=["record_url"]) for p in pages_store_paths]
-        ).column("record_url").combine_chunks()
+        from ..stages.fetch import _store_id_column
+
+        store_urls = _store_id_column(tuple(pages_store_paths), "record_url")
         hit_mask = pc.is_in(admitted.column("url"), value_set=store_urls)
         n_hit = int(pc.sum(pc.cast(hit_mask, pa.int64())).as_py() or 0)
         return media, n_hit
 
-    pages_tbl = pa.concat_tables([pq.read_table(p) for p in pages_store_paths])
-    page_index = {
-        u: i for i, u in enumerate(pages_tbl.column("record_url").to_pylist())
-    }
+    pages_tbl, page_index = _pages_index(tuple(pages_store_paths))
     pos = [page_index.get(u, -1) for u in admitted.column("url").to_pylist()]
     hit = [i for i, p in enumerate(pos) if p >= 0]
     fetched_pages = pages_tbl.take(pa.array([pos[i] for i in hit], pa.int64()))

@@ -155,15 +155,6 @@ def run_streaming_crawl(
             validated = fetched.map_batches(decoder, batch_format="pyarrow", batch_size=256)
             run.images_out.append_ray_partition(validated, rounds)
             run.crawl_order.append_partition(admitted, rounds)
-            run.state.append_partition(
-                pa.table(
-                    {
-                        "shard": pa.array(range(num_shards), pa.int64()),
-                        "blob": pa.array(pool.checkpoints(), pa.binary()),
-                    }
-                ),
-                rounds,
-            )
             run.lineage.append_partition(
                 pa.table(
                     {
@@ -172,6 +163,18 @@ def run_streaming_crawl(
                         "stage": pa.array(["stream"], pa.string()),
                         "counter": pa.array(["fetched"], pa.string()),
                         "value": pa.array([admitted.num_rows], pa.int64()),
+                    }
+                ),
+                rounds,
+            )
+            # state LAST: it is the round-completion marker resume_epoch
+            # checks — writing it earlier could leave a permanent lineage
+            # gap if the process dies between the two appends
+            run.state.append_partition(
+                pa.table(
+                    {
+                        "shard": pa.array(range(num_shards), pa.int64()),
+                        "blob": pa.array(pool.checkpoints(), pa.binary()),
                     }
                 ),
                 rounds,

@@ -121,6 +121,30 @@ _STORE_INDEX_CACHE: dict[str, tuple[pa.Table, dict]] = {}
 # object store as a single table and the scan path is used.
 BROADCAST_STORE_MAX_BYTES = 2 << 30
 
+# key-column scans for miss detection, cached per store (a multi-epoch
+# crawl pays the column-pruned id scan ONCE, not once per epoch)
+_STORE_ID_CACHE: dict[tuple, "pa.ChunkedArray"] = {}
+
+
+def _store_id_column(store_paths: tuple, key: str):
+    """Column-pruned read of the store's key column, cached per store
+    (file stats in the key guard against in-place fixture rewrites)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ck = (store_paths, key,
+          tuple((os.path.getmtime(p), os.path.getsize(p)) for p in store_paths))
+    got = _STORE_ID_CACHE.get(ck)
+    if got is None:
+        if len(_STORE_ID_CACHE) > 4:
+            _STORE_ID_CACHE.clear()
+        got = pa.concat_tables(
+            [pq.read_table(p, columns=[key]) for p in store_paths]
+        ).column(key).combine_chunks()
+        _STORE_ID_CACHE[ck] = got
+    return got
+
 
 def fetch_scan_store(
     store_paths: list[str], admitted: pa.Table, num_blocks: int | None = None
@@ -156,9 +180,7 @@ def fetch_scan_store(
     out = ds.map_batches(fetch, batch_format="pyarrow")
 
     if admitted.num_rows:
-        store_ids = pa.concat_tables(
-            [pq.read_table(p, columns=["image_id"]) for p in store_paths]
-        ).column("image_id").combine_chunks()
+        store_ids = _store_id_column(tuple(store_paths), "image_id")
         present = pc.is_in(admitted.column("image_id"), value_set=store_ids)
         miss = admitted.filter(pc.invert(present))
         if miss.num_rows:
