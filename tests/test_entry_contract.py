@@ -16,6 +16,9 @@ SUBSET = [
     "word_count", "doc_stats", "top_users", "first_doc_per_lang",
     "pricing_summary", "asia_customers", "event_windows",
     "exact_dedup_docs", "ann_topk", "crawl_schedule",
+    # round-2 oracle families
+    "crawl_admission", "simhash_pairs", "langid", "quality_scores",
+    "warc_job_counters", "phash_neardup",
 ]
 
 
@@ -37,6 +40,15 @@ def test_query_matches_oracle(ray_session, con, name):
     want = con.sql(e.oracle_sql()[name]).df()
     errs = compare(name, got, want)
     assert not errs, errs
+
+
+def test_every_oracle_has_a_query():
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # the SQL-checked majority: the driver's correctness gate rests on it
+    assert len(oracles) >= 34
 
 
 def test_entry_smoke(ray_session):
