@@ -41,8 +41,18 @@ BENCH_QUERIES = [
 ]
 
 
+def _loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return None
+
+
 def run_bench() -> dict:
     import ray
+
+    load_at_start = _loadavg()  # external load BEFORE we spin up workers
 
     ray.init(
         address="local",
@@ -107,6 +117,11 @@ def run_bench() -> dict:
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        # co-tenant context: this box's 32-CPU legs degrade ~linearly
+        # with external load (see BENCH/BASELINE.md variance table);
+        # start = external load, end includes our own workers draining
+        "loadavg_1m_at_start": load_at_start,
+        "loadavg_1m_at_end": _loadavg(),
         "crawl": {
             "n_seeds": n_seeds,
             "n_admitted": n_admitted,
