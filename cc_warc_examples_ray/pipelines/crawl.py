@@ -171,26 +171,16 @@ def run_crawl(
         store_size = sum(pq.read_metadata(p).num_rows for p in store_paths)
     delays, disallow = _robots_maps(robots)
 
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     start_epoch = run.resume_epoch()
+    store_bytes = sum(os.path.getsize(p) for p in store_paths)
+    broadcast_mode = store_bytes <= BROADCAST_STORE_MAX_BYTES
+    decoder = DecodeValidate(min_dim=min_dim)
+    nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     pool = FrontierPool(num_shards, capacity_per_shard=shard_capacity)
     try:
-        if start_epoch > 0:
-            blobs_tbl = run.state.partition_table(start_epoch - 1)
-            order = np.argsort(blobs_tbl.column("shard").to_numpy())
-            pool.restore([blobs_tbl.column("blob")[int(i)].as_py() for i in order])
-        host_hashes = {
-            h: int(xxh64_many([h])[0]) for h in delays
-        }
-        pool.set_robots(delays, host_hashes)
-
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-
-        store_bytes = sum(os.path.getsize(p) for p in store_paths)
-        broadcast_mode = store_bytes <= BROADCAST_STORE_MAX_BYTES
-        decoder = DecodeValidate(min_dim=min_dim)
-        nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-
         def canonicalize_range(sl: pa.Table) -> pa.Table:
             """One parallel execution: canonicalize + robots gate.  The
             range's METADATA (no payloads, ~100 B/URL) is collected on
@@ -343,6 +333,14 @@ def run_crawl(
         _dbg = _os.environ.get("CRAWL_TIMING") == "1"
 
         prefetch_from(start_epoch)
+        # shard-state restore + robots install run WHILE the first epoch
+        # canonicalizes on the prefetch thread (the cold wave used to
+        # serialize ~2-3 s ahead of epoch 0's admission)
+        if start_epoch > 0:
+            blobs_tbl = run.state.partition_table(start_epoch - 1)
+            order = np.argsort(blobs_tbl.column("shard").to_numpy())
+            pool.restore([blobs_tbl.column("blob")[int(i)].as_py() for i in order])
+        pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
         try:
             for epoch in range(start_epoch, num_epochs):
                 lo, hi = bounds[epoch], bounds[epoch + 1]
