@@ -37,6 +37,7 @@ def parse_gz_jsonl_batch(batch: pa.Table) -> pa.Table:
     out["source_file"] = []
     out["parse_errors"] = []
     for path, blob in zip(paths, blobs):
+        errors = 0
         try:
             # Arrow's filesystem layer may have already inflated .gz
             # payloads (compression inferred from the extension);
@@ -46,7 +47,7 @@ def parse_gz_jsonl_batch(batch: pa.Table) -> pa.Table:
             text = bytes(blob).decode("utf-8", errors="replace")
         except Exception:
             text = ""
-        errors = 0
+            errors += 1  # unreadable file = one counted error
         rows = []
         for line in text.splitlines():
             line = line.strip().rstrip(",")
@@ -54,9 +55,21 @@ def parse_gz_jsonl_batch(batch: pa.Table) -> pa.Table:
                 continue
             try:
                 obj = json.loads(line)
-                rows.append(obj)
+                if isinstance(obj, dict):
+                    rows.append(obj)
+                else:
+                    errors += 1  # valid JSON but not a record object
             except json.JSONDecodeError:
                 errors += 1  # counted, not fatal (CommonCrawlAnalyzer.java:131-135)
+        if not rows and errors:
+            # all-malformed / unreadable file: emit one null record row
+            # so the per-file error count survives — these are exactly
+            # the files the lenient-counting contract must surface
+            for snake in _SNAKE.values():
+                out[snake].append(None)
+            out["source_file"].append(path)
+            out["parse_errors"].append(errors)
+            continue
         for obj in rows:
             for camel, snake in _SNAKE.items():
                 v = obj.get(camel)
@@ -100,7 +113,8 @@ def read_gz_jsonl(paths: str | list[str], **kw) -> rd.Dataset:
     files: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            for root, _, names in os.walk(p):
+            for root, dirs, names in os.walk(p):
+                dirs.sort()  # deterministic traversal across filesystems
                 files.extend(os.path.join(root, n) for n in sorted(names) if n.endswith(".gz"))
         else:
             files.append(p)

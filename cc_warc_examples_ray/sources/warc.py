@@ -108,7 +108,8 @@ def read_warc_files(paths: str | list[str]) -> rd.Dataset:
     files: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            for root, _, names in os.walk(p):
+            for root, dirs, names in os.walk(p):
+                dirs.sort()  # deterministic traversal across filesystems
                 files.extend(
                     os.path.join(root, x)
                     for x in sorted(names)

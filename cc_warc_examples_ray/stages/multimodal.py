@@ -184,7 +184,9 @@ class AudioFeaturizer:
                 zcr.append(float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0)
                 dur.append(len(x) / max(1, rate or 1))
                 ok.append(True)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError, TypeError):
+                # stubbed codec OR malformed payload (odd-length pcm16
+                # buffer etc.): swallow-and-flag, never fail the batch
                 rms.append(None)
                 zcr.append(None)
                 dur.append(None)
@@ -242,8 +244,8 @@ class VideoFrameSampler:
         for mid, blob in zip(ids, blobs):
             try:
                 frames = list(self._parse(blob))
-            except NotImplementedError:
-                continue  # counted upstream; stub path
+            except Exception:
+                continue  # stub path (NotImplementedError) or corrupt container; skip the row
             taken = 0
             for i, (fmt, fb) in enumerate(frames):
                 if i % self.every_nth:
