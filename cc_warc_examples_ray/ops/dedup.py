@@ -232,20 +232,26 @@ def _jaccard_rows(tbl: pa.Table, shingle_n: int) -> pa.Table:
 def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
                          threshold: float = 0.8, shingle_n: int = 3,
                          text_col: str = "text", id_col: str = "doc_id",
-                         num_buckets: int = 8) -> rd.Dataset:
-    """Verify candidate pairs with exact shingle Jaccard.  Texts are
-    REJOINED to the pairs on id — the corpus is never broadcast, so
-    verification scales with the pair list, not the corpus (the 100 TB
-    shape).  The docs side is first pruned with a broadcast SEMI-join on
-    the pair-id set (ids only — tiny relative to texts by construction:
-    it is the candidate list), then two bucketed hash joins attach
-    text_a/text_b and Jaccard runs block-locally."""
+                         num_buckets: int = 8,
+                         broadcast_pairs: int = 100_000) -> rd.Dataset:
+    """Verify candidate pairs with exact shingle Jaccard.  The corpus is
+    never broadcast — verification scales with the PAIR list, not the
+    corpus (the 100 TB shape).  The docs side is first pruned with a
+    broadcast SEMI-join on the pair-id set (ids only — tiny relative to
+    texts by construction: it is the candidate list).  Two regimes on
+    the pair count:
+
+    - ``<= broadcast_pairs``: the pruned candidate texts (O(|pairs|)
+      rows) are shipped once via ``ray.put`` and pairs verify in a
+      single map_batches — no shuffle.
+    - larger: two bucketed hash joins attach text_a/text_b and Jaccard
+      runs block-locally."""
     import pyarrow.compute as pc
     import ray
 
     from .relational import hash_join
 
-    pairs = pairs.materialize()  # consumed three times (ids + two joins)
+    pairs = pairs.materialize()  # consumed multiple times (ids + verify)
     idt = pairs.select_columns(["id_a", "id_b"]).to_pandas()
     need = ray.put(pa.array(sorted(set(idt["id_a"]) | set(idt["id_b"]))))
 
@@ -255,6 +261,24 @@ def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
         )
 
     docs_small = docs.map_batches(prune, batch_format="pyarrow")
+
+    if len(idt) <= broadcast_pairs:
+        tex = docs_small.to_pandas()  # bounded by 2*|pairs| rows
+        tmap_ref = ray.put(dict(zip(tex[id_col], tex[text_col])))
+
+        # plain task (not an actor pool): the pair list is small here by
+        # the regime gate, so spin-up would dominate; the text map lives
+        # in the object store and is fetched per task, not per batch row.
+        def attach_and_verify(tbl: pa.Table) -> pa.Table:
+            tmap = ray.get(tmap_ref)
+            ta = [tmap.get(x, "") for x in tbl.column("id_a").to_pylist()]
+            tb = [tmap.get(x, "") for x in tbl.column("id_b").to_pylist()]
+            tbl = tbl.append_column("text_a", pa.array(ta, pa.string()))
+            tbl = tbl.append_column("text_b", pa.array(tb, pa.string()))
+            return _jaccard_rows(tbl, shingle_n)
+
+        verified = pairs.map_batches(attach_and_verify, batch_format="pyarrow")
+        return verified.filter(expr=f"jaccard >= {threshold}")
 
     def rename(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -420,15 +444,52 @@ def simhash_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
     return distinct_pairs(cand, extra_cols=("hamming",))
 
 
-def pair_components(pairs: rd.Dataset, max_iters: int = 100) -> rd.Dataset:
-    """Connected components over (id_a, id_b) pair edges by distributed
-    **min-label propagation** — the 100 TB replacement for driver-side
-    union-find: every node starts labeled with itself; each round joins
-    current labels onto the (symmetric) edge list and takes the per-node
-    min over neighbors ∪ self.  Labels are monotonically non-increasing,
-    so the global label sum strictly decreases until the fixpoint
-    (#rounds ≤ graph diameter).  Returns (node, group_id)."""
+def pair_components(pairs: rd.Dataset, max_iters: int = 100,
+                    finish_cutoff: int = 2_000_000) -> rd.Dataset:
+    """Connected components over (id_a, id_b) pair edges.
+
+    Two regimes, gated on the PAIR count (not the corpus size — the pair
+    list is the output of a bucketed LSH pass, orders of magnitude
+    smaller than the corpus):
+
+    - ``<= finish_cutoff`` pairs (~32 MB of two ids at the 2M default):
+      exact driver union-find with min-id roots.  One ``count()`` + one
+      two-column collect replaces D all-to-all propagation rounds.
+    - larger: distributed **min-label propagation** — every node starts
+      labeled with itself; each round joins current labels onto the
+      (symmetric) edge list and takes the per-node min over neighbors
+      ∪ self.  Labels are monotonically non-increasing, so the global
+      label sum strictly decreases until the fixpoint (#rounds ≤ graph
+      diameter).
+
+    Both return (node, group_id) with group_id = min node id of the
+    component (deterministic, matches the SQL transitive-closure
+    oracle)."""
     from ray.data.aggregate import Min
+
+    pairs = pairs.materialize()
+    if pairs.count() <= finish_cutoff:
+        df = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(df["id_a"], df["id_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-id root keeps group_id = component min deterministically
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo
+        nodes = sorted(parent)
+        groups = [find(n) for n in nodes]
+        return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                       "group_id": pa.array(groups)}))
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = t.column("id_a").combine_chunks()

@@ -85,6 +85,19 @@ def test_minhash_near_dup(ray_session, docs_ds):
     assert 2 not in gmap or gmap.get(2) == 2
 
 
+def test_jaccard_verify_join_path_matches_broadcast(ray_session, docs_ds):
+    """Both verify regimes (broadcast candidate texts vs hash-join
+    rejoin) must produce identical verified pairs."""
+    cand = dedup.minhash_lsh_pairs(docs_ds).materialize()
+    bc = dedup.ngram_jaccard_verify(cand, docs_ds, threshold=0.5).to_pandas()
+    jn = dedup.ngram_jaccard_verify(cand, docs_ds, threshold=0.5,
+                                    broadcast_pairs=0).to_pandas()
+    key = ["id_a", "id_b"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    jn = jn.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc[key + ["jaccard"]], jn[key + ["jaccard"]])
+
+
 def test_simhash_pairs(ray_session, docs_ds):
     out = dedup.simhash_pairs(docs_ds, max_hamming=3).to_pandas()
     pairs = set(zip(out["id_a"], out["id_b"]))
@@ -193,11 +206,12 @@ def test_pair_components_matches_union_find(ray_session):
         "id_a": pa.array([1, 2, 5, 9, 9], pa.int64()),
         "id_b": pa.array([2, 3, 6, 10, 11], pa.int64()),
     }))
-    out = dedup.pair_components(pairs).to_pandas()
-    gmap = dict(zip(out["node"], out["group_id"]))
-    assert gmap[1] == gmap[2] == gmap[3] == 1
-    assert gmap[5] == gmap[6] == 5
-    assert gmap[9] == gmap[10] == gmap[11] == 9
+    for cutoff in (2_000_000, 0):  # 0 forces the distributed propagation path
+        out = dedup.pair_components(pairs, finish_cutoff=cutoff).to_pandas()
+        gmap = dict(zip(out["node"], out["group_id"]))
+        assert gmap[1] == gmap[2] == gmap[3] == 1
+        assert gmap[5] == gmap[6] == 5
+        assert gmap[9] == gmap[10] == gmap[11] == 9
 
 
 def test_distinct_pairs_typed_and_exact(ray_session):
