@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "exact_dedup_docs",
     "crawl_schedule",
     "phash_neardup",
+    "phash_groups",
+    "minhash_pairs",
 ]
 
 
