@@ -1119,12 +1119,9 @@ def q_media_classify(sf_dir: str) -> pd.DataFrame:
     scores = text.ngram_class_scores(docs, "text", "lang", pos_label="en", min_count=5)
     vocab = features.build_ngram_vocab(scores, top_n=500)
     vref = ray.put(vocab)
-    withng = feats.map_batches(
-        features.NgramPresence, fn_constructor_args=(vref,),
+    out = feats.map_batches(
+        features.PresenceAndEnsemble, fn_constructor_args=(vref,),
         batch_format="pyarrow", concurrency=(1, 4),
-    )
-    out = withng.map_batches(
-        features.EnsembleClassifier, batch_format="pyarrow", concurrency=(1, 4)
     ).to_pandas()
     out["p_feat"] = out["p_feat"].round(5)
     out["p_ngram"] = out["p_ngram"].round(5)

@@ -237,6 +237,21 @@ class EnsembleClassifier:
         )
 
 
+class PresenceAndEnsemble:
+    """Fused M27→T3 actor-pool stage: ngram presence + ensemble scoring
+    in ONE pool so the pipeline pays a single actor spin-up (the two
+    operators stay independently usable/tested; this is the composed
+    hot-path form).  Vocabulary index + model weights built once per
+    actor."""
+
+    def __init__(self, vocab_ref, url_col: str = "src", **ensemble_kw):
+        self.presence = NgramPresence(vocab_ref, url_col=url_col)
+        self.ensemble = EnsembleClassifier(**ensemble_kw)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        return self.ensemble(self.presence(tbl))
+
+
 def f1_eval(labels: np.ndarray, preds: np.ndarray) -> dict:
     """A12: per-class precision/recall/F1 (`FakeArffCreator.java:105-115`)."""
     out = {}

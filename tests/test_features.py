@@ -67,6 +67,16 @@ def test_ngram_vocab_and_presence(ray_session):
     assert len(out.column("ngram_vec")[0].as_py()) == len(vocab)
 
 
+def test_presence_and_ensemble_fused_matches_composition():
+    vocab = ["pho", "wal", "ico"]
+    feats = features.media_features_batch(_media_table())
+    composed = features.EnsembleClassifier()(
+        features.NgramPresence(vocab, url_col="src")(feats)
+    )
+    fused = features.PresenceAndEnsemble(vocab, url_col="src")(feats)
+    assert fused.equals(composed)
+
+
 def test_ensemble_semantics():
     feats = features.media_features_batch(_media_table())
     clf = features.EnsembleClassifier()
