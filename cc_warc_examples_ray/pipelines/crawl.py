@@ -237,7 +237,11 @@ def run_crawl(
 
         def commit_oldest():
             epoch_, admitted_, blobs_, nums_, fut_ = inflight.pop(0)
+            _ct = _time.time()
             frags = fut_.result()
+            if _dbg:
+                print(f"[crawl-timing] epoch {epoch_} commit: frags_wait {_time.time()-_ct:.2f}s", flush=True)
+            _ct = _time.time()
             run.images_out.commit_fragments(frags)
             flags = run.images_out.partition_table(epoch_, columns=["valid", "big"])
             run.crawl_order.append_partition(
@@ -280,6 +284,8 @@ def run_crawl(
                 ),
                 epoch_,
             )
+            if _dbg:
+                print(f"[crawl-timing] epoch {epoch_} commit: apply {_time.time()-_ct:.2f}s", flush=True)
 
         import queue
         import time
