@@ -9,6 +9,8 @@ the reference's downloads, `ProcessingService.java:329-388`).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 
@@ -73,12 +75,17 @@ def image_dims(key: int) -> tuple[int, int]:
     )
 
 
+@functools.lru_cache(maxsize=512)
 def expected_pixels(key: int) -> np.ndarray:
     """The pre-encode reference pixels for row ``key`` — recomputable by
     the decode-validate stage (the sandbox stand-in for validating a
     fetched image against the reference's download,
     `ProcessingService.java:329-388`).  Every 97th row is a +2-intensity
-    near-dup of the previous row (same phash bucket)."""
+    near-dup of the previous row (same phash bucket).
+
+    Cached per process (the store repeats ids across the frontier, so a
+    fetched id's reference is re-validated many times; ≤ 512 × ~50 KB
+    ≈ 25 MB/worker).  Callers treat the returned array as read-only."""
     w, h = image_dims(key)
     if key % 97 == 96:
         base = render_image(key - 1, w, h)
