@@ -75,7 +75,7 @@ def run_bench() -> dict:
     n_docs = _sf_scale(SF_DIR)
     # frontier sized so parallel fetch+decode work dominates fixed
     # per-epoch costs (the realistic regime for a crawl tier)
-    n_seeds = 32 * n_docs
+    n_seeds = int(os.environ.get("BENCH_SEEDS_MULT", "32")) * n_docs
     seeds = synth.frontier_seeds_table(n_seeds, n_hosts=50)
     robots = synth.robots_table(50)
 
@@ -141,13 +141,18 @@ def run_scaling(repeats: int = 2) -> dict:
 
     def one(ncpu: int) -> dict:
         # scaling legs measure steady-state pipeline throughput: one
-        # epoch (no checkpoint waves).  At the 10^10-URL design scale an
-        # epoch is ~10^8 URLs and the per-epoch commit cost is
-        # microscopic; at this 160k-URL bench it would be ~15% of wall
-        # time per epoch — a fixture artifact, not a pipeline property.
-        # The plain headline bench keeps epochs=2 (checkpointing on).
+        # epoch (no checkpoint waves) over a 4x frontier.  At the
+        # 10^10-URL design scale an epoch is ~10^8 URLs and the O(1)
+        # per-run costs (pipeline launch, canonicalize wave, manifest
+        # commits — ~4 s, CPU-count-independent) are microscopic; at
+        # the 160k-URL headline they are ~38% of the 32-CPU wall but
+        # only ~12% of the 8-CPU wall, so they masquerade as scaling
+        # loss — a fixture artifact, not a pipeline property.  Both
+        # legs run the IDENTICAL 640k input.  The plain headline bench
+        # keeps epochs=2 (checkpointing on) at 160k.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("BENCH_EPOCHS", "1")
+        env.setdefault("BENCH_SEEDS_MULT", "128")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
             env=env, capture_output=True, text=True, check=True,

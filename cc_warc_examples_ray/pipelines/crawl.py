@@ -371,6 +371,7 @@ def run_crawl(
                 )
                 blobs = pool.checkpoints()  # exactly epochs <= this one
 
+                _t = _time.time()
                 admitted = admitted.append_column(
                     "epoch", pa.array(np.full(admitted.num_rows, epoch, dtype=np.int64))
                 )
@@ -378,9 +379,15 @@ def run_crawl(
                 admitted = admitted.sort_by(
                     [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
                 ).select([c for c in ORDER_COLS if c != "path"] + ["image_id"])
+                if _dbg:
+                    print(f"[crawl-timing] epoch {epoch} order_prep {_time.time()-_t:.2f}s", flush=True)
 
+                _t = _time.time()
+                vds = build_validated_ds(admitted)
+                if _dbg:
+                    print(f"[crawl-timing] epoch {epoch} build_ds {_time.time()-_t:.2f}s", flush=True)
                 fut = executor.submit(
-                    run.images_out.write_partition_files, build_validated_ds(admitted), epoch
+                    run.images_out.write_partition_files, vds, epoch
                 )
                 inflight.append((epoch, admitted, blobs, (hi - lo, d_admit, d_dup), fut))
                 if committer is None:
