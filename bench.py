@@ -103,6 +103,24 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     qtimes = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") == "1":
+        ray.shutdown()
+        return {
+            "metric": "crawl frontier+fetch+decode wall time at sf (headline)",
+            "value": round(crawl_sec, 3),
+            "unit": "sec",
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "loadavg_1m_at_start": load_at_start,
+            "loadavg_1m_at_end": _loadavg(),
+            "crawl": {
+                "n_seeds": n_seeds,
+                "n_admitted": n_admitted,
+                "n_valid_rows": n_valid,
+                "urls_per_sec": round(n_admitted / crawl_sec, 1),
+                "rows_per_sec": round(n_valid / crawl_sec, 1),
+            },
+        }
     for name in BENCH_QUERIES:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
@@ -153,6 +171,7 @@ def run_scaling(repeats: int = 2) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("BENCH_EPOCHS", "1")
         env.setdefault("BENCH_SEEDS_MULT", "128")
+        env.setdefault("BENCH_SKIP_QUERIES", "1")  # legs measure the crawl only
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -913,10 +913,12 @@ ORDER BY id_a, id_b
 
 
 def q_phash_groups(sf_dir: str) -> pd.DataFrame:
-    """Visual near-dup GROUPS: pHash Hamming pairs → distributed
-    min-label propagation (`ops/dedup.py:pair_components` — the 100 TB
-    replacement for driver union-find).  Oracle: recursive-CTE
-    transitive closure over the same pairs."""
+    """Visual near-dup GROUPS: pHash Hamming pairs →
+    `ops/dedup.py:pair_components` (size-gated: driver union-find at
+    this pair count; distributed min-label propagation above the 2M
+    cutoff — that path is pinned against union-find by
+    `test_pair_components_matches_union_find` with cutoff=0).
+    Oracle: recursive-CTE transitive closure over the same pairs."""
     store = _store()
     _ensure_phash_fixture()
     ds = store.read_ray(columns=["image_id", "phash"])

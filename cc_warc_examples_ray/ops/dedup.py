@@ -36,6 +36,25 @@ from ..imagecodec import hamming64
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
+# broadcast-verify regimes cap the driver/worker-resident candidate data
+BROADCAST_TEXT_MAX_BYTES = 256 * 1024 * 1024
+
+# per-worker-process cache of broadcast objects: ray.get deserializes a
+# dict on every call, so without this every map_batches task would pay a
+# full rebuild of the text map.  Keyed by ObjectRef; bounded to a few
+# entries (one live broadcast per verify pipeline).
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_cached(ref):
+    import ray
+
+    if ref not in _BCAST_CACHE:
+        if len(_BCAST_CACHE) > 4:
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[ref] = ray.get(ref)
+    return _BCAST_CACHE[ref]
+
 # deterministic 64-bit odd multipliers for the k minhash permutations
 def _minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
@@ -260,21 +279,47 @@ def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
             pc.is_in(t.column(id_col), value_set=ray.get(need))
         )
 
-    docs_small = docs.map_batches(prune, batch_format="pyarrow")
+    # one corpus scan, shared by both regimes: the pruned candidate
+    # texts live in the object store (spillable), and size_bytes() gives
+    # the byte bound the count gate alone cannot (100k pairs of 1 MB
+    # docs would be 200 GB — driver-fatal to collect, fine to spill).
+    docs_small = docs.map_batches(prune, batch_format="pyarrow").materialize()
 
-    if len(idt) <= broadcast_pairs:
-        tex = docs_small.to_pandas()  # bounded by 2*|pairs| rows
-        tmap_ref = ray.put(dict(zip(tex[id_col], tex[text_col])))
+    if docs_small.count() == 0:
+        # no candidate id matched docs: inner-join semantics → no pairs
+        # (an empty materialized dataset has no schema to join on)
+        from .relational import _arrow_types
+
+        sch = pa.schema(list(_arrow_types(pairs.schema()).items())
+                        + [("jaccard", pa.float64())])
+        return rd.from_arrow(sch.empty_table())
+
+    use_broadcast = (len(idt) <= broadcast_pairs
+                     and docs_small.size_bytes() <= BROADCAST_TEXT_MAX_BYTES)
+    if use_broadcast:
+        tex = docs_small.to_pandas()  # bounded by 2*|pairs| rows AND the byte gate
+        # a fully-pruned (empty) result may drop its columns in pandas
+        tmap_ref = ray.put(
+            dict(zip(tex[id_col], tex[text_col])) if id_col in tex.columns else {}
+        )
 
         # plain task (not an actor pool): the pair list is small here by
-        # the regime gate, so spin-up would dominate; the text map lives
-        # in the object store and is fetched per task, not per batch row.
+        # the regime gate, so spin-up would dominate; the text map is
+        # deserialized once per worker process via _bcast_cached.
         def attach_and_verify(tbl: pa.Table) -> pa.Table:
-            tmap = ray.get(tmap_ref)
-            ta = [tmap.get(x, "") for x in tbl.column("id_a").to_pylist()]
-            tb = [tmap.get(x, "") for x in tbl.column("id_b").to_pylist()]
-            tbl = tbl.append_column("text_a", pa.array(ta, pa.string()))
-            tbl = tbl.append_column("text_b", pa.array(tb, pa.string()))
+            tmap = _bcast_cached(tmap_ref)
+            a_ids = tbl.column("id_a").to_pylist()
+            b_ids = tbl.column("id_b").to_pylist()
+            # inner-join semantics: pairs whose ids are absent from docs
+            # are DROPPED (the join regime would never emit them)
+            keep = [i for i, (a, b) in enumerate(zip(a_ids, b_ids))
+                    if a in tmap and b in tmap]
+            if len(keep) < tbl.num_rows:
+                tbl = tbl.take(pa.array(keep, pa.int64()))
+                a_ids = [a_ids[i] for i in keep]
+                b_ids = [b_ids[i] for i in keep]
+            tbl = tbl.append_column("text_a", pa.array([tmap[x] for x in a_ids], pa.string()))
+            tbl = tbl.append_column("text_b", pa.array([tmap[x] for x in b_ids], pa.string()))
             return _jaccard_rows(tbl, shingle_n)
 
         verified = pairs.map_batches(attach_and_verify, batch_format="pyarrow")
@@ -469,6 +514,9 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
 
     pairs = pairs.materialize()
     if pairs.count() <= finish_cutoff:
+        from .relational import _arrow_types
+
+        idt = _arrow_types(pairs.schema()).get("id_a", pa.string())
         df = pairs.select_columns(["id_a", "id_b"]).to_pandas()
         parent: dict = {}
 
@@ -480,7 +528,9 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
                 parent[x], x = r, parent[x]
             return r
 
-        for a, b in zip(df["id_a"], df["id_b"]):
+        # an empty collect may drop its columns in pandas
+        ab = zip(df["id_a"], df["id_b"]) if "id_a" in df.columns else ()
+        for a, b in ab:
             ra, rb = find(a), find(b)
             if ra != rb:
                 # min-id root keeps group_id = component min deterministically
@@ -488,8 +538,8 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
                 parent[hi] = lo
         nodes = sorted(parent)
         groups = [find(n) for n in nodes]
-        return rd.from_arrow(pa.table({"node": pa.array(nodes),
-                                       "group_id": pa.array(groups)}))
+        return rd.from_arrow(pa.table({"node": pa.array(nodes, idt),
+                                       "group_id": pa.array(groups, idt)}))
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = t.column("id_a").combine_chunks()

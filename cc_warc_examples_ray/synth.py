@@ -85,12 +85,16 @@ def expected_pixels(key: int) -> np.ndarray:
 
     Cached per process (the store repeats ids across the frontier, so a
     fetched id's reference is re-validated many times; ≤ 512 × ~50 KB
-    ≈ 25 MB/worker).  Callers treat the returned array as read-only."""
+    ≈ 25 MB/worker).  The returned array is marked read-only — an
+    in-place mutation would corrupt the cache for every later caller."""
     w, h = image_dims(key)
     if key % 97 == 96:
         base = render_image(key - 1, w, h)
-        return np.clip(base.astype(np.int16) + 2, 0, 255).astype(np.uint8)
-    return render_image(key, w, h)
+        img = np.clip(base.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    else:
+        img = render_image(key, w, h)
+    img.setflags(write=False)
+    return img
 
 
 def image_row(key: int) -> dict:

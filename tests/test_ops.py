@@ -97,6 +97,13 @@ def test_jaccard_verify_join_path_matches_broadcast(ray_session, docs_ds):
     jn = jn.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(bc[key + ["jaccard"]], jn[key + ["jaccard"]])
 
+    # pairs whose ids are absent from docs: BOTH regimes drop them
+    # (inner-join semantics), never score them as jaccard=1 phantoms
+    ghost = rd.from_pandas(pd.DataFrame({"id_a": [997], "id_b": [998]}))
+    for kw in ({}, {"broadcast_pairs": 0}):
+        out = dedup.ngram_jaccard_verify(ghost, docs_ds, threshold=0.0, **kw).to_pandas()
+        assert len(out) == 0
+
 
 def test_simhash_pairs(ray_session, docs_ds):
     out = dedup.simhash_pairs(docs_ds, max_hamming=3).to_pandas()
@@ -212,6 +219,31 @@ def test_pair_components_matches_union_find(ray_session):
         assert gmap[1] == gmap[2] == gmap[3] == 1
         assert gmap[5] == gmap[6] == 5
         assert gmap[9] == gmap[10] == gmap[11] == 9
+
+    # larger random graph: distributed propagation == driver union-find
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 120, 200)
+    b = rng.integers(0, 120, 200)
+    m = a != b
+    rpairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(np.minimum(a[m], b[m]), pa.int64()),
+        "id_b": pa.array(np.maximum(a[m], b[m]), pa.int64()),
+    }))
+    fin = dedup.pair_components(rpairs).to_pandas().sort_values("node").reset_index(drop=True)
+    prop = dedup.pair_components(rpairs, finish_cutoff=0).to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fin, prop, check_dtype=False)
+
+
+def test_pair_components_empty_is_typed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                    "id_b": pa.array([], pa.int64())}))
+    out = dedup.pair_components(empty)
+    sch = out.schema()
+    assert dict(zip(sch.names, sch.types))["node"] == pa.int64()
+    assert out.count() == 0
 
 
 def test_distinct_pairs_typed_and_exact(ray_session):
