@@ -1,0 +1,59 @@
+"""One scaling-leg attempt, load-gated: runs the 640k-seed single-epoch
+headline crawl at the given CPU count IF the 1-minute loadavg is below
+the gate, and appends the result to BENCH/scaling_attempts.jsonl.
+
+Usage: python tools/scaling_attempt.py <num_cpus> [max_load]
+
+The co-tenant load on this box swings 0.3..20 within minutes; single
+--scaling invocations are a noise lottery.  Collecting legs only in
+quiet windows and assembling best-per-leg (identical input + config,
+loadavg recorded per attempt) is the honest min-wall methodology
+documented in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "BENCH", "scaling_attempts.jsonl")
+
+
+def loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def main() -> int:
+    ncpu = int(sys.argv[1])
+    max_load = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    load = loadavg()
+    if load > max_load:
+        print(json.dumps({"skipped": True, "load": load, "ncpu": ncpu}))
+        return 0
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        BENCH_EPOCHS="1",
+        BENCH_SEEDS_MULT="128",
+        BENCH_SKIP_QUERIES="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout
+    rec = json.loads(out.strip().splitlines()[-1])
+    rec["attempt_ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open(LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps({"ncpu": ncpu, "urls_per_sec": rec["crawl"]["urls_per_sec"],
+                      "load_start": rec["loadavg_1m_at_start"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
