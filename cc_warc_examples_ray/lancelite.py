@@ -136,6 +136,8 @@ class LanceLiteTable:
             shutil.rmtree(subdir)  # stale files from a crashed attempt
         os.makedirs(subdir)
         ds.write_parquet(subdir)
+        if os.environ.get("CRAWL_TIMING") == "1":
+            print(f"[crawl-timing] write part-{partition} stats:\n{ds.stats()}", flush=True)
         frags = []
         for name in sorted(os.listdir(subdir)):
             fp = os.path.join(subdir, name)
