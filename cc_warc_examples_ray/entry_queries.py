@@ -742,9 +742,9 @@ def q_media_extract(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_src_index(sf_dir: str) -> pd.DataFrame:
-    """The SQL-checkable core of media extraction: (src, page_url) after
-    first-per-src dedup.  The full visitor output (dom depth/siblings/
-    parent text) stays rows-only in q_media_extract."""
+    """The (src, page_url) core of media extraction after first-per-src
+    dedup; kept as a separate, simpler oracle alongside the full-visitor
+    SQL_MEDIA_EXTRACT below."""
     out = classics.media_extract(_warc(sf_dir)).to_pandas()
     return out[["src", "page_url"]].sort_values("src").reset_index(drop=True)
 
@@ -776,6 +776,66 @@ srcs AS (
       '\\.(jpe?g|png|gif|bmp|tiff?|svg|webp|mp4|avi|mov|mpe?g|wmv)([?#].*)?$', 'i')
 )
 SELECT src, min(record_url) AS page_url FROM srcs GROUP BY src ORDER BY src
+"""
+
+
+# Full DOM-visitor oracle (fixture-aware).  The synth corpus
+# (synth.py _html_body) emits a FIXED 41-char prefix
+# '<html><head><title>t</title></head><body>' and flat body children, so
+# the visitor's structural outputs are SQL-computable for THIS corpus:
+# dom_depth = 2 (stack is [html, body] at every emit), parent_txt = ''
+# (body has no direct text nodes), and dom_sib = 1-based body-child
+# index = cumulative count of start-tag fragments ('<'-split fragments
+# beginning with a letter; each flat child contributes exactly one).
+# Winner per src = min page_url (first_per_key; (src, page_url) is
+# unique in the corpus, so the winning row is fully determined).
+SQL_MEDIA_EXTRACT = f"""
+WITH rec AS (SELECT * FROM read_parquet('{_WARC_FIXTURE}')),
+resp AS (
+  SELECT record_url, payload_text,
+         strpos(payload_text, chr(13)||chr(10)||chr(13)||chr(10)) AS p
+  FROM rec WHERE mime = 'application/http; msgtype=response'
+),
+hb AS (
+  SELECT record_url,
+         CASE WHEN p > 0 THEN substr(payload_text, 1, p - 1) ELSE '' END AS header,
+         CASE WHEN p > 0 THEN substr(payload_text, p + 4) ELSE payload_text END AS body
+  FROM resp
+),
+html AS (SELECT record_url, body FROM hb WHERE contains(header, 'Content-Type: text/html')),
+frags AS (
+  SELECT record_url, unnest(l) AS frag, generate_subscripts(l, 1) AS i
+  FROM (SELECT record_url, string_split(substr(body, 42), '<') AS l FROM html)
+),
+sib AS (
+  SELECT record_url, frag,
+    sum(CASE WHEN regexp_matches(frag, '^[a-z]') THEN 1 ELSE 0 END)
+      OVER (PARTITION BY record_url ORDER BY i) AS dom_sib
+  FROM frags
+),
+media AS (
+  SELECT
+    regexp_extract(frag, 'src="([^"]*)"', 1) AS src,
+    regexp_extract(frag, 'alt="([^"]*)"', 1) AS alt,
+    regexp_extract(frag, 'width="([^"]*)"', 1) AS w,
+    '' AS h,
+    record_url AS page_url,
+    '' AS parent_txt,
+    dom_sib::BIGINT AS dom_sib,
+    2::BIGINT AS dom_depth,
+    'img' AS dom_elem
+  FROM sib WHERE frag LIKE 'img %'
+  UNION ALL
+  SELECT
+    regexp_extract(frag, 'href="([^"]*)"', 1), '', '', '',
+    record_url, '', dom_sib::BIGINT, 2::BIGINT, 'a'
+  FROM sib WHERE frag LIKE 'a %'
+    AND regexp_matches(regexp_extract(frag, 'href="([^"]*)"', 1),
+        '\\.(jpe?g|png|gif|bmp|tiff?|svg|webp|mp4|avi|mov|mpe?g|wmv)([?#].*)?$', 'i')
+)
+SELECT src, alt, w, h, page_url, parent_txt, dom_sib, dom_depth, dom_elem
+FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY page_url) AS rn FROM media)
+WHERE rn = 1 ORDER BY src
 """
 
 
@@ -1265,6 +1325,7 @@ QUERIES = {
     "warc_server_counts": q_warc_server_counts,
     "warc_job_counters": q_warc_job_counters,
     "media_src_index": q_media_src_index,
+    "media_extract": q_media_extract,
     "minhash_pairs": q_minhash_pairs,
     "minhash_neardup": q_minhash_neardup,
     "simhash_pairs": q_simhash_pairs,
@@ -1274,10 +1335,9 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprint": q_fingerprint,
     "ngram_scores": q_ngram_scores,
-    # rows-only (non-SQL-expressible: full pipelines / kmeans / DOM visitor detail)
+    # rows-only (non-SQL-expressible: full pipelines / kmeans)
     "crawl_flagship": q_crawl_flagship,
     "discovery_crawl": q_discovery_crawl,
-    "media_extract": q_media_extract,
     "ivf_ann": q_ivf_ann,
     "media_classify": q_media_classify,
 }
@@ -1308,6 +1368,7 @@ ORACLES = {
     "warc_server_counts": SQL_WARC_SERVER_COUNTS,
     "warc_job_counters": SQL_WARC_JOB_COUNTERS,
     "media_src_index": SQL_MEDIA_SRC_INDEX,
+    "media_extract": SQL_MEDIA_EXTRACT,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

@@ -18,7 +18,7 @@ SUBSET = [
     "exact_dedup_docs", "ann_topk", "crawl_schedule",
     # round-2 oracle families
     "crawl_admission", "simhash_pairs", "langid", "quality_scores",
-    "warc_job_counters", "phash_neardup",
+    "warc_job_counters", "phash_neardup", "media_extract",
 ]
 
 
@@ -48,7 +48,7 @@ def test_every_oracle_has_a_query():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     # the SQL-checked majority: the driver's correctness gate rests on it
-    assert len(oracles) >= 34
+    assert len(oracles) >= 35
 
 
 def test_entry_smoke(ray_session):
