@@ -610,6 +610,33 @@ def _ensure_phash_fixture() -> str:
     return _PHASH_FIXTURE
 
 
+_IVF_FIXTURE = "/tmp/ccwarc_ivf_centroids.parquet"
+_IVF_TRAIN_SF = "/root/testdata/sf0.001"  # fixed content at every sf run
+
+
+def _ensure_ivf_fixture() -> str:
+    """IVF coarse centroids (list_id, vec) trained ONCE on the fixed
+    sf0.001 embeddings sample — sf-independent, so the static oracle SQL
+    can read them while the Ray side indexes any sf's corpus (training
+    on a fixed sample corpus is standard IVF practice; the per-query
+    probe/assignment/ranking semantics are what the oracle verifies
+    independently).  Pure function of on-disk data — race-safe."""
+    if not os.path.exists(_IVF_FIXTURE):
+        emb = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
+                            columns=["embedding"])
+        mat = np.asarray(emb.column("embedding").to_pylist()[:2000], dtype=np.float64)
+        cent = ann.kmeans_centroids(mat, n_centroids=16, iters=10, seed=5)
+        t = pa.table({
+            "list_id": pa.array(np.arange(len(cent), dtype=np.int64)),
+            "vec": pa.array([row.tolist() for row in cent],
+                            pa.list_(pa.float64())),
+        })
+        tmp = f"{_IVF_FIXTURE}.{os.getpid()}.tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _IVF_FIXTURE)
+    return _IVF_FIXTURE
+
+
 def q_discovery_crawl(sf_dir: str) -> pa.Table:
     """Two-level discovery crawl (pages → extracted media → image fetch):
     rows-only check; oracle equivalence is a pytest golden."""
@@ -1277,8 +1304,13 @@ FROM sched ORDER BY fetch_time_ms, seed_rank
 
 
 def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN with a DuckDB oracle: centroids come from the
+    sf-independent fixture (see :func:`_ensure_ivf_fixture`); the oracle
+    independently recomputes assignment (nearest centroid), per-query
+    nprobe probe lists, in-list cosine scoring, and ranking."""
+    cent_t = pq.read_table(_ensure_ivf_fixture())
+    cent = np.asarray(cent_t.column("vec").to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    cent = ann.train_centroids(ds, n_centroids=16, sample=2000)
     assigned = ann.ivf_assign(ds, cent)
     emb_small = _pq(sf_dir, "embeddings").filter(
         pa.compute.less(_pq(sf_dir, "embeddings").column("vec_id"), 3)
@@ -1288,10 +1320,53 @@ def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
         for i, v in zip(emb_small.column("vec_id").to_pylist(), emb_small.column("embedding").to_pylist())
     }
     out = ann.ivf_topk(assigned, cent, queries, k=5, nprobe=4)
-    out["cosine_r"] = out["cosine"].round(5)
+    out["cosine_r"] = _r5(out["cosine"])
     return out[["query_id", "vec_id", "cosine_r", "rank"]].sort_values(
         ["query_id", "rank"]
     ).reset_index(drop=True)
+
+
+SQL_IVF_ANN = f"""
+WITH cent AS (SELECT list_id, vec FROM read_parquet('{_IVF_FIXTURE}')),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.vec) DESC, c.list_id
+           ) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.vec) DESC, c.list_id
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT q.query_id, a.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+  FROM q
+  JOIN probe p ON p.query_id = q.query_id
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN emb e ON e.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, floor(cos * 100000 + 0.5) / 100000 AS cosine_r, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1378,6 +1453,7 @@ ORACLES = {
     "quality_scores": SQL_QUALITY_SCORES,
     "fingerprint": SQL_FINGERPRINT,
     "ngram_scores": SQL_NGRAM_SCORES,
+    "ivf_ann": SQL_IVF_ANN,
 }
 
 
@@ -1387,6 +1463,7 @@ def oracles_impl() -> dict[str, str]:
     oracle side never depends on queries() having run first."""
     _ensure_warc_fixture()
     _ensure_phash_fixture()
+    _ensure_ivf_fixture()
     return dict(ORACLES)
 
 

@@ -93,12 +93,12 @@ def brute_force_topk(ds: rd.Dataset, queries: dict, k: int = 10,
 # IVF scale path
 # ---------------------------------------------------------------------------
 
-def train_centroids(ds: rd.Dataset, n_centroids: int, emb_col: str = "embedding",
-                    sample: int = 10_000, iters: int = 10, seed: int = 5) -> np.ndarray:
-    """k-means|| -lite: train coarse centroids on a driver-side sample
-    (the IVF training step; sample size bounds driver memory)."""
-    take = ds.limit(sample).select_columns([emb_col]).to_pandas()
-    mat = _unit(np.asarray(list(take[emb_col]), dtype=np.float64))
+def kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int = 10,
+                     seed: int = 5) -> np.ndarray:
+    """Spherical k-means over a (pre-normalized or raw) sample matrix —
+    pure numpy, deterministic in ``seed``.  Shared by the Ray training
+    path and the sf-independent oracle fixture."""
+    mat = _unit(np.asarray(mat, dtype=np.float64))
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
     for _ in range(iters):
@@ -111,6 +111,15 @@ def train_centroids(ds: rd.Dataset, n_centroids: int, emb_col: str = "embedding"
                 if n > 0:
                     cent[c] = v / n
     return cent
+
+
+def train_centroids(ds: rd.Dataset, n_centroids: int, emb_col: str = "embedding",
+                    sample: int = 10_000, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """k-means|| -lite: train coarse centroids on a driver-side sample
+    (the IVF training step; sample size bounds driver memory)."""
+    take = ds.limit(sample).select_columns([emb_col]).to_pandas()
+    return kmeans_centroids(np.asarray(list(take[emb_col]), dtype=np.float64),
+                            n_centroids, iters=iters, seed=seed)
 
 
 def ivf_assign(ds: rd.Dataset, centroids: np.ndarray, id_col: str = "vec_id",
@@ -177,7 +186,9 @@ def ivf_topk(assigned: rd.Dataset, centroids: np.ndarray, queries: dict, k: int 
     vectors from its own nprobe lists."""
     qids = sorted(queries)
     qmat = _unit(np.asarray([queries[i] for i in qids], dtype=np.float64))
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    # stable sort: exact-tie probe choice is lowest list index, matching
+    # the SQL oracle's (cos DESC, list_id ASC) row_number semantics
+    probes = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[:, :nprobe]
     lists_needed = sorted({int(x) for row in probes for x in row})
     sub = assigned.filter(expr=f"ivf_list in {lists_needed}")
     mask = np.zeros((len(qids), len(centroids)), dtype=bool)
