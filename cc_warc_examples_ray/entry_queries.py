@@ -610,6 +610,28 @@ def _ensure_phash_fixture() -> str:
     return _PHASH_FIXTURE
 
 
+_FRONTIER_FIXTURE = "/tmp/ccwarc_frontier_fixture.parquet"
+_FRONTIER_N = 2000
+_FRONTIER_HOSTS = 20
+_FRONTIER_EPOCHS = 4
+
+
+def _ensure_frontier_fixture() -> str:
+    """Seed-URL fixture for the flagship-crawl oracle: the raw
+    (seed_url, page_url, seed_rank) frontier — www./whitespace/:80
+    disguises, ../-relative URLs, post-canonicalization duplicates —
+    exactly as fed to ``run_crawl``.  Fixed size (sf-independent), pure
+    function of the global seed; the SQL oracle re-derives canonical
+    URLs, first-seen dedup, the robots gate, per-host politeness times
+    and epoch assignment from these raw strings independently."""
+    if not os.path.exists(_FRONTIER_FIXTURE):
+        t = synth.frontier_seeds_table(_FRONTIER_N, n_hosts=_FRONTIER_HOSTS)
+        tmp = f"{_FRONTIER_FIXTURE}.{os.getpid()}.tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _FRONTIER_FIXTURE)
+    return _FRONTIER_FIXTURE
+
+
 _IVF_FIXTURE = "/tmp/ccwarc_ivf_centroids.parquet"
 _IVF_TRAIN_SF = "/root/testdata/sf0.001"  # fixed content at every sf run
 
@@ -665,21 +687,95 @@ def q_discovery_crawl(sf_dir: str) -> pa.Table:
     return run.order_table()
 
 
-def q_crawl_flagship(sf_dir: str) -> pa.Table:
-    """The flagship crawl at sf-proportional frontier size (rows-only
-    check; exact semantics vs oracle are pytest goldens)."""
+def q_crawl_flagship(sf_dir: str) -> pd.DataFrame:
+    """The flagship crawl over the fixed frontier fixture, DuckDB-checked
+    end-to-end on the crawl-order surface: the REAL pipeline (per-epoch
+    canonicalization, pipelined sharded cuckoo admission, robots gate,
+    per-host politeness schedule, epoched checkpoint/commit machinery)
+    runs over raw disguised seed URLs; the oracle reconstructs canonical
+    urls, first-seen dedup, the disallow gate, host_index/fetch_time_ms
+    and epoch bounds from the same raw strings with string functions +
+    window functions.  ``url_hash`` (xxhash64) is excluded — SQL cannot
+    recompute it; every other order column, including the derived
+    ``image_id``, is compared."""
     import tempfile
 
-    n = _sf_scale(sf_dir)
+    seeds = pq.read_table(_ensure_frontier_fixture())
     store = _store()
-    seeds = synth.frontier_seeds_table(n, n_hosts=20)
-    robots = synth.robots_table(20)
+    robots = synth.robots_table(_FRONTIER_HOSTS)
     out = tempfile.mkdtemp(prefix="crawlq_")
     run = crawl_pipeline.run_crawl(
         seeds, robots, store.fragment_paths(), out,
-        num_shards=4, num_epochs=2, store_size=_STORE_N, concurrency=(1, 4),
+        num_shards=4, num_epochs=_FRONTIER_EPOCHS, store_size=_STORE_N,
+        concurrency=(1, 4),
     )
-    return run.order_table()
+    df = run.order_table().to_pandas()
+    return df[["epoch", "fetch_time_ms", "seed_rank", "host", "host_index",
+               "url", "image_id"]].reset_index(drop=True)
+
+
+# Canonicalization of the fixture's disguise classes in SQL: strip all
+# whitespace; resolve ../-relatives against the page directory (collapse
+# /seg/../ repeatedly — fixture depth <= 2, four passes are ample);
+# strip a leading www. and an explicit :80 default port.  Mirrors
+# functions/urls.py _canon_one for the URL shapes synth emits.
+SQL_CRAWL_FLAGSHIP = f"""
+WITH raw AS (
+  SELECT seed_rank,
+         regexp_replace(seed_url, '\\s+', '', 'g') AS u0,
+         regexp_replace(page_url, '\\s+', '', 'g') AS p0
+  FROM read_parquet('{_FRONTIER_FIXTURE}')
+),
+abs AS (
+  SELECT seed_rank,
+         CASE WHEN u0 NOT LIKE '%://%'
+              THEN regexp_replace(p0, '[^/]*$', '') || u0
+              ELSE u0 END AS u1
+  FROM raw
+),
+res AS (
+  SELECT seed_rank,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           u1, '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\./', '/'),
+           '/[^/.][^/]*/\\.\\./', '/'), '/[^/.][^/]*/\\.\\./', '/') AS u2
+  FROM abs
+),
+canon AS (
+  SELECT seed_rank,
+         regexp_replace(regexp_replace(u2, '^http://www\\.', 'http://'),
+                        '^http://([^/:]+):80/', 'http://\\1/') AS url
+  FROM res
+),
+parts AS (
+  SELECT seed_rank, url,
+         regexp_extract(url, '^http://([^/]+)', 1) AS host,
+         regexp_extract(url, '^http://[^/]+(/.*)$', 1) AS path,
+         CAST(substr(regexp_extract(url, '^http://([^/]+)', 1), 5, 4) AS INT) AS hk
+  FROM canon
+),
+gated AS (
+  SELECT * FROM parts
+  WHERE NOT (hk % 10 = 3 AND path LIKE '/private/%')
+),
+admitted AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY seed_rank) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+sched AS (
+  SELECT seed_rank, url, host, path,
+         (seed_rank * {_FRONTIER_EPOCHS}) // {_FRONTIER_N} AS epoch,
+         row_number() OVER (PARTITION BY host ORDER BY seed_rank) - 1 AS host_index,
+         CASE hk % 4 WHEN 0 THEN 0 WHEN 1 THEN 150 WHEN 2 THEN 500 ELSE 1000 END AS delay
+  FROM admitted
+)
+SELECT epoch, CAST(host_index * delay AS BIGINT) AS fetch_time_ms, seed_rank,
+       host, host_index, url,
+       'img-' || lpad(CAST(CAST(regexp_extract(path, '[ip](\\d+)\\.[A-Za-z0-9]+$', 1) AS BIGINT)
+                           % {_STORE_N} AS VARCHAR), 10, '0') AS image_id
+FROM sched ORDER BY epoch, fetch_time_ms, seed_rank
+"""
 
 
 def _warc(sf_dir: str) -> rd.Dataset:
@@ -1454,6 +1550,7 @@ ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "ngram_scores": SQL_NGRAM_SCORES,
     "ivf_ann": SQL_IVF_ANN,
+    "crawl_flagship": SQL_CRAWL_FLAGSHIP,
 }
 
 
@@ -1464,6 +1561,7 @@ def oracles_impl() -> dict[str, str]:
     _ensure_warc_fixture()
     _ensure_phash_fixture()
     _ensure_ivf_fixture()
+    _ensure_frontier_fixture()
     return dict(ORACLES)
 
 
