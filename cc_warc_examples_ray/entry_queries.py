@@ -659,17 +659,21 @@ def _ensure_ivf_fixture() -> str:
     return _IVF_FIXTURE
 
 
-def q_discovery_crawl(sf_dir: str) -> pa.Table:
-    """Two-level discovery crawl (pages → extracted media → image fetch):
-    rows-only check; oracle equivalence is a pytest golden."""
+def q_discovery_crawl(sf_dir: str) -> pd.DataFrame:
+    """Two-level discovery crawl (pages → extracted media → image fetch)
+    over the fixed WARC fixture as the page store, DuckDB-checked on the
+    crawl-order surface: the oracle re-derives level-0 admission +
+    schedule, per-page DOM media extraction WITH positions (the
+    deterministic discovered-rank assignment), level-1 resolution /
+    first-seen dedup, and the cross-level per-host politeness counters.
+    ``url_hash`` (xxhash64) and ``image_id`` (xxh64 fallback — the
+    discovered media paths miss the fast-path regex) are excluded."""
     import tempfile
 
     from .pipelines.discovery import run_discovery_crawl
 
-    n = _sf_scale(sf_dir)
-    warc = synth.warc_records_table(n)
-    pages = warc.select(["record_url", "mime", "payload"])
-    pq.write_table(pages, _PAGES_CACHE)
+    path = _ensure_warc_fixture()
+    warc = pq.read_table(path, columns=["record_url"])
     urls = warc.column("record_url").to_pylist()
     seeds = pa.table(
         {
@@ -681,10 +685,90 @@ def q_discovery_crawl(sf_dir: str) -> pa.Table:
     store = _store()
     out = tempfile.mkdtemp(prefix="discq_")
     run = run_discovery_crawl(
-        seeds, synth.robots_table(20), [_PAGES_CACHE], store.fragment_paths(), out,
+        seeds, synth.robots_table(20), [path], store.fragment_paths(), out,
         num_shards=4, store_size=_STORE_N,
     )
-    return run.order_table()
+    df = run.order_table().to_pandas()
+    return df[["epoch", "fetch_time_ms", "seed_rank", "host", "host_index",
+               "url"]].reset_index(drop=True)
+
+
+# Level-0 seeds are the (already-canonical) record urls, whose embedded
+# page index IS the seed rank; discovered media resolve root-relative
+# srcs against the page host.  Politeness counters persist across the
+# two levels, so host_index is a single window over the union.
+SQL_DISCOVERY_CRAWL = f"""
+WITH rec AS (SELECT * FROM read_parquet('{_WARC_FIXTURE}')),
+seeds AS (
+  SELECT record_url AS url,
+         CAST(regexp_extract(record_url, 'page(\\d+)\\.html', 1) AS BIGINT) AS seed_rank,
+         regexp_extract(record_url, '^http://([^/]+)', 1) AS host
+  FROM rec
+),
+resp AS (
+  SELECT record_url, payload_text,
+         strpos(payload_text, chr(13)||chr(10)||chr(13)||chr(10)) AS p
+  FROM rec WHERE mime = 'application/http; msgtype=response'
+),
+hb AS (
+  SELECT record_url,
+         CASE WHEN p > 0 THEN substr(payload_text, 1, p - 1) ELSE '' END AS header,
+         CASE WHEN p > 0 THEN substr(payload_text, p + 4) ELSE payload_text END AS body
+  FROM resp
+),
+html AS (SELECT record_url, body FROM hb WHERE contains(header, 'Content-Type: text/html')),
+frags AS (
+  SELECT record_url, unnest(l) AS frag, generate_subscripts(l, 1) AS i
+  FROM (SELECT record_url, string_split(substr(body, 42), '<') AS l FROM html)
+),
+media AS (
+  SELECT record_url, i, regexp_extract(frag, 'src="([^"]*)"', 1) AS src
+  FROM frags WHERE frag LIKE 'img %'
+  UNION ALL
+  SELECT record_url, i, regexp_extract(frag, 'href="([^"]*)"', 1)
+  FROM frags WHERE frag LIKE 'a %'
+    AND regexp_matches(regexp_extract(frag, 'href="([^"]*)"', 1),
+        '\\.(jpe?g|png|gif|bmp|tiff?|svg|webp|mp4|avi|mov|mpe?g|wmv)([?#].*)?$', 'i')
+),
+ordered AS (
+  SELECT m.record_url, m.src, s.seed_rank AS parent_rank,
+         row_number() OVER (PARTITION BY m.record_url ORDER BY m.i) - 1 AS intra
+  FROM media m JOIN seeds s ON s.url = m.record_url
+),
+disc AS (
+  SELECT (SELECT count(*) FROM rec)
+           + row_number() OVER (ORDER BY parent_rank, intra) - 1 AS seed_rank,
+         CASE WHEN src LIKE 'http://%' THEN src
+              ELSE 'http://' || regexp_extract(record_url, '^http://([^/]+)', 1) || src
+         END AS url
+  FROM ordered
+),
+lvl1 AS (
+  SELECT seed_rank, url, regexp_extract(url, '^http://([^/]+)', 1) AS host
+  FROM disc
+),
+allrows AS (
+  SELECT 0 AS epoch, seed_rank, url, host FROM seeds
+  UNION ALL
+  SELECT 1, seed_rank, url, host FROM lvl1
+),
+admitted AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY seed_rank) AS rn
+    FROM allrows
+  ) WHERE rn = 1
+),
+sched AS (
+  SELECT epoch, seed_rank, url, host,
+         row_number() OVER (PARTITION BY host ORDER BY seed_rank) - 1 AS host_index,
+         CASE CAST(substr(host, 5, 4) AS INT) % 4
+           WHEN 0 THEN 0 WHEN 1 THEN 150 WHEN 2 THEN 500 ELSE 1000 END AS delay
+  FROM admitted
+)
+SELECT epoch, CAST(host_index * delay AS BIGINT) AS fetch_time_ms, seed_rank,
+       host, host_index, url
+FROM sched ORDER BY epoch, fetch_time_ms, seed_rank
+"""
 
 
 def q_crawl_flagship(sf_dir: str) -> pd.DataFrame:
@@ -1308,11 +1392,165 @@ def q_media_classify(sf_dir: str) -> pd.DataFrame:
         features.PresenceAndEnsemble, fn_constructor_args=(vref,),
         batch_format="pyarrow", concurrency=(1, 4),
     ).to_pandas()
-    out["p_feat"] = out["p_feat"].round(5)
-    out["p_ngram"] = out["p_ngram"].round(5)
+    out["p_feat"] = _r5(out["p_feat"])
+    out["p_ngram"] = _r5(out["p_ngram"])
     return out[["src", "ngram_hits", "p_feat", "p_ngram", "is_big"]].sort_values(
         "src"
     ).reset_index(drop=True)
+
+
+# End-to-end classify oracle: the DOM-visitor media CTE (proven by
+# SQL_MEDIA_EXTRACT), the ngram-vocabulary CTE (proven by
+# SQL_NGRAM_SCORES), then url_ngrams presence counting, the linear
+# feature scorer, and the agreement-else-biased-margin ensemble rule —
+# all recomputed independently in SQL.  Probabilities compare after the
+# deterministic floor(x*1e5+0.5) rounding; thresholds/margins use the
+# unrounded values exactly as the pipeline does.
+SQL_MEDIA_CLASSIFY = f"""
+WITH rec AS (SELECT * FROM read_parquet('{_WARC_FIXTURE}')),
+resp AS (
+  SELECT record_url, payload_text,
+         strpos(payload_text, chr(13)||chr(10)||chr(13)||chr(10)) AS p
+  FROM rec WHERE mime = 'application/http; msgtype=response'
+),
+hb AS (
+  SELECT record_url,
+         CASE WHEN p > 0 THEN substr(payload_text, 1, p - 1) ELSE '' END AS header,
+         CASE WHEN p > 0 THEN substr(payload_text, p + 4) ELSE payload_text END AS body
+  FROM resp
+),
+html AS (SELECT record_url, body FROM hb WHERE contains(header, 'Content-Type: text/html')),
+frags AS (
+  SELECT record_url, unnest(l) AS frag, generate_subscripts(l, 1) AS i
+  FROM (SELECT record_url, string_split(substr(body, 42), '<') AS l FROM html)
+),
+sib AS (
+  SELECT record_url, frag,
+    sum(CASE WHEN regexp_matches(frag, '^[a-z]') THEN 1 ELSE 0 END)
+      OVER (PARTITION BY record_url ORDER BY i) AS dom_sib
+  FROM frags
+),
+media0 AS (
+  SELECT
+    regexp_extract(frag, 'src="([^"]*)"', 1) AS src,
+    regexp_extract(frag, 'alt="([^"]*)"', 1) AS alt,
+    regexp_extract(frag, 'width="([^"]*)"', 1) AS w,
+    record_url AS page_url,
+    dom_sib::BIGINT AS dom_sib, 2::BIGINT AS dom_depth, 'img' AS dom_elem
+  FROM sib WHERE frag LIKE 'img %'
+  UNION ALL
+  SELECT
+    regexp_extract(frag, 'href="([^"]*)"', 1), '', '',
+    record_url, dom_sib::BIGINT, 2::BIGINT, 'a'
+  FROM sib WHERE frag LIKE 'a %'
+    AND regexp_matches(regexp_extract(frag, 'href="([^"]*)"', 1),
+        '\\.(jpe?g|png|gif|bmp|tiff?|svg|webp|mp4|avi|mov|mpe?g|wmv)([?#].*)?$', 'i')
+),
+med AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY page_url) AS rn
+                 FROM media0) WHERE rn = 1
+),
+cleaned AS (
+  SELECT trim(regexp_replace(lower(text), '\\W+', ' ', 'g')) AS s, lang FROM documents
+),
+dgrams AS (
+  SELECT substr(s, i::INT, n::INT) AS ngram, lang
+  FROM (SELECT s, lang, n, unnest(range(1, greatest(length(s) - n + 2, 1))) AS i
+        FROM cleaned CROSS JOIN range(3, 6) t(n)
+        WHERE length(s) >= n)
+),
+vocab AS (
+  SELECT ngram FROM (
+    SELECT ngram,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos_cnt,
+           sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS neg_cnt
+    FROM dgrams GROUP BY 1
+  ) WHERE pos_cnt + neg_cnt >= 5
+  ORDER BY (pos_cnt - neg_cnt) DESC, ngram LIMIT 500
+),
+ksz AS (SELECT DISTINCT length(ngram) AS k FROM vocab),
+uclean AS (
+  SELECT src,
+         regexp_replace(regexp_replace(lower(src), '^[a-z]+://', ''),
+                        '\\.[a-z0-9]{{1,4}}$', '') AS u2
+  FROM med
+),
+uparts AS (
+  SELECT src, unnest(regexp_extract_all(u2, '[0-9a-z_]+')) AS part FROM uclean
+),
+ugrams AS (
+  SELECT DISTINCT src, substr(part, i::INT, k::INT) AS gram
+  FROM (SELECT src, part, k, unnest(range(1, greatest(length(part) - k + 2, 1))) AS i
+        FROM uparts CROSS JOIN ksz WHERE length(part) >= k)
+),
+hits AS (
+  SELECT g.src, count(*)::BIGINT AS ngram_hits
+  FROM ugrams g JOIN vocab v ON v.ngram = g.gram GROUP BY 1
+),
+feat AS (
+  SELECT m.src, coalesce(h.ngram_hits, 0)::BIGINT AS ngram_hits,
+    CASE WHEN regexp_replace(m.w, '\\D', '', 'g') = '' THEN 0.0
+         ELSE CAST(regexp_replace(m.w, '\\D', '', 'g') AS DOUBLE) END AS attr_w,
+    CASE
+      WHEN regexp_matches(m.src, '\\d{{2,4}}[xX]\\d{{2,4}}')
+        THEN CAST(regexp_extract(m.src, '(\\d{{2,4}})[xX](\\d{{2,4}})', 1) AS DOUBLE)
+      WHEN regexp_matches(m.src, '[wW]_\\d{{2,4}}')
+        THEN CAST(regexp_extract(m.src, '[wW]_(\\d{{2,4}})', 1) AS DOUBLE)
+      WHEN regexp_matches(m.src, '\\d{{2,4}}px')
+        THEN CAST(regexp_extract(m.src, '(\\d{{2,4}})px', 1) AS DOUBLE)
+      WHEN regexp_matches(m.src, '[?&]w(idth)?=\\d{{2,4}}')
+        THEN CAST(regexp_extract(m.src, '[?&]w(?:idth)?=(\\d{{2,4}})', 1) AS DOUBLE)
+      WHEN regexp_matches(m.src, '_\\d{{2,4}}\\.')
+        THEN CAST(regexp_extract(m.src, '_(\\d{{2,4}})\\.', 1) AS DOUBLE)
+      ELSE 0.0 END AS url_w,
+    CASE
+      WHEN regexp_matches(m.src, '\\d{{2,4}}[xX]\\d{{2,4}}')
+        THEN CAST(regexp_extract(m.src, '(\\d{{2,4}})[xX](\\d{{2,4}})', 2) AS DOUBLE)
+      WHEN regexp_matches(m.src, '[wW]_\\d{{2,4}}')
+        THEN CAST(regexp_extract(m.src, '[wW]_(\\d{{2,4}})', 1) AS DOUBLE)
+      WHEN regexp_matches(m.src, '\\d{{2,4}}px')
+        THEN CAST(regexp_extract(m.src, '(\\d{{2,4}})px', 1) AS DOUBLE)
+      WHEN regexp_matches(m.src, '[?&]w(idth)?=\\d{{2,4}}')
+        THEN CAST(regexp_extract(m.src, '[?&]w(?:idth)?=(\\d{{2,4}})', 1) AS DOUBLE)
+      WHEN regexp_matches(m.src, '_\\d{{2,4}}\\.')
+        THEN CAST(regexp_extract(m.src, '_(\\d{{2,4}})\\.', 1) AS DOUBLE)
+      ELSE 0.0 END AS url_h,
+    CASE WHEN regexp_extract(regexp_replace(lower(m.src), '^https?://(www\\.)?', ''),
+                             '^([^/]+)', 1) <> ''
+          AND m.src LIKE 'http%'
+          AND regexp_extract(regexp_replace(lower(m.src), '^https?://(www\\.)?', ''),
+                             '^([^/]+)', 1)
+            = regexp_extract(regexp_replace(lower(m.page_url), '^https?://(www\\.)?', ''),
+                             '^([^/]+)', 1)
+         THEN 1.0 ELSE 0.0 END AS same_domain,
+    CAST(length(m.alt) AS DOUBLE) AS alt_len,
+    CASE WHEN m.dom_elem = 'img' THEN 1.0 ELSE 0.0 END AS elem_img,
+    CASE WHEN lower(regexp_extract(regexp_replace(
+             regexp_extract('/' || m.src, '([^/]*)$', 1), '[?#].*$', ''),
+             '\\.([^.]*)$', 1)) = 'gif' THEN 1.0 ELSE 0.0 END AS suffix_gif,
+    CAST(m.dom_depth AS DOUBLE) AS dom_depth,
+    CAST(m.dom_sib AS DOUBLE) AS dom_sib
+  FROM med m LEFT JOIN hits h ON h.src = m.src
+),
+scored AS (
+  -- term order mirrors EnsembleClassifier's weight-dict iteration
+  -- exactly (z += w*x left to right), keeping fp summation identical
+  SELECT src, ngram_hits,
+    1.0 / (1.0 + exp(-((0.002 * attr_w + 0.0 + 0.002 * url_w + 0.002 * url_h
+                        + 0.004 * alt_len + 0.3 * elem_img + 0.1 * same_domain
+                        + (-0.01) * dom_depth + (-0.02) * dom_sib
+                        + (-0.4) * suffix_gif) - 0.5))) AS pf,
+    1.0 / (1.0 + exp(-(0.08 * ngram_hits - 0.5))) AS pn
+  FROM feat
+)
+SELECT src, ngram_hits,
+       floor(pf * 100000 + 0.5) / 100000 AS p_feat,
+       floor(pn * 100000 + 0.5) / 100000 AS p_ngram,
+       CASE WHEN (pf >= 0.5) = (pn >= 0.5) THEN pf >= 0.5
+            WHEN abs(pn - 0.5) + 0.05 >= abs(pf - 0.5) THEN pn >= 0.5
+            ELSE pf >= 0.5 END AS is_big
+FROM scored ORDER BY src
+"""
 
 
 def q_crawl_admission(sf_dir: str) -> pd.DataFrame:
@@ -1551,6 +1789,8 @@ ORACLES = {
     "ngram_scores": SQL_NGRAM_SCORES,
     "ivf_ann": SQL_IVF_ANN,
     "crawl_flagship": SQL_CRAWL_FLAGSHIP,
+    "discovery_crawl": SQL_DISCOVERY_CRAWL,
+    "media_classify": SQL_MEDIA_CLASSIFY,
 }
 
 
