@@ -285,13 +285,31 @@ def sniff_fmt(data: bytes) -> str | None:
 # ---------------------------------------------------------------------------
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    """Peak signal-to-noise ratio in dB between two uint8 images.
+
+    Hot path notes: the exact-equality probe is a memcmp (no float
+    conversion) — lossless round-trips exit there; mismatching images
+    compute MSE from an integer |diff| histogram (int16 + uint8
+    temporaries instead of two full float64 copies — this stage is
+    memory-bandwidth-bound at high core counts)."""
     if a.shape != b.shape:
         return 0.0
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if a.dtype == np.uint8 and b.dtype == np.uint8:
+        if np.array_equal(a, b):
+            return float("inf")
+        d = a.astype(np.int16)
+        np.subtract(d, b, out=d)
+        np.abs(d, out=d)
+        cnt = np.bincount(d.ravel().astype(np.uint8), minlength=256)
+        mse = float(np.dot(cnt, _SQ256)) / d.size
+    else:
+        mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))
+
+
+_SQ256 = np.arange(256, dtype=np.int64) ** 2
 
 
 def _resize_gray32(img: np.ndarray) -> np.ndarray:
@@ -320,12 +338,11 @@ def phash64(img: np.ndarray) -> int:
     small = _resize_gray32(img)
     coef = _D32 @ small @ _D32.T
     block = coef[:8, :8].flatten()
-    med = np.median(block)
-    bits = (block > med).astype(np.uint64)
-    code = np.uint64(0)
-    for i in range(64):
-        code = (code << np.uint64(1)) | bits[i]
-    return int(code)
+    # median of 64 == np.median's exact formula (mean of the two
+    # partitioned middle elements), without its dispatch overhead;
+    # packbits(bitorder big) == the MSB-first shift loop, bit-identical
+    med = np.mean(np.partition(block, (31, 32))[31:33])
+    return int.from_bytes(np.packbits(block > med).tobytes(), "big")
 
 
 def hamming64(a, b) -> np.ndarray:
