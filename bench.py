@@ -170,7 +170,9 @@ def run_scaling(repeats: int = 2) -> dict:
         # keeps epochs=2 (checkpointing on) at 160k.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("BENCH_EPOCHS", "1")
-        env.setdefault("BENCH_SEEDS_MULT", "128")
+        # 1.28M seeds: after the round-2 decode speedup the O(1) session
+        # cost (~4-5s) must stay a small fraction of the 32-cpu leg wall
+        env.setdefault("BENCH_SEEDS_MULT", "256")
         env.setdefault("BENCH_SKIP_QUERIES", "1")  # legs measure the crawl only
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],

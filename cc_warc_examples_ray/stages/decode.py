@@ -64,8 +64,20 @@ class DecodeValidate:
         decode_ok = np.zeros(n, dtype=bool)
         dims_ok = np.zeros(n, dtype=bool)
         psnr_db = np.zeros(n, dtype=np.float64)
-        phash_rt = np.zeros(n, dtype=bool)
         caption_ok = np.zeros(n, dtype=bool)
+        # stored phashes pulled once as an array (a per-row pyarrow
+        # scalar .as_py() round-trip is measurable at 10^6-row epochs);
+        # round-trip hashes collected per row, hamming done in ONE
+        # vectorized call after the loop
+        # fill nulls (fetch-miss rows) in Arrow so the conversion stays
+        # int64-exact — a nullable column would go through lossy float64
+        stored_ph = (
+            pa.compute.fill_null(batch.column("phash"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        rt_ph = np.zeros(n, dtype=np.uint64)
 
         for i in range(n):
             fmt = fmts[i]
@@ -79,14 +91,7 @@ class DecodeValidate:
                 continue
             if not decode_ok[i]:
                 continue
-            # phash of the decoded pixels must land in the same bucket as
-            # the stored phash (exact for lossless, near for lossy)
-            stored = np.uint64(np.int64(batch.column("phash")[i].as_py()))
-            rt = np.uint64(imagecodec.phash64(img))
-            ham = int(imagecodec.hamming64(np.array([stored]), np.array([rt]))[0])
-            phash_rt[i] = (
-                ham == 0 if fmt in imagecodec.LOSSLESS_FMTS else ham <= self.LOSSY_PHASH_HAMMING
-            )
+            rt_ph[i] = imagecodec.phash64(img)
             m = _ID_RE.match(ids[i]) if self.check_reference else None
             if m:
                 ref = synth.expected_pixels(int(m.group(1)))
@@ -98,7 +103,14 @@ class DecodeValidate:
                 psnr_db[i] = 99.0
                 caption_ok[i] = True
 
+        # phash of the decoded pixels must land in the same bucket as
+        # the stored phash (exact for lossless, near for lossy)
+        ham = imagecodec.hamming64(stored_ph, rt_ph)
         lossless = np.array([f in imagecodec.LOSSLESS_FMTS for f in fmts])
+        phash_rt = decode_ok & np.where(
+            lossless, ham == 0, ham <= self.LOSSY_PHASH_HAMMING
+        )
+
         pixel_ok = np.where(lossless, psnr_db >= 99.0, psnr_db >= 40.0)
         valid = decode_ok & dims_ok & phash_rt & pixel_ok & caption_ok
         big = (ws >= self.min_dim) & (hs >= self.min_dim)

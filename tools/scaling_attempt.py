@@ -38,8 +38,11 @@ def main() -> int:
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
-        BENCH_EPOCHS="1",
-        BENCH_SEEDS_MULT="128",
+        BENCH_EPOCHS=os.environ.get("BENCH_EPOCHS", "1"),
+        # after the round-2 decode speedup the 640k frontier finishes a
+        # 32-cpu leg in ~30s; 256x (1.28M) keeps the O(1) session cost
+        # (~4-5s of ray.init + fixture build) a small fraction of wall
+        BENCH_SEEDS_MULT=os.environ.get("BENCH_SEEDS_MULT", "256"),
         BENCH_SKIP_QUERIES="1",
     )
     out = subprocess.run(
