@@ -71,6 +71,12 @@ ORDER_COLS = [
     "epoch", "fetch_time_ms", "seed_rank", "url_hash", "host", "host_index", "url",
 ]
 
+# Upper bound on seed rows per canonicalize task: like the fetch wave's
+# MAX_FETCH_ROWS_PER_BLOCK, chunk size must not grow with epoch size
+# (a CPU-derived block COUNT lets a bigger epoch silently fatten every
+# task; bounded chunks keep task cost flat from 10^5- to 10^8-row epochs).
+MAX_CANON_ROWS_PER_BLOCK = 16384
+
 
 def _robots_maps(robots: pa.Table) -> tuple[dict[str, int], dict[str, list[str]]]:
     delays = dict(
@@ -195,7 +201,7 @@ def run_crawl(
                 tbl = tbl.append_column("host_hash", pa.array(hh, pa.int64()))
                 return tbl.select(keep_cols)
 
-            step = max(256, sl.num_rows // nblocks + 1)
+            step = max(256, min(MAX_CANON_ROWS_PER_BLOCK, sl.num_rows // nblocks + 1))
             chunks = [sl.slice(i, step) for i in range(0, sl.num_rows, step)]
             eds = rd.from_arrow(chunks)
             eds = eds.map_batches(canonicalize_batch, batch_format="pyarrow")

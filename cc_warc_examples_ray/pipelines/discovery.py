@@ -31,10 +31,16 @@ from .. import lancelite, synth
 from ..functions.urls import canonicalize_batch
 from ..hashing import xxh64_many
 from ..stages.decode import DecodeValidate
-from ..stages.fetch import add_image_ids, fetch_broadcast_store
+from ..stages.fetch import MAX_FETCH_ROWS_PER_BLOCK, add_image_ids, fetch_broadcast_store
 from ..stages.parse import extract_media_batch
 from ..state.frontier_shard import FrontierPool
-from .crawl import ORDER_COLS, CrawlRun, _make_robots_gate, _robots_maps
+from .crawl import (
+    MAX_CANON_ROWS_PER_BLOCK,
+    ORDER_COLS,
+    CrawlRun,
+    _make_robots_gate,
+    _robots_maps,
+)
 
 
 def _admit(pool: FrontierPool, cdf: pd.DataFrame) -> pd.DataFrame:
@@ -54,7 +60,7 @@ def _admit(pool: FrontierPool, cdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _canonicalize(seeds: pa.Table, disallow, nblocks: int) -> pd.DataFrame:
-    step = max(256, seeds.num_rows // nblocks + 1)
+    step = max(256, min(MAX_CANON_ROWS_PER_BLOCK, seeds.num_rows // nblocks + 1))
     chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)] or [seeds]
     eds = rd.from_arrow(chunks)
     eds = eds.map_batches(canonicalize_batch, batch_format="pyarrow")
@@ -103,7 +109,7 @@ def discover_media(pages: pa.Table, nblocks: int = 16) -> pa.Table:
     :func:`discover_kernel` as parallel tasks."""
     if pages.num_rows == 0:
         return _EMPTY_MEDIA
-    step = max(16, pages.num_rows // nblocks + 1)
+    step = max(16, min(MAX_FETCH_ROWS_PER_BLOCK, pages.num_rows // nblocks + 1))
     chunks = [pages.slice(i, step) for i in range(0, pages.num_rows, step)]
     ds = rd.from_arrow(chunks).map_batches(discover_kernel, batch_format="pyarrow")
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)

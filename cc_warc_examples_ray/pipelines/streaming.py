@@ -39,7 +39,7 @@ from ..hashing import xxh64_many
 from ..stages.decode import DecodeValidate
 from ..stages.fetch import add_image_ids, fetch_broadcast_store
 from ..state.frontier_shard import FrontierPool
-from .crawl import CrawlRun, _make_robots_gate, _robots_maps
+from .crawl import MAX_CANON_ROWS_PER_BLOCK, CrawlRun, _make_robots_gate, _robots_maps
 
 
 def run_streaming_crawl(
@@ -87,7 +87,7 @@ def run_streaming_crawl(
         else:
             # canonicalize (parallel) and enqueue in rank order
             nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-            step = max(256, seeds.num_rows // nblocks + 1)
+            step = max(256, min(MAX_CANON_ROWS_PER_BLOCK, seeds.num_rows // nblocks + 1))
             chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)]
             eds = rd.from_arrow(chunks).map_batches(canonicalize_batch, batch_format="pyarrow")
             eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")

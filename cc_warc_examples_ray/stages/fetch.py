@@ -125,6 +125,15 @@ BROADCAST_STORE_MAX_BYTES = 2 << 30
 # crawl pays the column-pruned id scan ONCE, not once per epoch)
 _STORE_ID_CACHE: dict[tuple, "pa.ChunkedArray"] = {}
 
+# Upper bound on admitted rows per fused fetch→decode task.  Task size
+# must track the unit of WORK, not epoch size: with a CPU-derived block
+# COUNT, a 2x epoch doubles rows/task, and measured per-row CPU inflates
+# ~1.45x with a 3x task-wall straggler spread once tasks exceed ~8k rows
+# (decode is memory-bandwidth-heavy; long tasks also bunch unevenly).
+# 4096 rows ≈ 90 MB of payload traffic per task — the measured-flat
+# regime at both 640k- and 1.28M-row epochs.
+MAX_FETCH_ROWS_PER_BLOCK = 4096
+
 
 def _store_id_column(store_paths: tuple, key: str):
     """Column-pruned read of the store's key column, cached per store
@@ -281,7 +290,7 @@ def fetch_broadcast_store(
     (it is already driver-resident metadata) — no repartition shuffle."""
     if num_blocks is None:
         num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    step = max(64, admitted.num_rows // num_blocks + 1)
+    step = max(64, min(MAX_FETCH_ROWS_PER_BLOCK, admitted.num_rows // num_blocks + 1))
     chunks = [admitted.slice(i, step) for i in range(0, admitted.num_rows, step)] or [admitted]
     ds = rd.from_arrow(chunks)
     return ds.map_batches(make_broadcast_fetch_fn(store_paths), batch_format="pyarrow")
