@@ -243,7 +243,12 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
             return pd.DataFrame({"partition": [part], "file": [""], "rows": [0]})
         name = f"frag-{uuid.uuid4().hex}.parquet"
         fp = os.path.join(path, "data", name)
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), fp)
+        # strip the from_pandas metadata blob so read_parquet blocks get
+        # hashable (dedup-able) schemas downstream
+        pq.write_table(
+            pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None),
+            fp,
+        )
         return pd.DataFrame(
             {"partition": [part], "file": [os.path.join("data", name)], "rows": [len(g)]}
         )

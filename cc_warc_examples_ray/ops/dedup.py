@@ -198,7 +198,9 @@ def grouped_bucket_pairs(exploded: rd.Dataset, keys: list[str], per_bucket_fn,
         if not outs:
             return out_schema.empty_table()
         res = pd.concat(outs)
-        return pa.Table.from_pandas(res, schema=out_schema, preserve_index=False)
+        return pa.Table.from_pandas(
+            res, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)  # pandas blob makes schemas unhashable
 
     return exploded.map_batches(add_part, batch_format="pyarrow").groupby(
         "_part"

@@ -102,7 +102,10 @@ def make_part_assigner(keys: Sequence[str], num_partitions: int):
                 v = xxh64_many(pc.cast(col.combine_chunks(), pa.string()))
             acc = v.astype(np.uint64, copy=True) if acc is None else combine64(acc, v)
         part = (acc % np.uint64(num_partitions)).astype(np.int64)
-        return tbl.append_column("_part", pa.array(part))
+        # strip any from_pandas metadata a pandas-block upstream left on
+        # the converted batch: metadata-bearing schemas are unhashable
+        # and break Ray's schema-dedup early exit in the shuffle
+        return tbl.append_column("_part", pa.array(part)).replace_schema_metadata(None)
 
     return add_part
 
@@ -130,9 +133,13 @@ def partitioned_map(ds: rd.Dataset, keys: Sequence[str], kern,
         res = kern(g)
         if not len(res):
             return out_schema.empty_table()
+        # replace_schema_metadata(None): from_pandas attaches a b'pandas'
+        # metadata blob even with an explicit schema; metadata-bearing
+        # schemas are unhashable, which defeats Ray's schema-dedup early
+        # exit in unify_schemas (warn-per-batch + full unify every time)
         return pa.Table.from_pandas(
             res[[f.name for f in out_schema]], schema=out_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("_part").map_groups(
         wrapped, batch_format="pyarrow"
@@ -145,14 +152,22 @@ def first_per_key(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
     partition — the spec'd version of `MediaReduce.java:14-18`'s "first
     value wins" without a pandas group per key."""
 
-    # pre-dedup inside each batch before the shuffle (combiner)
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(order_col, kind="mergesort").drop_duplicates(key, keep="first")
+    # pre-dedup inside each batch before the shuffle (combiner).  The
+    # winner selection runs in pandas but the kept rows are TAKEN from
+    # the original Arrow table: type-exact, and no from_pandas metadata
+    # blob (metadata-bearing schemas are unhashable → Ray warns per
+    # batch and loses its schema-dedup early exit).
+    def partial(tbl: pa.Table) -> pa.Table:
+        df = tbl.select([key, order_col]).to_pandas()
+        keep = df.sort_values(order_col, kind="mergesort").drop_duplicates(
+            key, keep="first"
+        ).index.to_numpy()
+        return tbl.take(pa.array(np.sort(keep), pa.int64()))
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(order_col, kind="mergesort").drop_duplicates(key, keep="first")
 
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = ds.map_batches(partial, batch_format="pyarrow")
     return partitioned_map(
         parts, [key], kern,
         out_schema=pa.schema(list(_arrow_types(ds.schema()).items())),
@@ -315,7 +330,7 @@ def hash_join(
             tbl = tbl.select(all_cols)
             return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
                 "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
-            )
+            ).replace_schema_metadata(None)  # unhashable-schema hygiene
 
         return fn
 
@@ -336,6 +351,8 @@ def hash_join(
         lg = g.loc[g["_side"] == 0, lcols]
         rg = g.loc[g["_side"] == 1, rcols]
         m = lg.merge(rg, on=key, how=how)
-        return pa.Table.from_pandas(m[out_cols], schema=out_schema, preserve_index=False)
+        return pa.Table.from_pandas(
+            m[out_cols], schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pyarrow")

@@ -258,7 +258,9 @@ def run_discovery_crawl(
         if start_level == 0:
             cdf = _canonicalize(frontier, disallow, nblocks)
             adf = _admit(pool, cdf)
-            admitted = pa.Table.from_pandas(adf, preserve_index=False).append_column(
+            admitted = pa.Table.from_pandas(
+                adf, preserve_index=False
+            ).replace_schema_metadata(None).append_column(
                 "epoch", pa.array(np.zeros(len(adf), dtype=np.int64))
             )
             admitted = admitted.sort_by(
@@ -315,7 +317,9 @@ def run_discovery_crawl(
         if start_level <= 1:
             cdf1 = _canonicalize(discovered, disallow, nblocks)
             adf1 = _admit(pool, cdf1)
-            admitted1 = pa.Table.from_pandas(adf1, preserve_index=False).append_column(
+            admitted1 = pa.Table.from_pandas(
+                adf1, preserve_index=False
+            ).replace_schema_metadata(None).append_column(
                 "epoch", pa.array(np.ones(len(adf1), dtype=np.int64))
             )
             admitted1 = add_image_ids(admitted1, store_size)
