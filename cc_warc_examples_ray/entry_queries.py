@@ -37,8 +37,19 @@ from .pipelines import classics, crawl as crawl_pipeline
 _WS_RE = re.compile(r"\s+", re.ASCII)  # matches RE2's \s class in DuckDB
 
 
+def _strip_meta(tbl: pa.Table) -> pa.Table:
+    """Drop the b'pandas' schema-metadata blob that pandas-written parquet
+    (incl. the driver's testdata) attaches to every read block: schemas
+    with metadata are unhashable, which defeats Ray's schema-dedup early
+    exit and warns per unify.  Metadata-only — zero-copy, and fused into
+    the first downstream map stage."""
+    return tbl.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def _pq(sf_dir: str, table: str, columns=None) -> pa.Table:

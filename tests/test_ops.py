@@ -42,6 +42,26 @@ def test_first_per_key(ray_session):
     assert out["p"].tolist() == ["b", "d"]
 
 
+def test_shuffle_blocks_have_hashable_schemas(ray_session):
+    """Blocks leaving the shuffle ops must carry NO schema metadata:
+    pa.Table.from_pandas (ours or Ray's pandas→arrow conversion) attaches
+    a b'pandas' blob that makes schemas unhashable, which defeats Ray's
+    schema-dedup early exit in unify_schemas and warns per batch."""
+    t = pa.table({"k": ["x", "x", "y", "y"], "r": [5, 2, 9, 1], "p": ["a", "b", "c", "d"]})
+    for made in (
+        relational.first_per_key(rd.from_arrow(t), "k", "r"),
+        relational.hash_join(
+            rd.from_arrow(pa.table({"k": [1, 2], "a": ["x", "y"]})),
+            rd.from_arrow(pa.table({"k": [2, 3], "b": [20, 30]})),
+            "k", num_buckets=2,
+        ),
+    ):
+        for ref in made.materialize().to_arrow_refs():
+            tbl = ray.get(ref)
+            assert tbl.schema.metadata is None
+            hash(tbl.schema)  # raises TypeError if metadata sneaks back
+
+
 def test_broadcast_joins(ray_session):
     t = pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64())})
     ref = ray.put([2, 4])
