@@ -166,7 +166,7 @@ def run_scaling(repeats: int = 2) -> dict:
         # the 160k-URL headline they are ~38% of the 32-CPU wall but
         # only ~12% of the 8-CPU wall, so they masquerade as scaling
         # loss — a fixture artifact, not a pipeline property.  Both
-        # legs run the IDENTICAL 640k input.  The plain headline bench
+        # legs run the IDENTICAL 1.28M-seed input.  The plain headline bench
         # keeps epochs=2 (checkpointing on) at 160k.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("BENCH_EPOCHS", "1")

@@ -586,9 +586,6 @@ def _sf_scale(sf_dir: str) -> int:
     return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
 
-_PAGES_CACHE = "/tmp/ccwarc_pages_cache.parquet"
-
-
 # deterministic WARC fixture, parquet-ized so DuckDB oracles can read it.
 # Fixed size (sf-independent): oracle_sql() returns static SQL strings.
 _WARC_FIXTURE = "/tmp/ccwarc_warc_fixture.parquet"

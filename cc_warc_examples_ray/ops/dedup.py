@@ -273,6 +273,15 @@ def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
     from .relational import hash_join
 
     pairs = pairs.materialize()  # consumed multiple times (ids + verify)
+    if pairs.count() == 0:
+        # empty candidate list: to_pandas() of an empty materialized
+        # dataset drops its columns, so exit with a TYPED empty result
+        # (id type from the docs side — the pairs side has no schema)
+        from .relational import _arrow_types
+
+        idt_ = _arrow_types(docs.schema()).get(id_col, pa.string())
+        sch = pa.schema([("id_a", idt_), ("id_b", idt_), ("jaccard", pa.float64())])
+        return rd.from_arrow(sch.empty_table())
     idt = pairs.select_columns(["id_a", "id_b"]).to_pandas()
     need = ray.put(pa.array(sorted(set(idt["id_a"]) | set(idt["id_b"]))))
 
@@ -365,6 +374,9 @@ def minhash_dedup(ds: rd.Dataset, docs: rd.Dataset | None = None,
             x = parent[x]
         return x
 
+    if good.empty:  # Dataset.to_pandas() drops columns when 0 rows
+        return pd.DataFrame({id_col: pd.Series(dtype="object"),
+                             "group_id": pd.Series(dtype="object")})
     for x, y in zip(good["id_a"], good["id_b"]):
         parent.setdefault(x, x)
         parent.setdefault(y, y)

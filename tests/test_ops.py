@@ -105,6 +105,25 @@ def test_minhash_near_dup(ray_session, docs_ds):
     assert 2 not in gmap or gmap.get(2) == 2
 
 
+def test_minhash_no_candidates(ray_session):
+    """A corpus with no LSH candidate pairs must yield empty results, not
+    crash: an empty materialized pairs dataset's to_pandas() drops its
+    columns, so verify needs the typed-empty exit."""
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "one two three four five six seven",
+                 "red orange yellow green blue indigo"],
+    }))
+    pairs = dedup.minhash_lsh_pairs(docs)
+    ver = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8)
+    assert ver.count() == 0
+    # Dataset keeps the typed schema even when empty (to_pandas drops it)
+    assert {"id_a", "id_b", "jaccard"} <= set(ver.schema().names)
+    groups = dedup.minhash_dedup(docs, threshold=0.8)
+    assert len(groups) == 0 and list(groups.columns) == ["doc_id", "group_id"]
+
+
 def test_jaccard_verify_join_path_matches_broadcast(ray_session, docs_ds):
     """Both verify regimes (broadcast candidate texts vs hash-join
     rejoin) must produce identical verified pairs."""

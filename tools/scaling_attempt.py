@@ -1,4 +1,4 @@
-"""One scaling-leg attempt, load-gated: runs the 640k-seed single-epoch
+"""One scaling-leg attempt, load-gated: runs the 1.28M-seed single-epoch
 headline crawl at the given CPU count IF the 1-minute loadavg is below
 the gate, and appends the result to BENCH/scaling_attempts.jsonl.
 
