@@ -98,16 +98,51 @@ def parse_warc_batch(batch: pa.Table) -> pa.Table:
     return pa.concat_tables(tables)
 
 
-def read_warc_files(paths: str | list[str]) -> rd.Dataset:
+def _resolve_uri(p: str, anonymous: bool):
+    """URI → (pyarrow filesystem, scheme-less path).  ``anonymous=True``
+    on an s3:// URI mirrors the reference's credential-less client
+    (JetS3t ``RestS3Service(null)``, `S3ReaderTest.java:19-27`)."""
+    from pyarrow import fs as pafs
+
+    if anonymous and p.startswith(("s3://", "s3a://", "s3n://")):
+        return pafs.S3FileSystem(anonymous=True), p.split("://", 1)[1]
+    return pafs.FileSystem.from_uri(p)
+
+
+def read_warc_files(paths: str | list[str], *, anonymous: bool = False) -> rd.Dataset:
     """Directory/file list of ``.warc[.gz]`` → WARC_RECORDS Dataset,
-    one read block per file (non-splittable-gzip rule)."""
+    one read block per file (non-splittable-gzip rule).
+
+    Paths may be plain local paths or URIs (``file://``, ``s3://``, …);
+    URI directories are expanded via the filesystem's recursive listing,
+    so one ``s3://bucket/prefix`` covers the reference's whole-segment
+    reads.  All URI paths in one call must share a filesystem.
+    """
     import os
+
+    from pyarrow import fs as pafs
 
     if isinstance(paths, str):
         paths = [paths]
     files: list[str] = []
+    filesystem = None
     for p in paths:
-        if os.path.isdir(p):
+        if "://" in p:
+            fs_, rel = _resolve_uri(p, anonymous)
+            if filesystem is not None and type(fs_) is not type(filesystem):
+                raise ValueError("all URI paths must resolve to one filesystem")
+            filesystem = fs_
+            info = fs_.get_file_info(rel)
+            if info.type == pafs.FileType.Directory:
+                sel = pafs.FileSelector(rel, recursive=True)
+                files.extend(sorted(
+                    f.path for f in fs_.get_file_info(sel)
+                    if f.type == pafs.FileType.File
+                    and f.path.endswith((".warc", ".warc.gz"))
+                ))
+            else:
+                files.append(rel)
+        elif os.path.isdir(p):
             for root, dirs, names in os.walk(p):
                 dirs.sort()  # deterministic traversal across filesystems
                 files.extend(
@@ -119,5 +154,8 @@ def read_warc_files(paths: str | list[str]) -> rd.Dataset:
             files.append(p)
     if not files:
         raise FileNotFoundError(f"no WARC files under {paths}")
-    ds = rd.read_binary_files(files, include_paths=True, override_num_blocks=len(files))
+    ds = rd.read_binary_files(
+        files, include_paths=True, filesystem=filesystem,
+        override_num_blocks=len(files),
+    )
     return ds.map_batches(parse_warc_batch, batch_format="pyarrow")

@@ -73,3 +73,19 @@ def test_read_warc_files_uri_scheme(ray_session, tmp_path):
     assert ds.count() == 20
     urls = sorted(ds.to_pandas()["record_url"])
     assert urls == sorted(t.column("record_url").to_pylist())
+
+
+def test_read_warc_files_uri_directory(ray_session, tmp_path):
+    """A scheme'd DIRECTORY URI (the s3://bucket/prefix shape) expands
+    via the filesystem's recursive listing: only .warc[.gz] files, one
+    block per file, deterministic order."""
+    t = synth.warc_records_table(30)
+    d = tmp_path / "seg" / "inner"
+    d.mkdir(parents=True)
+    (d / "a.warc.gz").write_bytes(warc.write_warc(t.slice(0, 10)))
+    (tmp_path / "seg" / "b.warc.gz").write_bytes(warc.write_warc(t.slice(10, 20)))
+    (tmp_path / "seg" / "ignore.txt").write_bytes(b"not a warc")
+    ds = warc.read_warc_files(f"file://{tmp_path}/seg")
+    assert ds.count() == 30
+    urls = sorted(ds.to_pandas()["record_url"])
+    assert urls == sorted(t.column("record_url").to_pylist())
