@@ -700,17 +700,24 @@ def embedding_neardup_pairs(ds: rd.Dataset, dim: int, threshold: float = 0.95,
         sim = mat @ mat.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sim[ia, ib] >= threshold
-        order = np.argsort(ids)  # deterministic id ordering in pairs
-        inv = ids
         return pd.DataFrame(
             {
-                "id_a": np.minimum(inv[ia][keep], inv[ib][keep]),
-                "id_b": np.maximum(inv[ia][keep], inv[ib][keep]),
+                "id_a": np.minimum(ids[ia][keep], ids[ib][keep]),
+                "id_b": np.maximum(ids[ia][keep], ids[ib][keep]),
                 "cosine": sim[ia, ib][keep],
             }
         )
 
-    return sk.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    from .relational import _arrow_types
+
+    idt = _arrow_types(ds.schema()).get(id_col, pa.string())
+    # each vector lands in exactly ONE bucket (single sketch, no banding),
+    # so bucket-local pairs are already distinct — no cross-bucket dedup
+    # shuffle needed (unlike the banded minhash/simhash paths).
+    return grouped_bucket_pairs(
+        sk, ["bucket"], pairs,
+        out_schema=pa.schema([("id_a", idt), ("id_b", idt), ("cosine", pa.float64())]),
+    )
 
 
 def brute_force_pairs(ds: rd.Dataset, threshold: float, id_col: str = "vec_id",

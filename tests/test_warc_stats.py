@@ -75,6 +75,18 @@ def test_read_warc_files_uri_scheme(ray_session, tmp_path):
     assert urls == sorted(t.column("record_url").to_pylist())
 
 
+def test_resolve_uri_anonymous_s3():
+    """anonymous=True on an s3:// URI builds a credential-less
+    S3FileSystem and strips the scheme (no network touched)."""
+    from pyarrow import fs as pafs
+
+    from cc_warc_examples_ray.sources.warc import _resolve_uri
+
+    fs_, rel = _resolve_uri("s3://bucket/seg/x.warc.gz", anonymous=True)
+    assert isinstance(fs_, pafs.S3FileSystem)
+    assert rel == "bucket/seg/x.warc.gz"
+
+
 def test_read_warc_files_uri_directory(ray_session, tmp_path):
     """A scheme'd DIRECTORY URI (the s3://bucket/prefix shape) expands
     via the filesystem's recursive listing: only .warc[.gz] files, one
