@@ -25,7 +25,28 @@ import ray.data as rd
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    """``list<float>`` column → float64 [n, d] matrix.
+
+    Fast path: null-free constant-width list arrays reshape straight from
+    the flattened values buffer (one vectorized kernel, no per-row Python
+    objects — embedding columns are by far the widest rows these stages
+    touch).  Ragged/null inputs fall back to ``to_pylist``."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count == 0:
+        if pa.types.is_fixed_size_list(arr.type):
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return np.asarray(flat, dtype=np.float64).reshape(
+                len(arr), arr.type.list_size
+            )
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            offs = arr.offsets.to_numpy()
+            widths = np.diff(offs)
+            if len(widths) and widths[0] > 0 and (widths == widths[0]).all():
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                return np.asarray(flat, dtype=np.float64).reshape(
+                    len(arr), widths[0]
+                )
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _unit(m: np.ndarray) -> np.ndarray:

@@ -662,7 +662,9 @@ class HyperplaneSketch:
         self.id_col, self.emb_col = id_col, emb_col
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        emb = np.asarray(tbl.column(self.emb_col).to_pylist(), dtype=np.float64)
+        from .ann import _as_matrix
+
+        emb = _as_matrix(tbl.column(self.emb_col))
         signs = (emb @ self.planes) > 0
         keys = np.zeros(len(emb), dtype=np.uint64)
         for b in range(signs.shape[1]):

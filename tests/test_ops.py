@@ -150,6 +150,24 @@ def test_simhash_pairs(ray_session, docs_ds):
     assert (0, 3) in pairs  # identical texts → hamming 0
 
 
+def test_as_matrix_fast_paths():
+    """The list<float>->matrix kernel must agree with the to_pylist
+    fallback on every layout: plain list, sliced list (non-zero offsets),
+    fixed_size_list, ragged fallback, null fallback."""
+    vals = np.arange(24, dtype=np.float64).reshape(6, 4)
+    want = vals.tolist()
+    plain = pa.array(want, pa.list_(pa.float64()))
+    assert np.array_equal(ann._as_matrix(plain), vals)
+    assert np.array_equal(ann._as_matrix(plain.slice(2, 3)), vals[2:5])
+    fixed = pa.array(want, pa.list_(pa.float64(), 4))
+    assert np.array_equal(ann._as_matrix(fixed), vals)
+    chunked = pa.chunked_array([plain.slice(0, 3), plain.slice(3, 3)])
+    assert np.array_equal(ann._as_matrix(chunked), vals)
+    ragged = pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float64()))
+    with pytest.raises(ValueError):  # fallback keeps the strict contract
+        ann._as_matrix(ragged)
+
+
 def test_embedding_neardup_and_ann(ray_session):
     rng = np.random.default_rng(3)
     base = rng.standard_normal((20, 16))
