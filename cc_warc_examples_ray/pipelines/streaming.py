@@ -42,6 +42,44 @@ from ..state.frontier_shard import FrontierPool
 from .crawl import MAX_CANON_ROWS_PER_BLOCK, CrawlRun, _make_robots_gate, _robots_maps
 
 
+def _admit_enqueue_chunk(pool: FrontierPool, num_shards: int, ct: pa.Table) -> None:
+    """One rank-sorted chunk through the two admission rounds: round A
+    first-seen admit routed by url-hash (uniform, Zipf-safe), round B
+    enqueue of admitted rows on their host-owning shard."""
+    uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    hh = xxh64_many(ct.column("host"))
+    hosts = ct.column("host").to_pylist()
+    ranks = ct.column("seed_rank").to_numpy(zero_copy_only=False).astype(np.int64)
+    urls = ct.column("url").to_pylist()
+    paths = ct.column("path").to_pylist()
+
+    admit = np.zeros(len(uh), dtype=bool)
+    shard_a = pool.route(uh)
+    futs, idxs = [], []
+    for s in range(num_shards):
+        idx = np.flatnonzero(shard_a == s)
+        if len(idx):
+            futs.append(pool.shards[s].admit_batch.remote(uh[idx]))
+            idxs.append(idx)
+    for idx, a in zip(idxs, ray.get(futs)):
+        admit[idx] = a
+
+    adm_idx = np.flatnonzero(admit)
+    shard_h = pool.route(hh[adm_idx])
+    enq = []
+    for s in range(num_shards):
+        sub = adm_idx[shard_h == s]
+        if len(sub):
+            enq.append(
+                pool.shards[s].enqueue.remote(
+                    uh[sub], [hosts[i] for i in sub], ranks[sub],
+                    [urls[i] for i in sub], [paths[i] for i in sub],
+                    admit=False,
+                )
+            )
+    ray.get(enq)
+
+
 def run_streaming_crawl(
     seeds: pa.Table,
     robots: pa.Table,
@@ -85,48 +123,23 @@ def run_streaming_crawl(
             order = np.argsort(blobs_tbl.column("shard").to_numpy())
             pool.restore([blobs_tbl.column("blob")[int(i)].as_py() for i in order])
         else:
-            # canonicalize (parallel) and enqueue in rank order
+            # canonicalize (parallel), then admit+enqueue CHUNK-STREAMED in
+            # rank order: the rank sort is a distributed shuffle and the
+            # driver only ever holds one chunk (first-seen dedup stays
+            # rank-deterministic because chunks arrive rank-sorted and the
+            # shard admission state persists across chunks) — the whole
+            # canonicalized frontier never materializes on the driver.
             nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
             step = max(256, min(MAX_CANON_ROWS_PER_BLOCK, seeds.num_rows // nblocks + 1))
             chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)]
             eds = rd.from_arrow(chunks).map_batches(canonicalize_batch, batch_format="pyarrow")
             eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
-            ct = pa.concat_tables(
-                [t for t in ray.get(eds.to_arrow_refs()) if t.num_rows]
-            ).combine_chunks().sort_by([("seed_rank", "ascending")])
-
-            uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            hh = xxh64_many(ct.column("host"))
-            hosts = ct.column("host").to_pylist()
-            ranks = ct.column("seed_rank").to_numpy(zero_copy_only=False).astype(np.int64)
-            urls = ct.column("url").to_pylist()
-            paths = ct.column("path").to_pylist()
-
-            # round A: first-seen admit, url-hash routed (uniform)
-            admit = np.zeros(len(uh), dtype=bool)
-            shard_a = pool.route(uh)
-            futs, idxs = [], []
-            for s in range(num_shards):
-                idx = np.flatnonzero(shard_a == s)
-                if len(idx):
-                    futs.append(pool.shards[s].admit_batch.remote(uh[idx]))
-                    idxs.append(idx)
-            for idx, a in zip(idxs, ray.get(futs)):
-                admit[idx] = a
-
-            # round B: enqueue admitted rows on their host-owning shard
-            adm_idx = np.flatnonzero(admit)
-            shard_h = pool.route(hh[adm_idx])
-            for s in range(num_shards):
-                sub = adm_idx[shard_h == s]
-                if len(sub):
-                    ray.get(
-                        pool.shards[s].enqueue.remote(
-                            uh[sub], [hosts[i] for i in sub], ranks[sub],
-                            [urls[i] for i in sub], [paths[i] for i in sub],
-                            admit=False,
-                        )
-                    )
+            eds = eds.sort("seed_rank")
+            for ct in eds.iter_batches(
+                batch_size=MAX_CANON_ROWS_PER_BLOCK, batch_format="pyarrow"
+            ):
+                if ct.num_rows:
+                    _admit_enqueue_chunk(pool, num_shards, ct)
 
         decoder = DecodeValidate(min_dim=min_dim)
         rounds = start_round
