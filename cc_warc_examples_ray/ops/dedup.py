@@ -363,9 +363,10 @@ def minhash_dedup(ds: rd.Dataset, docs: rd.Dataset | None = None,
     if docs is None:
         docs = ds
     pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col)
-    good = ngram_jaccard_verify(
+    ver = ngram_jaccard_verify(
         pairs, docs, threshold=threshold, text_col=text_col, id_col=id_col
-    ).to_pandas()
+    )
+    good = ver.to_pandas()
     parent: dict = {}
 
     def find(x):
@@ -375,8 +376,14 @@ def minhash_dedup(ds: rd.Dataset, docs: rd.Dataset | None = None,
         return x
 
     if good.empty:  # Dataset.to_pandas() drops columns when 0 rows
-        return pd.DataFrame({id_col: pd.Series(dtype="object"),
-                             "group_id": pd.Series(dtype="object")})
+        # match the non-empty path's id dtype (the verify Dataset keeps
+        # its typed Arrow schema even at 0 rows — pandas does not)
+        from .relational import _arrow_types
+
+        idt = _arrow_types(ver.schema()).get("id_a", pa.string())
+        dt = idt.to_pandas_dtype()
+        return pd.DataFrame({id_col: pd.Series(dtype=dt),
+                             "group_id": pd.Series(dtype=dt)})
     for x, y in zip(good["id_a"], good["id_b"]):
         parent.setdefault(x, x)
         parent.setdefault(y, y)
@@ -695,10 +702,9 @@ def embedding_neardup_pairs(ds: rd.Dataset, dim: int, threshold: float = 0.95,
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # grouped_bucket_pairs only invokes this for buckets with >= 2 rows
         ids = g[id_col].to_numpy()
         mat = np.stack(g["unit"].to_numpy())
-        if len(ids) < 2:
-            return _typed_empty(g[id_col].dtype, {"cosine": "float64"})
         sim = mat @ mat.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sim[ia, ib] >= threshold

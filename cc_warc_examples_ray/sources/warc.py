@@ -124,12 +124,21 @@ def read_warc_files(paths: str | list[str], *, anonymous: bool = False) -> rd.Da
 
     if isinstance(paths, str):
         paths = [paths]
+    # validate mixing BEFORE any filesystem I/O: a plain path would be
+    # read as a key on a remote URI filesystem (e.g. '/data/x' becomes
+    # S3 key 'data/x'), so only local-scheme URIs may accompany them
+    if any("://" not in p for p in paths) and any(
+        "://" in p and not p.startswith(("file://", "local://")) for p in paths
+    ):
+        raise ValueError("cannot mix plain local paths with non-local URIs")
     files: list[str] = []
     filesystem = None
     for p in paths:
         if "://" in p:
             fs_, rel = _resolve_uri(p, anonymous)
-            if filesystem is not None and type(fs_) is not type(filesystem):
+            # equals(), not type: two s3 buckets can resolve to different
+            # clients (region/credentials) that share a type
+            if filesystem is not None and not fs_.equals(filesystem):
                 raise ValueError("all URI paths must resolve to one filesystem")
             filesystem = fs_
             info = fs_.get_file_info(rel)

@@ -87,6 +87,16 @@ def test_resolve_uri_anonymous_s3():
     assert rel == "bucket/seg/x.warc.gz"
 
 
+def test_read_warc_files_rejects_mixed_filesystems(tmp_path):
+    """Plain local paths mixed with a non-local URI must be rejected —
+    the local path would otherwise be read as a key on the URI
+    filesystem (e.g. '/data/x' as S3 key 'data/x')."""
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError, match="mix plain local"):
+        warc.read_warc_files([str(p), "s3://bucket/seg/b.warc.gz"])
+
+
 def test_read_warc_files_uri_directory(ray_session, tmp_path):
     """A scheme'd DIRECTORY URI (the s3://bucket/prefix shape) expands
     via the filesystem's recursive listing: only .warc[.gz] files, one
