@@ -1,5 +1,8 @@
 """robots.txt parser tests (functions/robots.py)."""
 
+from hypothesis import given
+from hypothesis import strategies as st
+
 from cc_warc_examples_ray.functions.robots import parse_robots_txt, robots_table_from_texts
 
 
@@ -64,3 +67,40 @@ def test_ua_line_after_directives_starts_new_group():
     txt3 = "User-agent: *\nSitemap: http://e/s.xml\nUser-agent: bot\nDisallow: /d"
     assert parse_robots_txt(txt3, agent="*")[1] == []
     assert parse_robots_txt(txt3, agent="bot")[1] == ["/d"]
+
+
+@given(st.text(max_size=400))
+def test_parser_total_on_arbitrary_text(text):
+    """The parser is total: any input yields (int delay, list[str])."""
+    d, dis = parse_robots_txt(text, agent="anybot")
+    assert isinstance(d, int)
+    assert isinstance(dis, list) and all(isinstance(x, str) for x in dis)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["alpha", "beta", "gamma", "*"]),
+            st.lists(st.from_regex(r"/[a-z]{1,6}", fullmatch=True),
+                     min_size=1, max_size=3),
+        ),
+        min_size=1, max_size=4,
+        unique_by=lambda g: g[0],
+    ),
+    st.booleans(),
+)
+def test_group_isolation_property(groups, blank_sep):
+    """Each agent gets exactly its own group's Disallow lines, whether
+    groups are separated by blank lines or only by the directive-then-UA
+    boundary (the RFC 9309 rule the round-1 advisor flagged).  Every
+    group carries >=1 directive so consecutive-UA merging never applies."""
+    lines = []
+    for agent, dis in groups:
+        lines.append(f"User-agent: {agent}")
+        lines.extend(f"Disallow: {p}" for p in dis)
+        if blank_sep:
+            lines.append("")
+    txt = "\n".join(lines)
+    for agent, dis in groups:
+        got = parse_robots_txt(txt, agent=agent)[1]
+        assert got == list(dict.fromkeys(dis))
