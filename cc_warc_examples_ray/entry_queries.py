@@ -438,13 +438,20 @@ def q_crawl_schedule(sf_dir: str) -> pd.DataFrame:
     the politeness rule fetch_time = host_index * crawl_delay(host).
     The Ray path uses the same per-host groupby scheduling as the crawl
     pipeline; the oracle expresses it as a SQL window function."""
+    from .ops.relational import partitioned_map
+
     docs = _read(sf_dir, "documents", columns=["doc_id"])
-    delays = (0, 150, 500, 1000)
+    delays = np.array([0, 150, 500, 1000], dtype=np.int64)
 
     def schedule(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seed_rank", kind="mergesort").reset_index(drop=True)
-        g["host_index"] = np.arange(len(g), dtype=np.int64)
-        g["fetch_time_ms"] = g["host_index"] * int(delays[int(g["hostnum"].iloc[0]) % 4])
+        # partition-local, many whole host-groups per call (bounded
+        # partition count — no one-pandas-group-per-host at frontier
+        # scale), vectorized per-host cumcount
+        g = g.sort_values(["host", "seed_rank"], kind="mergesort").reset_index(drop=True)
+        g["host_index"] = g.groupby("host", sort=False).cumcount().astype(np.int64)
+        g["fetch_time_ms"] = (
+            g["host_index"].to_numpy() * delays[g["hostnum"].to_numpy() % 4]
+        )
         return g
 
     def mk(tbl: pa.Table) -> pa.Table:
@@ -458,10 +465,13 @@ def q_crawl_schedule(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        docs.map_batches(mk, batch_format="pyarrow")
-        .groupby("host")
-        .map_groups(schedule, batch_format="pandas")
+    sched_schema = pa.schema(
+        [("seed_rank", pa.int64()), ("hostnum", pa.int64()), ("host", pa.string()),
+         ("host_index", pa.int64()), ("fetch_time_ms", pa.int64())]
+    )
+    out = partitioned_map(
+        docs.map_batches(mk, batch_format="pyarrow"), ["host"], schedule,
+        out_schema=sched_schema,
     ).to_pandas()
     return out[["seed_rank", "host", "host_index", "fetch_time_ms"]].sort_values(
         ["fetch_time_ms", "seed_rank"]
