@@ -22,7 +22,7 @@ Checkpoint/resume granularity = level (partition per level).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -43,29 +43,34 @@ from .crawl import (
 )
 
 
-def _admit(pool: FrontierPool, cdf: pd.DataFrame) -> pd.DataFrame:
-    cdf = cdf.sort_values("seed_rank", kind="mergesort")
-    if not len(cdf):
-        empty = cdf.iloc[0:0].copy()
-        empty["fetch_time_ms"] = pd.Series(dtype="int64")
-        empty["host_index"] = pd.Series(dtype="int64")
-        return empty
-    hashes = cdf["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
-    hh = xxh64_many(cdf["host"].tolist())
-    a, ft, hi = pool.admit_and_schedule_pipelined(hashes, hh)
-    keep = cdf.loc[a].copy()
-    keep["fetch_time_ms"] = ft[a]
-    keep["host_index"] = hi[a]
-    return keep
+def _admit(pool: FrontierPool, ct: pa.Table) -> pa.Table:
+    """Rank-ordered epoch admission, Arrow end-to-end (mirrors the
+    flagship's admit_epoch — pandas round-trips were the dominant serial
+    cost at large frontiers)."""
+    ct = ct.sort_by([("seed_rank", "ascending")])
+    if ct.num_rows == 0:
+        return ct.append_column("fetch_time_ms", pa.array([], pa.int64())).append_column(
+            "host_index", pa.array([], pa.int64())
+        )
+    uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    hh = xxh64_many(ct.column("host"))
+    a, ft, hi = pool.admit_and_schedule_pipelined(uh, hh)
+    out = ct.filter(pa.array(a))
+    return out.append_column("fetch_time_ms", pa.array(ft[a], pa.int64())).append_column(
+        "host_index", pa.array(hi[a], pa.int64())
+    )
 
 
-def _canonicalize(seeds: pa.Table, disallow, nblocks: int) -> pd.DataFrame:
+def _canonicalize(seeds: pa.Table, disallow, nblocks: int) -> pa.Table:
     step = max(256, min(MAX_CANON_ROWS_PER_BLOCK, seeds.num_rows // nblocks + 1))
     chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)] or [seeds]
     eds = rd.from_arrow(chunks)
     eds = eds.map_batches(canonicalize_batch, batch_format="pyarrow")
     eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
-    return eds.to_pandas()
+    tables = [t for t in ray.get(eds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return canonicalize_batch(seeds.slice(0, 0))  # empty, right schema
+    return pa.concat_tables(tables).combine_chunks()
 
 
 def discover_kernel(tbl: pa.Table) -> pa.Table:
@@ -112,8 +117,10 @@ def discover_media(pages: pa.Table, nblocks: int = 16) -> pa.Table:
     step = max(16, min(MAX_FETCH_ROWS_PER_BLOCK, pages.num_rows // nblocks + 1))
     chunks = [pages.slice(i, step) for i in range(0, pages.num_rows, step)]
     ds = rd.from_arrow(chunks).map_batches(discover_kernel, batch_format="pyarrow")
-    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
-    return tbl.cast(_EMPTY_MEDIA.schema) if tbl.num_rows else _EMPTY_MEDIA
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return _EMPTY_MEDIA
+    return pa.concat_tables(tables).combine_chunks().cast(_EMPTY_MEDIA.schema)
 
 
 # broadcast page-store table + url index, cached per store so the fresh
@@ -169,8 +176,11 @@ def _page_fetch_and_discover(
             meta_cols=("url", "seed_rank"), num_blocks=nblocks,
         )
         media_ds = fetched_ds.map_batches(discover_kernel, batch_format="pyarrow")
-        mt = pa.Table.from_pandas(media_ds.to_pandas(), preserve_index=False)
-        media = mt.cast(_EMPTY_MEDIA.schema) if mt.num_rows else _EMPTY_MEDIA
+        mtabs = [t for t in ray.get(media_ds.to_arrow_refs()) if t.num_rows]
+        media = (
+            pa.concat_tables(mtabs).combine_chunks().cast(_EMPTY_MEDIA.schema)
+            if mtabs else _EMPTY_MEDIA
+        )
         from ..stages.fetch import _store_id_column
 
         store_urls = _store_id_column(tuple(pages_store_paths), "record_url")
@@ -256,12 +266,10 @@ def run_discovery_crawl(
         # ---- level 0: pages ------------------------------------------------
         frontier = page_seeds
         if start_level == 0:
-            cdf = _canonicalize(frontier, disallow, nblocks)
-            adf = _admit(pool, cdf)
-            admitted = pa.Table.from_pandas(
-                adf, preserve_index=False
-            ).replace_schema_metadata(None).append_column(
-                "epoch", pa.array(np.zeros(len(adf), dtype=np.int64))
+            ct0 = _canonicalize(frontier, disallow, nblocks)
+            admitted = _admit(pool, ct0)
+            admitted = admitted.append_column(
+                "epoch", pa.array(np.zeros(admitted.num_rows, dtype=np.int64))
             )
             admitted = admitted.sort_by(
                 [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
@@ -315,12 +323,10 @@ def run_discovery_crawl(
 
         # ---- level 1: discovered media → image fetch + validate -----------
         if start_level <= 1:
-            cdf1 = _canonicalize(discovered, disallow, nblocks)
-            adf1 = _admit(pool, cdf1)
-            admitted1 = pa.Table.from_pandas(
-                adf1, preserve_index=False
-            ).replace_schema_metadata(None).append_column(
-                "epoch", pa.array(np.ones(len(adf1), dtype=np.int64))
+            ct1 = _canonicalize(discovered, disallow, nblocks)
+            admitted1 = _admit(pool, ct1)
+            admitted1 = admitted1.append_column(
+                "epoch", pa.array(np.ones(admitted1.num_rows, dtype=np.int64))
             )
             admitted1 = add_image_ids(admitted1, store_size)
             admitted1 = admitted1.sort_by(
