@@ -153,12 +153,84 @@ VIDEO_FRAMES_SCHEMA = pa.schema(
 )
 
 
+def parse_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Real RIFF/WAVE parser (public ISO/IEC + Microsoft RIFF layout —
+    plain struct framing, no codec library needed): walks the chunk list,
+    reads the ``fmt `` chunk (PCM8 / PCM16 / IEEE-float32) and the
+    ``data`` chunk, averages channels to mono.
+
+    Returns (float32 mono samples in [-1, 1], sample_rate).  Lenient on a
+    truncated ``data`` chunk (uses the bytes present); raises ValueError
+    on non-RIFF input or compressed format tags."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, n = 12, len(blob)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = blob[pos : pos + 4]
+        (clen,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body  # possibly truncated: len(body) < clen is fine
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block, bits = fmt
+    if channels < 1:
+        raise ValueError("zero channels")
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2")
+        x = x.astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data[: len(data) - len(data) % 4], dtype="<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAVE format tag {audio_format}/{bits}-bit")
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return x.astype(np.float32), int(rate)
+
+
+def write_wav(samples: np.ndarray, rate: int, bits: int = 16,
+              channels: int = 1) -> bytes:
+    """Encode float32 mono samples as a PCM WAVE file (test/fixture
+    helper; ``channels>1`` duplicates the mono signal)."""
+    import struct
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if channels > 1:
+        x = np.repeat(x[:, None], channels, axis=1).ravel()
+    if bits == 16:
+        raw = (np.rint(x * 32767.0)).astype("<i2").tobytes()
+    elif bits == 8:
+        raw = (np.rint(x * 127.0) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("write_wav supports 8/16-bit PCM")
+    byte_rate = rate * channels * bits // 8
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, block, bits)
+    chunks = b"".join(
+        [b"fmt ", struct.pack("<I", len(fmt)), fmt,
+         b"data", struct.pack("<I", len(raw)), raw]
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def decode_audio(blob: bytes, codec: str) -> np.ndarray:
-    """STUB: real audio codecs (mp3/aac/opus) are not available in this
-    container.  ``codec == 'pcm16'`` decodes for real (raw PCM) so the
-    plumbing is exercised end-to-end; everything else raises."""
+    """Audio decode.  REAL paths: ``pcm16`` (raw PCM) and ``wav``
+    (RIFF/WAVE via :func:`parse_wav` — PCM8/PCM16/float32, mono-mixed).
+    Compressed codecs (mp3/aac/opus) need external libraries this
+    container does not ship → ``NotImplementedError`` (honest stub)."""
     if codec == "pcm16":
         return np.frombuffer(blob, dtype=np.int16).astype(np.float32) / 32768.0
+    if codec == "wav":
+        return parse_wav(blob)[0]
     raise NotImplementedError(f"audio codec {codec!r} requires external libraries")
 
 
@@ -179,7 +251,11 @@ class AudioFeaturizer:
         rms, zcr, dur, ok = [], [], [], []
         for blob, codec, rate in zip(blobs, codecs, rates):
             try:
-                x = decode_audio(blob, codec)
+                if codec == "wav":
+                    # the WAVE header is authoritative for the rate
+                    x, rate = parse_wav(blob)
+                else:
+                    x = decode_audio(blob, codec)
                 rms.append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
                 zcr.append(float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0)
                 dur.append(len(x) / max(1, rate or 1))

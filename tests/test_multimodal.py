@@ -64,6 +64,44 @@ def test_audio_pcm_and_stub():
     assert not out[1]["decoded"] and out[1]["rms"] is None  # stubbed codec
 
 
+def test_wav_roundtrip_and_featurizer():
+    """Real RIFF/WAVE decode: 16-bit roundtrip is sample-exact to
+    quantization, stereo mixes to mono, 8-bit and truncated data decode
+    leniently, garbage raises (flagged, not fatal, in the featurizer)."""
+    sig = np.sin(np.linspace(0, 40 * np.pi, 4000)).astype(np.float32) * 0.5
+    wav16 = multimodal.write_wav(sig, 8000)
+    x, rate = multimodal.parse_wav(wav16)
+    assert rate == 8000 and len(x) == 4000
+    assert np.abs(x - sig).max() < 1e-3  # 16-bit quantization bound
+    # stereo (duplicated channel) mixes back to the same mono signal
+    x2, _ = multimodal.parse_wav(multimodal.write_wav(sig, 8000, channels=2))
+    assert len(x2) == 4000 and np.abs(x2 - sig).max() < 1e-3
+    # 8-bit path
+    x3, _ = multimodal.parse_wav(multimodal.write_wav(sig, 8000, bits=8))
+    assert np.abs(x3 - sig).max() < 2e-2
+    # truncated data chunk: lenient, uses the bytes present
+    xt, _ = multimodal.parse_wav(wav16[: len(wav16) - 1001])
+    assert 0 < len(xt) < 4000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.parse_wav(b"not a wave file at all")
+
+    t = pa.table(
+        {
+            "media_id": ["wav", "bad"],
+            "bytes": [wav16, b"RIFFgarbage"],
+            # deliberately wrong declared rate: the WAVE header must win
+            "sample_rate": pa.array([44100, 44100], pa.int32()),
+            "n_samples": pa.array([4000, 0], pa.int64()),
+            "codec": ["wav", "wav"],
+        }
+    )
+    out = multimodal.AudioFeaturizer()(t).to_pylist()
+    assert out[0]["decoded"] and abs(out[0]["duration_s"] - 0.5) < 1e-6
+    assert not out[1]["decoded"]
+
+
 def test_video_frame_sampling():
     frames = [imagecodec.png_encode(synth.render_image(i, 16, 16)) for i in range(25)]
     vid = multimodal.VideoFrameSampler.make_fake_video(frames)
