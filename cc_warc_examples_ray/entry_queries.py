@@ -1296,6 +1296,7 @@ WITH base AS (
     length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha_cnt,
     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
     length(text) - length(regexp_replace(text, '[ ' || chr(9) || chr(10) || chr(13) || ']', '', 'g')) AS space_cnt,
+    length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS nonascii_cnt,
     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_cnt
   FROM documents
 ),
@@ -1310,7 +1311,9 @@ wstats AS (
 r AS (
   SELECT b.doc_id, b.nc AS n_chars_text,
     CASE WHEN w.nw > 0 THEN w.wlen::DOUBLE / w.nw ELSE 0.0 END AS mean_word_len,
-    CASE WHEN b.nc > 0 THEN (b.nc - b.alpha_cnt - b.digit_cnt - b.space_cnt)::DOUBLE / b.nc ELSE 0.0 END AS punct_ratio,
+    -- ASCII punctuation only: non-ASCII codepoints count toward length
+    -- but no ratio class (matches ops/text.py quality_scores)
+    CASE WHEN b.nc > 0 THEN (b.nc - b.alpha_cnt - b.digit_cnt - b.space_cnt - b.nonascii_cnt)::DOUBLE / b.nc ELSE 0.0 END AS punct_ratio,
     CASE WHEN b.nc > 0 THEN b.digit_cnt::DOUBLE / b.nc ELSE 0.0 END AS digit_ratio,
     CASE WHEN w.nw > 0 THEN w.stop_hits::DOUBLE / w.nw ELSE 0.0 END AS stopword_ratio,
     CASE WHEN b.nc > 0 THEN b.upper_cnt::DOUBLE / greatest(b.alpha_cnt, 1) ELSE 0.0 END AS upper_ratio

@@ -67,6 +67,15 @@ class BatchScorer:
         self.id_col, self.emb_col = id_col, emb_col
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.filter(pc.is_valid(tbl.column(self.emb_col)))  # null emb = no match
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array(self.qids[:0]),
+                 self.id_col: pa.array([], tbl.schema.field(self.id_col).type),
+                 "cosine": pa.array([], pa.float64())}
+            )
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
         mat = _unit(_as_matrix(tbl.column(self.emb_col)))
         sim = self.qmat @ mat.T  # [nq, batch]
@@ -137,8 +146,22 @@ def kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int = 10,
 def train_centroids(ds: rd.Dataset, n_centroids: int, emb_col: str = "embedding",
                     sample: int = 10_000, iters: int = 10, seed: int = 5) -> np.ndarray:
     """k-means|| -lite: train coarse centroids on a driver-side sample
-    (the IVF training step; sample size bounds driver memory)."""
-    take = ds.limit(sample).select_columns([emb_col]).to_pandas()
+    (the IVF training step; sample size bounds driver memory).  The
+    sample is a seeded Bernoulli draw across the WHOLE corpus, not a
+    prefix — ``limit(sample)`` would train every centroid on the first
+    blocks (one host/epoch slice of a crawl-ordered table) and collapse
+    the rest of the corpus into a few far lists."""
+    import pyarrow.compute as pc
+
+    n = ds.count()
+    # drop null embeddings in Arrow BEFORE collecting (Ray's to_pandas
+    # tensor-casts list columns and fails on nulls)
+    sub = ds.select_columns([emb_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(emb_col))), batch_format="pyarrow"
+    )
+    if n > sample:
+        sub = sub.random_sample(min(1.0, 1.2 * sample / n), seed=seed)
+    take = sub.to_pandas()
     return kmeans_centroids(np.asarray(list(take[emb_col]), dtype=np.float64),
                             n_centroids, iters=iters, seed=seed)
 
@@ -154,6 +177,11 @@ def ivf_assign(ds: rd.Dataset, centroids: np.ndarray, id_col: str = "vec_id",
             self.cent = ray.get(ref)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(pc.is_valid(tbl.column(emb_col)))  # null emb: unindexable
+            if tbl.num_rows == 0:
+                return tbl.append_column("ivf_list", pa.array([], pa.int64()))
             mat = _unit(_as_matrix(tbl.column(emb_col)))
             lst = np.argmax(mat @ self.cent.T, axis=1).astype(np.int64)
             return tbl.append_column("ivf_list", pa.array(lst))
@@ -172,6 +200,15 @@ class IVFBatchScorer(BatchScorer):
         self.mask = ray.get(probe_mask_ref)  # bool [nq, n_lists]
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.filter(pc.is_valid(tbl.column(self.emb_col)))  # null emb = no match
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array(self.qids[:0]),
+                 self.id_col: pa.array([], tbl.schema.field(self.id_col).type),
+                 "cosine": pa.array([], pa.float64())}
+            )
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
         lists = tbl.column("ivf_list").to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _unit(_as_matrix(tbl.column(self.emb_col)))

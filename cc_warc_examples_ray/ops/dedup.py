@@ -283,18 +283,22 @@ def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
         sch = pa.schema([("id_a", idt_), ("id_b", idt_), ("jaccard", pa.float64())])
         return rd.from_arrow(sch.empty_table())
     idt = pairs.select_columns(["id_a", "id_b"]).to_pandas()
-    need = ray.put(pa.array(sorted(set(idt["id_a"]) | set(idt["id_b"]))))
-
-    def prune(t: pa.Table) -> pa.Table:
-        return t.select([id_col, text_col]).filter(
-            pc.is_in(t.column(id_col), value_set=ray.get(need))
-        )
+    need = ray.put(sorted(set(idt["id_a"]) | set(idt["id_b"])))
 
     # one corpus scan, shared by both regimes: the pruned candidate
     # texts live in the object store (spillable), and size_bytes() gives
     # the byte bound the count gate alone cannot (100k pairs of 1 MB
     # docs would be 200 GB — driver-fatal to collect, fine to spill).
-    docs_small = docs.map_batches(prune, batch_format="pyarrow").materialize()
+    # broadcast_semi_join ships the id set once per actor (not a
+    # ray.get + value-set rebuild per corpus batch).
+    from .relational import broadcast_semi_join
+
+    docs_small = broadcast_semi_join(
+        docs.map_batches(
+            lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+        ),
+        id_col, need,
+    ).materialize()
 
     if docs_small.count() == 0:
         # no candidate id matched docs: inner-join semantics → no pairs
@@ -606,6 +610,7 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
     from .relational import hash_join
 
     prev = labsum(labels)
+    converged = False
     for _ in range(max_iters):
         lab_src = labels.map_batches(
             lambda t: t.rename_columns(["src", "label"]), batch_format="pyarrow"
@@ -622,8 +627,17 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
         )
         cur = labsum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # one min-label hop per round: exhausting max_iters means some
+        # component's eccentricity exceeds it and the labels are WRONG
+        # (one component, several group_ids) — never return them silently
+        raise RuntimeError(
+            f"pair_components did not converge in {max_iters} rounds; "
+            "raise max_iters (graph diameter exceeds it)"
+        )
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "group_id"]), batch_format="pyarrow"
     )
@@ -669,20 +683,29 @@ class HyperplaneSketch:
         self.id_col, self.emb_col = id_col, emb_col
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from .ann import _as_matrix
 
+        # null embeddings have nothing to compare — drop, don't crash
+        tbl = tbl.filter(pc.is_valid(tbl.column(self.emb_col)))
         emb = _as_matrix(tbl.column(self.emb_col))
         signs = (emb @ self.planes) > 0
         keys = np.zeros(len(emb), dtype=np.uint64)
         for b in range(signs.shape[1]):
             keys |= signs[:, b].astype(np.uint64) << np.uint64(b)
         norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        unit = emb / np.where(norm == 0, 1.0, norm)
+        unit = (emb / np.where(norm == 0, 1.0, norm)).astype(np.float32)
+        # vectorized list build from the flat values buffer (no per-row
+        # python lists); float32 halves the bucket shuffle's bytes
+        unit_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(unit.ravel(), pa.float32()), unit.shape[1] if len(unit) else 1
+        )
         return pa.table(
             {
                 self.id_col: tbl.column(self.id_col),
                 "bucket": pa.array(keys.view(np.int64)),
-                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                "unit": unit_arr,
             }
         )
 
@@ -733,7 +756,11 @@ def brute_force_pairs(ds: rd.Dataset, threshold: float, id_col: str = "vec_id",
     """Exhaustive cosine pair search — O(n²) verification baseline used by
     tests and the DuckDB oracle comparison.  Blocks stream through the
     driver; only for oracle-scale inputs."""
-    rows = ds.select_columns([id_col, emb_col]).to_pandas()
+    import pyarrow.compute as pc
+
+    rows = ds.select_columns([id_col, emb_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(emb_col))), batch_format="pyarrow"
+    ).to_pandas()  # null embeddings dropped in Arrow (to_pandas tensor-casts)
     ids = rows[id_col].to_numpy()
     mat = np.asarray(list(rows[emb_col]), dtype=np.float64)
     norm = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -94,6 +94,12 @@ def media_features_batch(tbl: pa.Table) -> pa.Table:
     cols: dict[str, np.ndarray] = {
         name: np.zeros(n, dtype=np.float64) for name in FEATURE_NAMES
     }
+    def _num(s):
+        try:
+            return float(re.sub(r"\D", "", s) or 0)
+        except Exception:
+            return 0.0
+
     for i in range(n):
         src = srcs[i] or ""
         _, suffix = name_and_suffix(src)
@@ -102,24 +108,18 @@ def media_features_batch(tbl: pa.Table) -> pa.Table:
         uw, uh = dims_from_url(src)
         cols["url_w"][i] = uw
         cols["url_h"][i] = uh
-
-        def _num(s):
-            try:
-                return float(re.sub(r"\D", "", s) or 0)
-            except Exception:
-                return 0.0
-
         cols["attr_w"][i] = _num(ws[i] or "")
         cols["attr_h"][i] = _num(hs[i] or "")
-        cols["same_domain"][i] = 1.0 if _host(src) and _host(src) == _host(pages[i] or "") else 0.0
+        sh = _host(src)
+        cols["same_domain"][i] = 1.0 if sh and sh == _host(pages[i] or "") else 0.0
         cols["alt_len"][i] = len(alts[i] or "")
         cols["parent_len"][i] = len(parents[i] or "")
         cols["url_len"][i] = len(src)
         e = elems[i]
         if f"elem_{e}" in cols:
             cols[f"elem_{e}"][i] = 1.0
-    cols["dom_depth"] = tbl.column("dom_depth").to_numpy(zero_copy_only=False).astype(np.float64)
-    cols["dom_sib"] = tbl.column("dom_sib").to_numpy(zero_copy_only=False).astype(np.float64)
+    # dom_depth / dom_sib ride through from the input table (the append
+    # loop below skips names already present)
 
     out = tbl
     for name in FEATURE_NAMES:

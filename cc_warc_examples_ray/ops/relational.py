@@ -146,11 +146,18 @@ def partitioned_map(ds: rd.Dataset, keys: Sequence[str], kern,
     )
 
 
-def first_per_key(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
+def first_per_key(ds: rd.Dataset, key: str, order_col: str,
+                  tiebreak: Sequence[str] = ()) -> rd.Dataset:
     """Exact first-per-key dedup (A3/O7): per-batch pre-dedup (combiner),
     hash-partition by ``key``, then ONE vectorized drop_duplicates per
     partition — the spec'd version of `MediaReduce.java:14-18`'s "first
-    value wins" without a pandas group per key."""
+    value wins" without a pandas group per key.
+
+    Determinism: the winner among rows with equal ``(key, order_col)``
+    would otherwise depend on Ray's block-assembly order — pass
+    ``tiebreak`` columns to pin a total order when ``order_col`` is not
+    unique per key."""
+    order_cols = [order_col, *tiebreak]
 
     # pre-dedup inside each batch before the shuffle (combiner).  The
     # winner selection runs in pandas but the kept rows are TAKEN from
@@ -158,14 +165,14 @@ def first_per_key(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
     # blob (metadata-bearing schemas are unhashable → Ray warns per
     # batch and loses its schema-dedup early exit).
     def partial(tbl: pa.Table) -> pa.Table:
-        df = tbl.select([key, order_col]).to_pandas()
-        keep = df.sort_values(order_col, kind="mergesort").drop_duplicates(
+        df = tbl.select([key, *order_cols]).to_pandas()
+        keep = df.sort_values(order_cols, kind="mergesort").drop_duplicates(
             key, keep="first"
         ).index.to_numpy()
         return tbl.take(pa.array(np.sort(keep), pa.int64()))
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="mergesort").drop_duplicates(key, keep="first")
+        return g.sort_values(order_cols, kind="mergesort").drop_duplicates(key, keep="first")
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return partitioned_map(

@@ -67,12 +67,18 @@ def quality_scores(tbl: pa.Table, text_col: str = "text") -> pa.Table:
         if words:
             mean_wlen[i] = sum(map(len, words)) / len(words)
             stop_ratio[i] = sum(w in en_stop for w in words) / len(words)
-        arr = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        # CODEPOINTS, not utf-8 bytes: byte classification double-counts
+        # every non-ASCII char as "punctuation" (continuation bytes) and
+        # divides by byte length — a clean CJK/accented doc would score
+        # at the floor.  Punctuation is the ASCII-punct class only;
+        # codepoints >= 128 count toward length but no ratio class.
+        arr = np.frombuffer(t.encode("utf-32-le", "ignore"), dtype=np.uint32)
         if len(arr):
             is_alpha = ((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))
             is_digit = (arr >= 48) & (arr <= 57)
             is_space = (arr == 32) | (arr == 10) | (arr == 9) | (arr == 13)
-            punct_ratio[i] = float((~(is_alpha | is_digit | is_space)).mean())
+            is_ascii = arr < 128
+            punct_ratio[i] = float((is_ascii & ~(is_alpha | is_digit | is_space)).mean())
             digit_ratio[i] = float(is_digit.mean())
             upper_ratio[i] = float(((arr >= 65) & (arr <= 90)).sum() / max(1, is_alpha.sum()))
     score = (

@@ -56,4 +56,9 @@ def media_extract(records: rd.Dataset, dedup: bool = True) -> rd.Dataset:
     media = records.map_batches(parse.extract_media_batch, batch_format="pyarrow")
     if not dedup:
         return media
-    return first_per_key(media, "src", "page_url")
+    # full-row tiebreak: a page embedding the same src twice yields equal
+    # (src, page_url) rows whose winner must not depend on block order
+    return first_per_key(
+        media, "src", "page_url",
+        tiebreak=("dom_depth", "dom_sib", "dom_elem", "alt", "parent_txt", "w", "h"),
+    )

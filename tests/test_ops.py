@@ -42,6 +42,59 @@ def test_first_per_key(ray_session):
     assert out["p"].tolist() == ["b", "d"]
 
 
+def test_first_per_key_tiebreak_deterministic(ray_session):
+    """Equal (key, order_col) rows: the winner must come from the
+    tiebreak columns, not from block-assembly order — both input orders
+    give the same survivor."""
+    rows = {"k": ["x", "x"], "r": [1, 1], "p": ["zz", "aa"]}
+    rev = {c: v[::-1] for c, v in rows.items()}
+    for data in (rows, rev):
+        out = relational.first_per_key(
+            rd.from_arrow(pa.table(data)), "k", "r", tiebreak=("p",)
+        ).to_pandas()
+        assert out["p"].tolist() == ["aa"]
+
+
+def test_embedding_ops_tolerate_null_rows(ray_session):
+    """A null embedding row (failed upstream compute) is dropped by the
+    sketch/scorer/assign stages instead of crashing the batch."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((8, 8))
+    emb = pa.array(list(base) + [None], pa.list_(pa.float64()))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(range(9), pa.int64()),
+                                 "embedding": emb}))
+    pairs = dedup.embedding_neardup_pairs(ds, dim=8, threshold=0.999, bits=4).to_pandas()
+    assert 8 not in set(pairs.get("id_a", [])) | set(pairs.get("id_b", []))
+    top = ann.brute_force_topk(ds, {0: base[0].tolist()}, k=3)
+    assert 8 not in top["vec_id"].tolist() and top["vec_id"].iloc[0] == 0
+    cent = ann.train_centroids(ds, n_centroids=2, sample=20)
+    assigned = ann.ivf_assign(ds, cent)
+    assert assigned.count() == 8  # null row unindexable
+    bf = dedup.brute_force_pairs(ds, threshold=0.999)
+    assert 8 not in set(bf["id_a"]) | set(bf["id_b"])
+
+
+def test_quality_scores_non_ascii():
+    """Codepoint classes, not utf-8 bytes: clean non-ASCII prose has ~0
+    punctuation ratio (bytes would score every continuation byte)."""
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["naïve café prose située ailleurs",
+                           "これは日本語のきれいな文章です"]})
+    out = text.quality_scores(t).to_pandas()
+    assert (out["punct_ratio"] == 0.0).all()
+    assert out.loc[0, "n_chars_text"] == len("naïve café prose située ailleurs")
+
+
+def test_pair_components_raises_when_unconverged(ray_session):
+    """Exhausting max_iters must raise, never silently return wrong
+    labels (a chain longer than max_iters hops)."""
+    a = pa.array(range(0, 9), pa.int64())
+    b = pa.array(range(1, 10), pa.int64())
+    pairs = rd.from_arrow(pa.table({"id_a": a, "id_b": b}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.pair_components(pairs, max_iters=2, finish_cutoff=0)
+
+
 def test_shuffle_blocks_have_hashable_schemas(ray_session):
     """Blocks leaving the shuffle ops must carry NO schema metadata:
     pa.Table.from_pandas (ours or Ray's pandas→arrow conversion) attaches
