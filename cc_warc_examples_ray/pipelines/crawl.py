@@ -157,7 +157,7 @@ def run_crawl(
     min_dim: int = synth.SMALL_DIM_GATE,
     shard_capacity: int | None = None,
     fail_after_epoch: int | None = None,
-    concurrency: int | tuple = (2, 8),
+    concurrency: int | tuple | None = None,
 ) -> CrawlRun:
     """Run (or resume) the crawl.  ``seeds``/``robots`` follow the
     FRONTIER_SEEDS / ROBOTS schemas; ``store_paths`` are the content
@@ -165,7 +165,10 @@ def run_crawl(
 
     ``shard_capacity`` (seen-set slots per shard) auto-sizes to 2.5x the
     expected per-shard key count when None — URL-hash routing keeps
-    shard load uniform, so this headroom is ample."""
+    shard load uniform, so this headroom is ample.
+
+    ``concurrency`` caps concurrent fetch→decode tasks (int, or a tuple
+    whose max is used — the small-session knob; None = Ray default)."""
     import pyarrow.parquet as pq
 
     if shard_capacity is None:
@@ -225,12 +228,18 @@ def run_crawl(
                 "fetch_time_ms", pa.array(ft[admit], pa.int64())
             ).append_column("host_index", pa.array(hi[admit], pa.int64()))
 
+        decode_cap = (concurrency if isinstance(concurrency, int)
+                      else max(concurrency) if concurrency else None)
+
         def build_validated_ds(admitted: pa.Table):
             if broadcast_mode:
                 fetched = fetch_broadcast_store(store_paths, admitted, num_blocks=nblocks * 2)
             else:
                 fetched = fetch_scan_store(store_paths, admitted, num_blocks=nblocks)
-            return fetched.map_batches(decoder, batch_format="pyarrow", batch_size=256)
+            return fetched.map_batches(
+                decoder, batch_format="pyarrow", batch_size=256,
+                concurrency=decode_cap,
+            )
 
         # Epoch pipelining: admission is inherently sequential (the
         # seen-set defines epoch order), but fetch/decode/write is not —
@@ -242,7 +251,11 @@ def run_crawl(
         inflight: list[tuple] = []
 
         def commit_oldest():
-            epoch_, admitted_, blobs_, nums_, fut_ = inflight.pop(0)
+            # peek, pop only AFTER the commit applies: the epoch being
+            # committed must stay visible to the main loop's in-flight
+            # backpressure count (pop-first made it invisible and let a
+            # third epoch's write start)
+            epoch_, admitted_, blobs_, nums_, fut_ = inflight[0]
             _ct = _time.time()
             frags = fut_.result()
             if _dbg:
@@ -290,6 +303,7 @@ def run_crawl(
                 ),
                 epoch_,
             )
+            inflight.pop(0)
             if _dbg:
                 print(f"[crawl-timing] epoch {epoch_} commit: apply {_time.time()-_ct:.2f}s", flush=True)
 
@@ -403,7 +417,7 @@ def run_crawl(
                     raise commit_err[0]
                 # backpressure: at most 2 epochs' writes in flight
                 _t = time.time()
-                while sum(1 for t in inflight if not t[4].done()) > 1:
+                while sum(1 for t in list(inflight) if not t[4].done()) > 1:
                     time.sleep(0.02)
                 if _dbg:
                     print(f"[crawl-timing] epoch {epoch} backpressure_wait {time.time()-_t:.2f}s", flush=True)

@@ -31,7 +31,7 @@ from .. import lancelite, synth
 from ..functions.urls import canonicalize_batch
 from ..hashing import xxh64_many
 from ..stages.decode import DecodeValidate
-from ..stages.fetch import MAX_FETCH_ROWS_PER_BLOCK, add_image_ids, fetch_broadcast_store
+from ..stages.fetch import MAX_FETCH_ROWS_PER_BLOCK, add_image_ids, fetch_from_store
 from ..stages.parse import extract_media_batch
 from ..state.frontier_shard import FrontierPool
 from .crawl import (
@@ -278,6 +278,11 @@ def run_discovery_crawl(
                 admitted, pages_store_paths, nblocks, force_scan_pages
             )
             order_cols = [c for c in ORDER_COLS if c in admitted.column_names]
+            # images sentinel BEFORE the order/state commit: commit()'s
+            # state partition is the level-completion marker resume_epoch
+            # checks (state ∧ images) — writing state first would mark
+            # the level complete with its images partition absent
+            run.images_out.append_partition(pa.table({}), 0)
             commit(
                 0,
                 admitted.select(order_cols),
@@ -300,11 +305,12 @@ def run_discovery_crawl(
                     ),
                 }
             )
-            run.images_out.append_partition(pa.table({}), 0)  # level-0 sentinel
-        else:
+        elif start_level == 1:
             # resuming at level 1: rebuild discovered frontier
             # deterministically by re-running the (idempotent) level-0
-            # extraction against the committed level-0 crawl order
+            # extraction against the committed level-0 crawl order.
+            # (start_level >= 2 = fully complete: skip the rebuild — an
+            # idempotent re-run must not pay the whole extraction.)
             order0 = run.crawl_order.partition_table(0)
             media, _ = _page_fetch_and_discover(
                 order0, pages_store_paths, nblocks, force_scan_pages
@@ -332,7 +338,7 @@ def run_discovery_crawl(
             admitted1 = admitted1.sort_by(
                 [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
             ).select([c for c in ORDER_COLS] + ["image_id"])
-            fetched1 = fetch_broadcast_store(images_store_paths, admitted1, num_blocks=nblocks)
+            fetched1 = fetch_from_store(images_store_paths, admitted1, num_blocks=nblocks)
             validated = fetched1.map_batches(
                 DecodeValidate(min_dim=min_dim), batch_format="pyarrow", batch_size=256
             )

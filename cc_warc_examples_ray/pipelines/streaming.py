@@ -37,7 +37,7 @@ import ray
 
 from ..hashing import xxh64_many
 from ..stages.decode import DecodeValidate
-from ..stages.fetch import add_image_ids, fetch_broadcast_store
+from ..stages.fetch import add_image_ids, fetch_from_store
 from ..state.frontier_shard import FrontierPool
 from .crawl import MAX_CANON_ROWS_PER_BLOCK, CrawlRun, _make_robots_gate, _robots_maps
 
@@ -164,7 +164,7 @@ def run_streaming_crawl(
                 }
             )
             admitted = add_image_ids(admitted, store_size).drop_columns(["path"])
-            fetched = fetch_broadcast_store(store_paths, admitted)
+            fetched = fetch_from_store(store_paths, admitted)
             validated = fetched.map_batches(decoder, batch_format="pyarrow", batch_size=256)
             run.images_out.append_ray_partition(validated, rounds)
             run.crawl_order.append_partition(admitted, rounds)

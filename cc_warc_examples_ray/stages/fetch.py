@@ -43,23 +43,31 @@ def image_key_from_path(path: str, store_size: int) -> int:
 
 def add_image_ids(tbl: pa.Table, store_size: int) -> pa.Table:
     """Vectorized derivation of ``image_id`` from the ``path`` column:
-    regex key extract via pyarrow, python fallback only for the rare
-    pattern-miss rows."""
+    regex key extract via pyarrow; python fallback only for pattern-miss
+    rows and digit runs too long for int64 (kept off the vector path so
+    an unparseable key can neither raise ArrowInvalid nor round through
+    float64 — both must match :func:`image_key_from_path` exactly)."""
     import pyarrow.compute as pc
 
     paths = tbl.column("path")
     ex = pc.extract_regex(paths, r"[ip](?P<key>\d+)\.[A-Za-z0-9]+$")
-    knum = pc.cast(pc.struct_field(ex, "key"), pa.int64())
-    keys = knum.to_numpy(zero_copy_only=False)
-    miss = np.isnan(keys) if keys.dtype.kind == "f" else np.zeros(len(keys), bool)
-    if miss.any():
+    kstr = pc.struct_field(ex, "key").combine_chunks()
+    klen = pc.fill_null(pc.utf8_length(kstr), 99)
+    short = pc.and_(pc.is_valid(kstr), pc.less_equal(klen, 18))  # fits int64
+    knum = pc.fill_null(
+        pc.cast(pc.if_else(short, kstr, pa.scalar(None, pa.string())), pa.int64()), -1
+    )
+    keys = knum.to_numpy(zero_copy_only=False).copy()  # int64 exact, -1 = fallback
+    fallback = np.flatnonzero(keys < 0)
+    if len(fallback):
         from ..hashing import xxh64
 
         plist = paths.to_pylist()
-        keys = keys.copy()
-        for i in np.flatnonzero(miss):
-            keys[i] = xxh64((plist[i] or "").encode()) % store_size
-    keys = keys.astype(np.int64) % store_size
+        for i in fallback:
+            s = kstr[int(i)].as_py()
+            keys[i] = (int(s) if s is not None
+                       else xxh64((plist[int(i)] or "").encode())) % store_size
+    keys = keys % store_size
     ids = np.char.add("img-", np.char.zfill(keys.astype("U10"), 10))
     return tbl.append_column("image_id", pa.array(ids, pa.string()))
 
@@ -242,6 +250,31 @@ def fetch_scan_keyed(
     return ds.map_batches(fetch, batch_format="pyarrow")
 
 
+# driver-side cache of the broadcast store's object ref, keyed by
+# (paths, file stats): a multi-epoch/multi-round crawl must not re-read
+# and re-ray.put the whole store per epoch — and a STABLE ref is what
+# lets the per-worker _STORE_INDEX_CACHE hit across epochs.
+_BROADCAST_STORE_REF_CACHE: dict = {}
+
+
+def _broadcast_store_ref(store_paths: tuple) -> "ray.ObjectRef":
+    import os
+
+    import pyarrow.parquet as pq
+
+    # job id in the key: a ray.shutdown()+init() in the same process
+    # invalidates old refs
+    key = (ray.get_runtime_context().get_job_id(), store_paths,
+           tuple((os.path.getmtime(p), os.path.getsize(p)) for p in store_paths))
+    ref = _BROADCAST_STORE_REF_CACHE.get(key)
+    if ref is None:
+        if len(_BROADCAST_STORE_REF_CACHE) > 2:
+            _BROADCAST_STORE_REF_CACHE.clear()
+        store_tbl = pa.concat_tables([pq.read_table(p) for p in store_paths])
+        ref = _BROADCAST_STORE_REF_CACHE.setdefault(key, ray.put(store_tbl))
+    return ref
+
+
 def make_broadcast_fetch_fn(store_paths: list[str]):
     """Factory for the frontier-driven fetch kernel (small/cached store):
     the store table is ``ray.put`` once (shared-memory per node) and each
@@ -255,10 +288,7 @@ def make_broadcast_fetch_fn(store_paths: list[str]):
     Admitted URLs whose image_id misses the store are kept with null
     payload columns — a fetch failure is a crawl outcome, and the
     crawl-order table must stay complete."""
-    import pyarrow.parquet as pq
-
-    store_tbl = pa.concat_tables([pq.read_table(p) for p in store_paths])
-    sref = ray.put(store_tbl)
+    sref = _broadcast_store_ref(tuple(store_paths))
     skey = sref.hex()
 
     def fetch(batch: pa.Table) -> pa.Table:

@@ -204,12 +204,19 @@ class _MediaVisitor(HTMLParser):
     def handle_endtag(self, tag):
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i][0] == tag:
-                closed = self.stack[i]
-                txt = " ".join(closed[2]).strip()[:_TRUNC]
+                # resolve pending rows for EVERY element being closed —
+                # stack[i] explicitly, deeper ones implicitly (unclosed
+                # tags).  An entry left behind would later match an
+                # unrelated element that reuses its stack index and
+                # receive that element's text.
+                texts = {
+                    lvl: " ".join(self.stack[lvl][2]).strip()[:_TRUNC]
+                    for lvl in range(i, len(self.stack))
+                }
                 for lvl, row in self._pending_text_rows:
-                    if lvl == i and not row["parent_txt"]:
-                        row["parent_txt"] = txt
-                self._pending_text_rows = [(l, r) for l, r in self._pending_text_rows if l != i]
+                    if lvl >= i and not row["parent_txt"]:
+                        row["parent_txt"] = texts[lvl]
+                self._pending_text_rows = [(l, r) for l, r in self._pending_text_rows if l < i]
                 del self.stack[i:]
                 break
 

@@ -136,20 +136,31 @@ class CuckooFilter:
 
     # -- checkpoint serialization (the resume path) -------------------------
     def to_bytes(self) -> bytes:
+        """Full state incl. the eviction RNG: without it, a resumed run's
+        random-walk evictions diverge from an uninterrupted run's at high
+        load, and later checkpoints stop being bit-identical (membership
+        stays correct either way — the invariant is stronger than that)."""
+        import pickle
         import struct
 
         head = struct.pack("<IIQ", self.nbuckets, self.fp_bits, self.count)
-        return head + self.table.tobytes()
+        rng_blob = pickle.dumps(self._rng.bit_generator.state, protocol=4)
+        return head + self.table.tobytes() + rng_blob
 
     @classmethod
     def from_bytes(cls, data: bytes, seed: int = 0) -> "CuckooFilter":
+        import pickle
         import struct
 
         nbuckets, fp_bits, count = struct.unpack("<IIQ", data[:16])
         f = cls(capacity=nbuckets * cls.SLOTS, fp_bits=fp_bits, seed=seed)
         assert f.nbuckets == nbuckets
-        f.table = np.frombuffer(data[16:], dtype=f.fp_dtype).reshape(
+        tbl_len = nbuckets * cls.SLOTS * f.fp_dtype(0).itemsize
+        f.table = np.frombuffer(data[16 : 16 + tbl_len], dtype=f.fp_dtype).reshape(
             nbuckets, cls.SLOTS
         ).copy()
         f.count = count
+        rest = data[16 + tbl_len :]
+        if rest:  # blobs from before the rng field fall back to the seed
+            f._rng.bit_generator.state = pickle.loads(rest)
         return f

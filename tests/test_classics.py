@@ -125,6 +125,28 @@ def test_media_visitor_single_doc():
     assert img["dom_depth"] >= 2
 
 
+def test_media_visitor_unclosed_tag_no_parent_text_leak():
+    """A pending parent-text slot registered under an UNCLOSED element
+    must not survive its implicit close and absorb text from an
+    unrelated element that later reuses the same stack index."""
+    html = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        '<div><span><img src="/a.jpg"></div>'
+        "<table><tr><td>x</td>UNRELATED TEXT</tr></table>"
+    )
+    t = pa.table(
+        {
+            "record_url": ["http://h.example/p"],
+            "warc_type": ["response"],
+            "mime": ["application/http; msgtype=response"],
+            "payload": [html.encode()],
+        }
+    )
+    rows = parse.extract_media_batch(t).to_pylist()
+    img = next(r for r in rows if r["dom_elem"] == "img")
+    assert img["parent_txt"] == ""  # the span had no text of its own
+
+
 def test_is_media_url():
     # MediaNodeVisitor.main's own fixture: "asdfsdf.mov" matches
     assert parse.is_media_url("http://x/asdfsdf.mov")

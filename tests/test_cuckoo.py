@@ -53,3 +53,22 @@ def test_full_filter_raises():
     keys = np.arange(10_000, dtype=np.uint64) * np.uint64(0xDEADBEEF1)
     with pytest.raises(RuntimeError):
         f.add_if_absent(keys)
+
+
+def test_checkpoint_preserves_eviction_rng():
+    """A restored filter's random-walk evictions must continue exactly
+    where the checkpoint left off — otherwise a resumed crawl's later
+    checkpoints diverge bit-for-bit from an uninterrupted run's."""
+    import numpy as np
+
+    from cc_warc_examples_ray.state.cuckoo import CuckooFilter
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(1, 2**63, 1800, dtype=np.uint64)
+    a = CuckooFilter(capacity=2048, seed=1)   # ~88% load -> evictions
+    a.add_if_absent(keys[:900])
+    blob = a.to_bytes()
+    b = CuckooFilter.from_bytes(blob, seed=1)
+    a.add_if_absent(keys[900:])
+    b.add_if_absent(keys[900:])
+    assert a.to_bytes() == b.to_bytes()  # identical table AND rng state

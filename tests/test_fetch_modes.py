@@ -102,3 +102,21 @@ def test_scan_mode_keeps_fetch_misses(ray_session, store):
     assert miss.sum() == 3
     assert s.loc[miss, "bytes"].isna().all()
     assert (b["bytes"].isna() == s["bytes"].isna()).all()
+
+
+def test_add_image_ids_matches_scalar_on_edge_keys():
+    """The vectorized id derivation must agree with image_key_from_path
+    on every shape: normal keys, >int64 digit runs (no ArrowInvalid),
+    regex misses, and mixes (no float64 rounding of matched keys)."""
+    store_size = 1000
+    paths = [
+        "/img/i123.png",                       # normal
+        "/img/i99999999999999999999.jpg",      # 20 digits: > int64
+        "/img/i1234567890123456789.jpg",       # 19 digits: > 18-char gate
+        "/watch",                              # regex miss -> hash
+        "/img/p0042.gif",                      # p-prefixed
+    ]
+    t = pa.table({"path": pa.array(paths, pa.string())})
+    got = fetch.add_image_ids(t, store_size).column("image_id").to_pylist()
+    want = [f"img-{fetch.image_key_from_path(p, store_size):010d}" for p in paths]
+    assert got == want
