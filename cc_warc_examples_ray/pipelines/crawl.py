@@ -119,6 +119,30 @@ def _make_robots_gate(disallow: dict[str, list[str]]):
     return gate
 
 
+def canonicalized_ds(seeds: pa.Table, disallow: dict, nblocks: int) -> rd.Dataset:
+    """Chunk-split → canonicalize → robots gate, as a lazy Dataset —
+    shared by the batch / discovery / streaming pipelines so chunk
+    sizing and gating cannot silently drift between them."""
+    step = max(256, min(MAX_CANON_ROWS_PER_BLOCK, seeds.num_rows // nblocks + 1))
+    chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)] or [seeds]
+    eds = rd.from_arrow(chunks)
+    eds = eds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    return eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
+
+
+def lineage_table(epoch: int, partition: int, stage: str, counters: dict) -> pa.Table:
+    """One LINEAGE partition's rows (shared shape across pipelines)."""
+    return pa.table(
+        {
+            "epoch": pa.array([epoch] * len(counters), pa.int64()),
+            "partition": pa.array([partition] * len(counters), pa.int64()),
+            "stage": pa.array([stage] * len(counters), pa.string()),
+            "counter": pa.array(list(counters), pa.string()),
+            "value": pa.array([int(v) for v in counters.values()], pa.int64()),
+        }
+    )
+
+
 class CrawlRun:
     """Handle over one crawl's output directory (tables + resume)."""
 
@@ -204,12 +228,9 @@ def run_crawl(
                 tbl = tbl.append_column("host_hash", pa.array(hh, pa.int64()))
                 return tbl.select(keep_cols)
 
-            step = max(256, min(MAX_CANON_ROWS_PER_BLOCK, sl.num_rows // nblocks + 1))
-            chunks = [sl.slice(i, step) for i in range(0, sl.num_rows, step)]
-            eds = rd.from_arrow(chunks)
-            eds = eds.map_batches(canonicalize_batch, batch_format="pyarrow")
-            eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
-            eds = eds.map_batches(project, batch_format="pyarrow")
+            eds = canonicalized_ds(sl, disallow, nblocks).map_batches(
+                project, batch_format="pyarrow"
+            )
             tables = [t for t in ray.get(eds.to_arrow_refs()) if t.num_rows]
             if not tables:
                 return project(canonicalize_batch(sl.slice(0, 0)))  # empty, right schema
@@ -279,16 +300,7 @@ def run_crawl(
                 if flags.num_rows else 0,
             }
             run.lineage.append_partition(
-                pa.table(
-                    {
-                        "epoch": pa.array([epoch_] * len(counters), pa.int64()),
-                        "partition": pa.array([epoch_] * len(counters), pa.int64()),
-                        "stage": pa.array(["crawl"] * len(counters), pa.string()),
-                        "counter": pa.array(list(counters), pa.string()),
-                        "value": pa.array([int(v) for v in counters.values()], pa.int64()),
-                    }
-                ),
-                epoch_,
+                lineage_table(epoch_, epoch_, "crawl", counters), epoch_
             )
             # state LAST: it is the epoch-completion marker resume_epoch
             # checks (state ∧ images) — committing it before lineage

@@ -35,11 +35,11 @@ from ..stages.fetch import MAX_FETCH_ROWS_PER_BLOCK, add_image_ids, fetch_from_s
 from ..stages.parse import extract_media_batch
 from ..state.frontier_shard import FrontierPool
 from .crawl import (
-    MAX_CANON_ROWS_PER_BLOCK,
     ORDER_COLS,
     CrawlRun,
-    _make_robots_gate,
     _robots_maps,
+    canonicalized_ds,
+    lineage_table,
 )
 
 
@@ -62,11 +62,7 @@ def _admit(pool: FrontierPool, ct: pa.Table) -> pa.Table:
 
 
 def _canonicalize(seeds: pa.Table, disallow, nblocks: int) -> pa.Table:
-    step = max(256, min(MAX_CANON_ROWS_PER_BLOCK, seeds.num_rows // nblocks + 1))
-    chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)] or [seeds]
-    eds = rd.from_arrow(chunks)
-    eds = eds.map_batches(canonicalize_batch, batch_format="pyarrow")
-    eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
+    eds = canonicalized_ds(seeds, disallow, nblocks)
     tables = [t for t in ray.get(eds.to_arrow_refs()) if t.num_rows]
     if not tables:
         return canonicalize_batch(seeds.slice(0, 0))  # empty, right schema
@@ -251,16 +247,7 @@ def run_discovery_crawl(
                 level,
             )
             run.lineage.append_partition(
-                pa.table(
-                    {
-                        "epoch": pa.array([level] * len(counters), pa.int64()),
-                        "partition": pa.array([level] * len(counters), pa.int64()),
-                        "stage": pa.array(["discovery"] * len(counters), pa.string()),
-                        "counter": pa.array(list(counters), pa.string()),
-                        "value": pa.array([int(v) for v in counters.values()], pa.int64()),
-                    }
-                ),
-                level,
+                lineage_table(level, level, "discovery", counters), level
             )
 
         # ---- level 0: pages ------------------------------------------------

@@ -39,7 +39,13 @@ from ..hashing import xxh64_many
 from ..stages.decode import DecodeValidate
 from ..stages.fetch import add_image_ids, fetch_from_store
 from ..state.frontier_shard import FrontierPool
-from .crawl import MAX_CANON_ROWS_PER_BLOCK, CrawlRun, _make_robots_gate, _robots_maps
+from .crawl import (
+    MAX_CANON_ROWS_PER_BLOCK,
+    CrawlRun,
+    _robots_maps,
+    canonicalized_ds,
+    lineage_table,
+)
 
 
 def _admit_enqueue_chunk(pool: FrontierPool, num_shards: int, ct: pa.Table) -> None:
@@ -97,10 +103,8 @@ def run_streaming_crawl(
     each round's emission; commit one partition per drain round.  Calling
     again on the same ``out_dir`` resumes from the newest complete round."""
     import pyarrow.parquet as pq
-    import ray.data as rd
 
     from .. import synth
-    from ..functions.urls import canonicalize_batch
 
     if store_size is None:
         store_size = sum(pq.read_metadata(p).num_rows for p in store_paths)
@@ -130,11 +134,7 @@ def run_streaming_crawl(
             # shard admission state persists across chunks) — the whole
             # canonicalized frontier never materializes on the driver.
             nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-            step = max(256, min(MAX_CANON_ROWS_PER_BLOCK, seeds.num_rows // nblocks + 1))
-            chunks = [seeds.slice(i, step) for i in range(0, seeds.num_rows, step)]
-            eds = rd.from_arrow(chunks).map_batches(canonicalize_batch, batch_format="pyarrow")
-            eds = eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
-            eds = eds.sort("seed_rank")
+            eds = canonicalized_ds(seeds, disallow, nblocks).sort("seed_rank")
             for ct in eds.iter_batches(
                 batch_size=MAX_CANON_ROWS_PER_BLOCK, batch_format="pyarrow"
             ):
@@ -169,15 +169,8 @@ def run_streaming_crawl(
             run.images_out.append_ray_partition(validated, rounds)
             run.crawl_order.append_partition(admitted, rounds)
             run.lineage.append_partition(
-                pa.table(
-                    {
-                        "epoch": pa.array([rounds], pa.int64()),
-                        "partition": pa.array([rounds], pa.int64()),
-                        "stage": pa.array(["stream"], pa.string()),
-                        "counter": pa.array(["fetched"], pa.string()),
-                        "value": pa.array([admitted.num_rows], pa.int64()),
-                    }
-                ),
+                lineage_table(rounds, rounds, "stream",
+                              {"fetched": admitted.num_rows}),
                 rounds,
             )
             # state LAST: it is the round-completion marker resume_epoch
