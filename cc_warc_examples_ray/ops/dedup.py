@@ -283,22 +283,22 @@ def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
         sch = pa.schema([("id_a", idt_), ("id_b", idt_), ("jaccard", pa.float64())])
         return rd.from_arrow(sch.empty_table())
     idt = pairs.select_columns(["id_a", "id_b"]).to_pandas()
-    need = ray.put(sorted(set(idt["id_a"]) | set(idt["id_b"])))
+    need = ray.put(pa.array(sorted(set(idt["id_a"]) | set(idt["id_b"]))))
 
     # one corpus scan, shared by both regimes: the pruned candidate
     # texts live in the object store (spillable), and size_bytes() gives
     # the byte bound the count gate alone cannot (100k pairs of 1 MB
     # docs would be 200 GB — driver-fatal to collect, fine to spill).
-    # broadcast_semi_join ships the id set once per actor (not a
-    # ray.get + value-set rebuild per corpus batch).
-    from .relational import broadcast_semi_join
+    # Task pool + per-process broadcast cache, NOT an actor pool: the id
+    # set deserializes once per worker via _bcast_cached, and a pool's
+    # spin-up latency would dominate this one-scan stage.
+    def prune(t: pa.Table) -> pa.Table:
+        keys = _bcast_cached(need)
+        return t.select([id_col, text_col]).filter(
+            pc.is_in(t.column(id_col), value_set=keys)
+        )
 
-    docs_small = broadcast_semi_join(
-        docs.map_batches(
-            lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
-        ),
-        id_col, need,
-    ).materialize()
+    docs_small = docs.map_batches(prune, batch_format="pyarrow").materialize()
 
     if docs_small.count() == 0:
         # no candidate id matched docs: inner-join semantics → no pairs
