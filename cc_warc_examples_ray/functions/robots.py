@@ -29,9 +29,9 @@ def parse_robots_txt(text: str, agent: str = "*",
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
-            if not line:
-                current = []  # blank line ends a group header run
-                saw_directive = False
+            # RFC 9309: blank lines are INSIGNIFICANT — rules separated
+            # from their User-agent line by blank lines still belong to
+            # it (group boundaries come only from UA-after-directives)
             continue
         field, _, value = line.partition(":")
         field = field.strip().lower()

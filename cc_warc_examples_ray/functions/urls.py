@@ -29,6 +29,45 @@ from ..hashing import xxh64_many
 
 _WS = re.compile(r"\s+")
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+# RFC 3986 scheme: a URL is absolute iff it STARTS with one — a bare
+# '"://" in u' test misclassifies relative URLs whose query embeds an
+# absolute URL (e.g. '/redir?to=http://a/b') and drops them
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def _remove_dot_segments(p: str) -> str:
+    """RFC 3986 §5.2.4 — keeps the trailing slash ('/a/b/..' → '/a/',
+    not '/a': those are distinct resources and standard SURT tooling
+    preserves the distinction)."""
+    out: list[str] = []
+    while p:
+        if p.startswith("../"):
+            p = p[3:]
+        elif p.startswith("./"):
+            p = p[2:]
+        elif p.startswith("/./"):
+            p = "/" + p[3:]
+        elif p == "/.":
+            p = "/"
+        elif p.startswith("/../"):
+            p = "/" + p[4:]
+            if out:
+                out.pop()
+        elif p == "/..":
+            p = "/"
+            if out:
+                out.pop()
+        elif p in (".", ".."):
+            p = ""
+        else:
+            i = p.find("/", 1)
+            if i < 0:
+                out.append(p)
+                p = ""
+            else:
+                out.append(p[:i])
+                p = p[i:]
+    return "".join(out)
 
 
 def _canon_one(src: str, page: str) -> tuple[str, str, str, str]:
@@ -36,10 +75,11 @@ def _canon_one(src: str, page: str) -> tuple[str, str, str, str]:
     u = _WS.sub("", src or "")
     if not u:
         return "", "", "", ""
-    if "://" not in u:
+    if not _SCHEME_RE.match(u):
         u = urljoin(_WS.sub("", page or ""), u)
     try:
         parts = urlsplit(u)
+        port = parts.port  # lazily raises on malformed/out-of-range ports
     except ValueError:
         return "", "", "", ""
     scheme = (parts.scheme or "http").lower()
@@ -48,20 +88,12 @@ def _canon_one(src: str, page: str) -> tuple[str, str, str, str]:
         return "", "", "", ""
     if host.startswith("www."):
         host = host[4:]
-    port = parts.port
     netloc = host if port is None or str(port) == _DEFAULT_PORTS.get(scheme) else f"{host}:{port}"
     path = parts.path or "/"
     # remove dot segments (urljoin already resolves relative refs; absolute
     # inputs may still carry them)
     if "./" in path or path.endswith(("/.", "/..")):
-        segs: list[str] = []
-        for s in path.split("/"):
-            if s == "..":
-                if segs:
-                    segs.pop()
-            elif s != ".":
-                segs.append(s)
-        path = "/".join(segs) or "/"
+        path = _remove_dot_segments(path) or "/"
         if not path.startswith("/"):
             path = "/" + path
     query = f"?{parts.query}" if parts.query else ""

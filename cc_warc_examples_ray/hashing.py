@@ -125,7 +125,10 @@ def _to_padded_matrix(arr) -> tuple[np.ndarray, np.ndarray]:
         lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
         starts = offsets[:-1]
     else:
-        vals = [v.encode() if isinstance(v, str) else bytes(v) for v in arr]
+        vals = [
+            v.encode() if isinstance(v, str) else (b"" if v is None else bytes(v))
+            for v in arr
+        ]
         n = len(vals)
         lens = np.array([len(v) for v in vals], dtype=np.int64)
         data = np.frombuffer(b"".join(vals), dtype=np.uint8)
@@ -147,13 +150,52 @@ def _to_padded_matrix(arr) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
+# padded-matrix budget: beyond this, pathologically long rows (one 1 MB
+# URL in a 100k-row batch would pad EVERY row to 1 MB → ~100 GB) are
+# split off to the scalar xxh64 path instead of inflating the matrix.
+_MATRIX_BUDGET = 1 << 28
+_OUTLIER_LEN = 4096
+
+
 def xxh64_many(arr, seed: int = 0) -> np.ndarray:
     """Vectorized XXH64 over an array of strings/bytes → uint64 ndarray.
 
     Accepts a ``pyarrow`` (large_)string/binary Array or ChunkedArray
     (read zero-copy from its buffers), or any iterable of str/bytes.
-    Nulls hash as empty strings.
+    Nulls hash as empty strings.  Rows far longer than the batch's 99.9th
+    percentile are hashed via the scalar kernel so one outlier cannot
+    explode the padded matrix (every row pads to the batch maximum).
     """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.Array) and len(arr):
+        import pyarrow.compute as pc
+
+        probe = arr
+        if not (pa.types.is_string(probe.type) or pa.types.is_binary(probe.type)
+                or pa.types.is_large_string(probe.type)
+                or pa.types.is_large_binary(probe.type)):
+            probe = probe.cast(pa.string())
+        plens = pc.fill_null(pc.binary_length(probe), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n = len(probe)
+        maxlen = int(plens.max())
+        pad = max(32, ((maxlen + 31) // 32) * 32)
+        if n * pad > _MATRIX_BUDGET and maxlen > _OUTLIER_LEN:
+            cutoff = max(_OUTLIER_LEN, int(np.quantile(plens, 0.999)))
+            if maxlen > cutoff:
+                big_idx = np.flatnonzero(plens > cutoff)
+                small_idx = np.flatnonzero(plens <= cutoff)
+                res = np.empty(n, dtype=np.uint64)
+                res[small_idx] = xxh64_many(
+                    probe.take(pa.array(small_idx, pa.int64())), seed
+                )
+                for i in big_idx:
+                    v = probe[int(i)].as_py()
+                    b = v.encode() if isinstance(v, str) else (b"" if v is None else bytes(v))
+                    res[int(i)] = xxh64(b, seed)
+                return res
     mat, lens = _to_padded_matrix(arr)
     n = mat.shape[0]
     if n == 0:

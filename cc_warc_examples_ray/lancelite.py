@@ -231,6 +231,8 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
     fragment file); only the tiny manifest commit is serialized on the
     driver, preserving streaming execution for the data itself.
     """
+    import shutil
+
     import pandas as pd
 
     t = LanceLiteTable(path)
@@ -241,29 +243,33 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
         part = g[partition_col].iloc[0]
         if part in done:
             return pd.DataFrame({"partition": [part], "file": [""], "rows": [0]})
+        # deterministic per-partition subdir: a crash between the worker
+        # writes and the manifest commit leaves files a RERUN cleans up
+        # (uuid names directly under data/ would leak forever)
+        sub = os.path.join("data", f"part-{part}")
+        subdir = os.path.join(path, sub)
+        shutil.rmtree(subdir, ignore_errors=True)
+        os.makedirs(subdir)
         name = f"frag-{uuid.uuid4().hex}.parquet"
-        fp = os.path.join(path, "data", name)
         # strip the from_pandas metadata blob so read_parquet blocks get
         # hashable (dedup-able) schemas downstream
         pq.write_table(
             pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None),
-            fp,
+            os.path.join(subdir, name),
         )
         return pd.DataFrame(
-            {"partition": [part], "file": [os.path.join("data", name)], "rows": [len(g)]}
+            {"partition": [part], "file": [os.path.join(sub, name)], "rows": [len(g)]}
         )
 
     frag_rows = ds.groupby(partition_col).map_groups(_write_group, batch_format="pandas").take_all()
-    man = t.manifest()
-    frags = man["fragments"]
-    for r in frag_rows:
-        if r["file"]:
-            frags.append(
-                {"file": r["file"], "rows": int(r["rows"]), "partition": _py(r["partition"])}
-            )
-    md = dict(man.get("metadata", {}))
-    md.update(metadata or {})
-    t._commit(frags, md)
+    new_frags = [
+        {"file": r["file"], "rows": int(r["rows"]), "partition": _py(r["partition"])}
+        for r in frag_rows
+        if r["file"]
+    ]
+    # commit_fragments: no-op when nothing new, dedups already-committed
+    # partitions (e.g. a racing second writer)
+    t.commit_fragments(new_frags, metadata)
     return t
 
 

@@ -16,10 +16,13 @@ from __future__ import annotations
 
 import gzip
 import json
+import re
 
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 FIELDS = ("src", "alt", "w", "h", "pageUrl", "parentTxt", "domSib", "domDepth", "domElem")
 _SNAKE = {
@@ -138,7 +141,10 @@ def read_seeds(path: str) -> pa.Table:
                 continue
             urls.append(u)
             try:
-                h = (urlsplit(u if "://" in u else "http://" + u).hostname or "").lower()
+                # scheme must START the string — '://' later in the URL
+                # (e.g. inside a query) does not make it absolute
+                absu = u if _SCHEME_RE.match(u) else "http://" + u
+                h = (urlsplit(absu).hostname or "").lower()
             except ValueError:
                 h = ""
             hosts.append(h[4:] if h.startswith("www.") else h)

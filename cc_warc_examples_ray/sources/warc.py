@@ -70,7 +70,7 @@ def parse_warc(blob: bytes) -> pa.Table:
                     "utf-8", "replace"
                 ).strip()
         try:
-            length = int(headers.get("content-length", "0"))
+            length = max(0, int(headers.get("content-length", "0")))
         except ValueError:
             length = 0
         body_start = hdr_end + 4
@@ -80,7 +80,9 @@ def parse_warc(blob: bytes) -> pa.Table:
         types.append(headers.get("warc-type", ""))
         mimes.append(headers.get("content-type", ""))
         payloads.append(blob[body_start : body_start + length])
-        pos = body_start + length
+        # the scan cursor must strictly advance (a negative/lying
+        # Content-Length would otherwise re-find the same header forever)
+        pos = max(body_start + length, start + 5)
     return pa.table(
         {
             "record_url": pa.array(urls, pa.string()),

@@ -104,3 +104,10 @@ def test_group_isolation_property(groups, blank_sep):
     for agent, dis in groups:
         got = parse_robots_txt(txt, agent=agent)[1]
         assert got == list(dict.fromkeys(dis))
+
+
+def test_blank_line_inside_group_is_insignificant():
+    """RFC 9309: blank lines do not end a group — directives separated
+    from their User-agent line by a blank line still apply."""
+    txt = "User-agent: *\n\nDisallow: /private/\nCrawl-delay: 2\n"
+    assert parse_robots_txt(txt, agent="*") == (2000, ["/private/"])

@@ -77,3 +77,35 @@ def test_batch_kernel_and_dedup_targets():
 
 def test_host_of():
     assert host_of(["http://WWW.Foo.example/x", "bad"]) == ["foo.example", ""]
+
+
+def test_canon_malformed_port_rejected():
+    """Non-numeric / out-of-range ports reject the row instead of
+    raising through the whole canonicalize task."""
+    from cc_warc_examples_ray.functions.urls import _canon_one
+
+    assert _canon_one("http://host.example:8o8/x", "") == ("", "", "", "")
+    assert _canon_one("http://host.example:99999/x", "") == ("", "", "", "")
+
+
+def test_canon_relative_with_embedded_absolute_query():
+    """A relative URL whose query embeds an absolute URL is still
+    relative (scheme must START the string) and resolves against the
+    page URL."""
+    from cc_warc_examples_ray.functions.urls import _canon_one
+
+    url, surt, host, path = _canon_one(
+        "/redir?to=http://a.b/c", "http://host.example/page.html"
+    )
+    assert url == "http://host.example/redir?to=http://a.b/c"
+    assert host == "host.example" and path == "/redir"
+
+
+def test_canon_trailing_dot_segments_keep_slash():
+    """RFC 3986 remove_dot_segments: '/a/b/..' → '/a/' (directory), not
+    '/a' (file) — distinct resources must not merge in dedup."""
+    from cc_warc_examples_ray.functions.urls import _canon_one
+
+    assert _canon_one("http://h.example/a/b/..", "")[3] == "/a/"
+    assert _canon_one("http://h.example/a/.", "")[3] == "/a/"
+    assert _canon_one("http://h.example/a/b/../c", "")[3] == "/a/c"

@@ -111,3 +111,15 @@ def test_read_warc_files_uri_directory(ray_session, tmp_path):
     assert ds.count() == 30
     urls = sorted(ds.to_pandas()["record_url"])
     assert urls == sorted(t.column("record_url").to_pylist())
+
+
+def test_parse_warc_negative_content_length_terminates():
+    """A lying negative Content-Length must not rewind the scan cursor
+    (previously an infinite row-appending loop)."""
+    blob = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Target-URI: http://x/a\r\nContent-Length: -9999\r\n\r\n"
+            b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Target-URI: http://x/b\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+    t = warc.parse_warc(blob)
+    assert t.num_rows == 2
+    assert t.column("record_url").to_pylist() == ["http://x/a", "http://x/b"]
