@@ -1,8 +1,10 @@
 """One scaling-leg attempt, load-gated: runs the 1.28M-seed single-epoch
 headline crawl at the given CPU count IF the 1-minute loadavg is below
-the gate, and appends the result to BENCH/scaling_attempts.jsonl.
+the gate (and, optionally, the single-proc decode-kernel rate is above
+``min_kernel_rate`` — loadavg cannot see co-tenant DRAM contention),
+and appends the result to BENCH/scaling_attempts.jsonl.
 
-Usage: python tools/scaling_attempt.py <num_cpus> [max_load]
+Usage: python tools/scaling_attempt.py <num_cpus> [max_load] [min_kernel_rate]
 
 The co-tenant load on this box swings 0.3..20 within minutes; single
 --scaling invocations are a noise lottery.  Collecting legs only in
@@ -28,12 +30,34 @@ def loadavg() -> float:
         return float(f.read().split()[0])
 
 
+def kernel_rate() -> float:
+    """Single-process decode-kernel rows/s (no Ray, ~5 s).  Loadavg is
+    BLIND to co-tenant DRAM-bandwidth contention from other VMs — a
+    window with loadavg 0.05 measured the kernel at HALF its normal rate
+    (731 vs 1,460 rows/s); legs taken then undershoot by the same
+    factor.  Gate on this, not just loadavg."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bandwidth_probe.py"),
+         "4096", "1"],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout
+    return float(json.loads(out.strip().splitlines()[-1])["legs"][0][
+        "per_core_rows_per_sec"
+    ])
+
+
 def main() -> int:
     ncpu = int(sys.argv[1])
     max_load = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    min_rate = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
     load = loadavg()
     if load > max_load:
         print(json.dumps({"skipped": True, "load": load, "ncpu": ncpu}))
+        return 0
+    rate = kernel_rate() if min_rate > 0 else None
+    if rate is not None and rate < min_rate:
+        print(json.dumps({"skipped": True, "kernel_rate": rate,
+                          "min_rate": min_rate, "ncpu": ncpu}))
         return 0
     env = dict(
         os.environ,
@@ -51,6 +75,8 @@ def main() -> int:
     ).stdout
     rec = json.loads(out.strip().splitlines()[-1])
     rec["attempt_ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    if rate is not None:
+        rec["kernel_rate_1proc"] = rate
     with open(LOG, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps({"ncpu": ncpu, "urls_per_sec": rec["crawl"]["urls_per_sec"],
