@@ -195,6 +195,66 @@ def _page_fetch_and_discover(
     return discover_media(fetched), len(hit)
 
 
+# Default sub-epoch size: bounds the frontier metadata the driver holds
+# at any moment (one sub-epoch + the partitions overlapping one rank
+# range) — the discovery analog of the flagship's per-epoch
+# canonicalization.  2^18 URLs x ~100 B of metadata ≈ 25 MB driver-side.
+URLS_PER_EPOCH = 1 << 18
+
+_DISC_SCHEMA = pa.schema(
+    [
+        pa.field("seed_url", pa.string()),
+        pa.field("page_url", pa.string()),
+        pa.field("seed_rank", pa.int64()),
+    ]
+)
+
+
+def _bounds(n: int, per: int | None) -> list[tuple[int, int]]:
+    """Rank-contiguous even split of ``n`` rows into ceil(n/per) epochs
+    (deterministic — resume recomputes the identical split)."""
+    per = per or max(n, 1)
+    k = max(1, (n + per - 1) // per)
+    return [((i * n) // k, ((i + 1) * n) // k) for i in range(k)]
+
+
+def _discovered_rows(disc: "lancelite.LanceLiteTable", n_parts: int) -> list[int]:
+    """Committed discovered-row count per level-0 partition, from the
+    manifest alone (no data read)."""
+    rows = [0] * n_parts
+    for f in disc.manifest()["fragments"]:
+        p = f["partition"]
+        if p is not None and 0 <= p < n_parts:
+            rows[p] += f["rows"]
+    return rows
+
+
+def _read_discovered_range(
+    disc: "lancelite.LanceLiteTable", rows: list[int], base: int, lo: int, hi: int
+) -> pa.Table:
+    """Read discovered-frontier global positions [lo, hi) touching only
+    the level-0 partitions that overlap the range (ranks are absolute:
+    ``base + position``)."""
+    import pyarrow.compute as pc
+
+    if hi <= lo:
+        return _DISC_SCHEMA.empty_table()
+    cum = np.concatenate([[0], np.cumsum(rows)])
+    tabs = [
+        disc.partition_table(p)
+        for p in range(len(rows))
+        if rows[p] and cum[p] < hi and cum[p + 1] > lo
+    ]
+    tabs = [t for t in tabs if t.num_columns]  # skip empty-partition sentinels
+    if not tabs:
+        return _DISC_SCHEMA.empty_table()
+    t = pa.concat_tables(tabs)
+    r = t.column("seed_rank")
+    return t.filter(
+        pc.and_(pc.greater_equal(r, base + lo), pc.less(r, base + hi))
+    ).sort_by([("seed_rank", "ascending")])
+
+
 def run_discovery_crawl(
     page_seeds: pa.Table,
     robots: pa.Table,
@@ -207,35 +267,62 @@ def run_discovery_crawl(
     min_dim: int = synth.SMALL_DIM_GATE,
     shard_capacity: int = 1 << 20,
     force_scan_pages: bool = False,
+    urls_per_epoch: int | None = URLS_PER_EPOCH,
+    fail_after_part: int | None = None,
 ) -> CrawlRun:
     """Two-level crawl: pages (level 0) → discovered media (level 1).
+
+    Each level is processed in rank-contiguous **sub-epochs** of
+    ``urls_per_epoch`` URLs (``None`` = whole level at once), so driver
+    metadata is O(sub-epoch) — never O(level) — and sub-epoch is the
+    checkpoint/resume granularity (lancelite partition = global sub-epoch
+    index across levels; the order table's ``epoch`` column remains the
+    LEVEL, the oracle-checked surface).  Discovered media are committed
+    to a persistent ``discovered`` table per level-0 sub-epoch with their
+    deterministic ranks (``n_seeds + global (parent_rank, intra_pos)
+    position`` — sub-epochs are contiguous parent-rank ranges, so
+    concatenation order IS the global order); level 1 streams rank ranges
+    back from it, and a resume never re-runs level-0 extraction.
+
     ``force_scan_pages`` forces the streaming scan-store page join even
     when the page store would fit a broadcast (test hook for the scale
     path)."""
     import pyarrow.parquet as pq
 
     run = CrawlRun(out_dir)
+    run.discovered = lancelite.LanceLiteTable(f"{out_dir}/discovered")
     if store_size is None:
         store_size = sum(pq.read_metadata(p).num_rows for p in images_store_paths)
     delays, disallow = _robots_maps(robots)
     nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
-    start_level = run.resume_epoch()
+    n_seeds = page_seeds.num_rows
+    b0 = _bounds(n_seeds, urls_per_epoch)
+    n0 = len(b0)
+
+    start = run.resume_epoch()
     pool = FrontierPool(num_shards, capacity_per_shard=shard_capacity)
     try:
-        if start_level > 0:
-            blobs_tbl = run.state.partition_table(start_level - 1)
+        pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
+        if start > 0:
+            blobs_tbl = run.state.partition_table(start - 1)
             order = np.argsort(blobs_tbl.column("shard").to_numpy())
             pool.restore([blobs_tbl.column("blob")[int(i)].as_py() for i in order])
-        pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
 
-        def commit(level: int, admitted: pa.Table, counters: dict):
+        def commit(level: int, part: int, admitted: pa.Table, counters: dict):
+            """Commit one sub-epoch's (order, lineage, state) — state
+            LAST: it is the completion marker ``resume_epoch`` checks
+            (state ∧ images), and everything before it is idempotent and
+            deterministic, so a crash mid-commit replays cleanly."""
             if admitted.num_rows and "image_id" not in admitted.column_names:
                 admitted = admitted.append_column(
                     "image_id", pa.nulls(admitted.num_rows, pa.string())
                 )
             run.crawl_order.append_partition(
-                admitted if admitted.num_rows else pa.table({}), level
+                admitted if admitted.num_rows else pa.table({}), part
+            )
+            run.lineage.append_partition(
+                lineage_table(level, part, "discovery", counters), part
             )
             run.state.append_partition(
                 pa.table(
@@ -244,99 +331,85 @@ def run_discovery_crawl(
                         "blob": pa.array(pool.checkpoints(), pa.binary()),
                     }
                 ),
-                level,
+                part,
             )
-            run.lineage.append_partition(
-                lineage_table(level, level, "discovery", counters), level
-            )
+            if fail_after_part is not None and part >= fail_after_part:
+                raise RuntimeError(f"injected failure after sub-epoch {part}")
 
-        # ---- level 0: pages ------------------------------------------------
-        frontier = page_seeds
-        if start_level == 0:
-            ct0 = _canonicalize(frontier, disallow, nblocks)
-            admitted = _admit(pool, ct0)
+        # ---- level 0: pages, one sub-epoch at a time -----------------------
+        disc_counts = _discovered_rows(run.discovered, n0)
+        disc_base = sum(disc_counts[: min(start, n0)])
+        for p in range(min(start, n0), n0):
+            lo, hi = b0[p]
+            ct = _canonicalize(page_seeds.slice(lo, hi - lo), disallow, nblocks)
+            admitted = _admit(pool, ct)
             admitted = admitted.append_column(
                 "epoch", pa.array(np.zeros(admitted.num_rows, dtype=np.int64))
-            )
-            admitted = admitted.sort_by(
-                [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
-            )
+            ).sort_by([("fetch_time_ms", "ascending"), ("seed_rank", "ascending")])
             media, n_hit = _page_fetch_and_discover(
                 admitted, pages_store_paths, nblocks, force_scan_pages
             )
+            m = media.sort_by([("parent_rank", "ascending"), ("intra_pos", "ascending")])
+            disc = pa.table(
+                {
+                    "seed_url": m.column("src"),
+                    "page_url": m.column("page_url"),
+                    "seed_rank": pa.array(
+                        n_seeds + disc_base + np.arange(m.num_rows, dtype=np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ).cast(_DISC_SCHEMA)
+            # images sentinel + discovered BEFORE the state commit (the
+            # completion marker): both are idempotent on replay
+            run.images_out.append_partition(pa.table({}), p)
+            run.discovered.append_partition(disc, p)
             order_cols = [c for c in ORDER_COLS if c in admitted.column_names]
-            # images sentinel BEFORE the order/state commit: commit()'s
-            # state partition is the level-completion marker resume_epoch
-            # checks (state ∧ images) — writing state first would mark
-            # the level complete with its images partition absent
-            run.images_out.append_partition(pa.table({}), 0)
             commit(
                 0,
+                p,
                 admitted.select(order_cols),
                 {
-                    "seeds_in": frontier.num_rows,
+                    "seeds_in": hi - lo,
                     "admitted": admitted.num_rows,
                     "pages_fetched": n_hit,
                     "media_extracted": media.num_rows,
                 },
             )
-            # discovered frontier (deterministic rank assignment)
-            m = media.sort_by([("parent_rank", "ascending"), ("intra_pos", "ascending")])
-            base = int(frontier.num_rows)
-            discovered = pa.table(
-                {
-                    "seed_url": m.column("src"),
-                    "page_url": m.column("page_url"),
-                    "seed_rank": pa.array(
-                        base + np.arange(m.num_rows, dtype=np.int64), pa.int64()
-                    ),
-                }
-            )
-        elif start_level == 1:
-            # resuming at level 1: rebuild discovered frontier
-            # deterministically by re-running the (idempotent) level-0
-            # extraction against the committed level-0 crawl order.
-            # (start_level >= 2 = fully complete: skip the rebuild — an
-            # idempotent re-run must not pay the whole extraction.)
-            order0 = run.crawl_order.partition_table(0)
-            media, _ = _page_fetch_and_discover(
-                order0, pages_store_paths, nblocks, force_scan_pages
-            )
-            m = media.sort_by([("parent_rank", "ascending"), ("intra_pos", "ascending")])
-            base = int(page_seeds.num_rows)
-            discovered = pa.table(
-                {
-                    "seed_url": m.column("src"),
-                    "page_url": m.column("page_url"),
-                    "seed_rank": pa.array(
-                        base + np.arange(m.num_rows, dtype=np.int64), pa.int64()
-                    ),
-                }
-            )
+            disc_counts[p] = disc.num_rows
+            disc_base += disc.num_rows
 
         # ---- level 1: discovered media → image fetch + validate -----------
-        if start_level <= 1:
-            ct1 = _canonicalize(discovered, disallow, nblocks)
-            admitted1 = _admit(pool, ct1)
-            admitted1 = admitted1.append_column(
-                "epoch", pa.array(np.ones(admitted1.num_rows, dtype=np.int64))
+        n_disc = sum(disc_counts)
+        b1 = _bounds(n_disc, urls_per_epoch)
+        for q in range(max(0, start - n0), len(b1)):
+            part = n0 + q
+            lo, hi = b1[q]
+            frontier = _read_discovered_range(
+                run.discovered, disc_counts, n_seeds, lo, hi
             )
-            admitted1 = add_image_ids(admitted1, store_size)
-            admitted1 = admitted1.sort_by(
+            ct = _canonicalize(frontier, disallow, nblocks)
+            admitted = _admit(pool, ct)
+            admitted = admitted.append_column(
+                "epoch", pa.array(np.ones(admitted.num_rows, dtype=np.int64))
+            )
+            admitted = add_image_ids(admitted, store_size)
+            admitted = admitted.sort_by(
                 [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
-            ).select([c for c in ORDER_COLS] + ["image_id"])
-            fetched1 = fetch_from_store(images_store_paths, admitted1, num_blocks=nblocks)
-            validated = fetched1.map_batches(
+            ).select(list(ORDER_COLS) + ["image_id"])
+            fetched = fetch_from_store(images_store_paths, admitted, num_blocks=nblocks)
+            validated = fetched.map_batches(
                 DecodeValidate(min_dim=min_dim), batch_format="pyarrow", batch_size=256
             )
-            run.images_out.append_ray_partition(validated, 1)
-            flags = run.images_out.partition_table(1, columns=["valid", "big"])
+            run.images_out.append_ray_partition(validated, part)
+            flags = run.images_out.partition_table(part, columns=["valid", "big"])
             commit(
                 1,
-                admitted1,
+                part,
+                admitted,
                 {
-                    "seeds_in": discovered.num_rows,
-                    "admitted": admitted1.num_rows,
+                    "seeds_in": hi - lo,
+                    "admitted": admitted.num_rows,
                     "fetched": flags.num_rows,
                     "valid": int(pa.compute.sum(flags.column("valid")).as_py() or 0)
                     if flags.num_rows else 0,

@@ -82,6 +82,69 @@ def test_discovery_resume_after_level0(ray_session, fixtures, tmp_path):
     assert _key(full.order_table()) == _key(again.order_table())
 
 
+def test_discovery_subepochs_match_whole_level(ray_session, fixtures, tmp_path):
+    """Forcing many rank-contiguous sub-epochs per level (the bounded-
+    driver-metadata scale path) must emit the identical crawl order and
+    images as whole-level processing — admission order is global rank
+    order either way, and politeness counters persist across sub-epochs."""
+    seeds, robots, warc, pages_path, images = fixtures
+    whole = run_discovery_crawl(
+        seeds, robots, [pages_path], images.fragment_paths(), str(tmp_path / "w"),
+        num_shards=3, store_size=N_IMAGES, urls_per_epoch=None,
+    )
+    sub = run_discovery_crawl(
+        seeds, robots, [pages_path], images.fragment_paths(), str(tmp_path / "s"),
+        num_shards=3, store_size=N_IMAGES, urls_per_epoch=48,
+    )
+    assert _key(whole.order_table()) == _key(sub.order_table())
+    # many sub-epoch partitions, but the epoch column is still the level
+    assert len(sub.state.completed_partitions()) > 4
+    assert set(sub.order_table().column("epoch").to_pylist()) == {0, 1}
+    iw = whole.images_out.to_table().to_pandas().sort_values("seed_rank")
+    isub = sub.images_out.to_table().to_pandas().sort_values("seed_rank")
+    assert iw["image_id"].tolist() == isub["image_id"].tolist()
+    # lineage admitted totals agree (summed over sub-epochs)
+    lw = whole.lineage.to_table().to_pandas()
+    ls = sub.lineage.to_table().to_pandas()
+    for c in ("admitted", "pages_fetched", "media_extracted"):
+        assert (
+            lw[lw["counter"] == c]["value"].sum()
+            == ls[ls["counter"] == c]["value"].sum()
+        )
+
+
+def test_discovery_subepoch_kill_resume(ray_session, fixtures, tmp_path):
+    """Killing mid-level (after some sub-epochs committed) and resuming
+    must produce bit-identical order/images without re-running completed
+    sub-epochs (the discovered table persists level-0 extraction)."""
+    seeds, robots, warc, pages_path, images = fixtures
+    full = run_discovery_crawl(
+        seeds, robots, [pages_path], images.fragment_paths(), str(tmp_path / "f"),
+        num_shards=2, store_size=N_IMAGES, urls_per_epoch=48,
+    )
+    # crash after sub-epoch 2 (mid level 0), then resume
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_discovery_crawl(
+            seeds, robots, [pages_path], images.fragment_paths(), str(tmp_path / "k"),
+            num_shards=2, store_size=N_IMAGES, urls_per_epoch=48, fail_after_part=2,
+        )
+    resumed = run_discovery_crawl(
+        seeds, robots, [pages_path], images.fragment_paths(), str(tmp_path / "k"),
+        num_shards=2, store_size=N_IMAGES, urls_per_epoch=48,
+    )
+    assert resumed.resume_epoch() > 3  # partitions 0-2 were NOT recomputed
+    assert _key(full.order_table()) == _key(resumed.order_table())
+    fi = full.images_out.to_table().to_pandas().sort_values("seed_rank")
+    ri = resumed.images_out.to_table().to_pandas().sort_values("seed_rank")
+    assert fi["image_id"].tolist() == ri["image_id"].tolist()
+    # a second no-op resume changes nothing
+    again = run_discovery_crawl(
+        seeds, robots, [pages_path], images.fragment_paths(), str(tmp_path / "f"),
+        num_shards=2, store_size=N_IMAGES, urls_per_epoch=48,
+    )
+    assert _key(full.order_table()) == _key(again.order_table())
+
+
 def test_discovery_scan_store_mode_parity(ray_session, fixtures, tmp_path):
     """force_scan_pages streams the page store (scan-store join on
     canonical url) and must reproduce the broadcast mode's tables."""
