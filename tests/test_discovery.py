@@ -145,6 +145,44 @@ def test_discovery_subepoch_kill_resume(ray_session, fixtures, tmp_path):
     assert _key(full.order_table()) == _key(again.order_table())
 
 
+def test_discovery_no_media_pages(ray_session, tmp_path):
+    """Pages with zero extractable media: level 1 is a single empty
+    sub-epoch (committed, resumable) and the order table has level 0
+    only — the empty-frontier path through canonicalize/admit/fetch."""
+    urls = [f"http://edge{i}.example.com/page{i}.html" for i in range(20)]
+    pages = pa.table(
+        {
+            "record_url": pa.array(urls),
+            "mime": pa.array(["application/http; msgtype=response"] * 20),
+            "payload": pa.array(
+                [b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello"] * 20,
+                pa.binary(),
+            ),
+        }
+    )
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    seeds = pa.table(
+        {
+            "seed_url": pa.array(urls),
+            "page_url": pa.array([""] * 20),
+            "seed_rank": pa.array(np.arange(20, dtype=np.int64)),
+        }
+    )
+    images = lancelite.LanceLiteTable(str(tmp_path / "img"))
+    images.write(synth.images_table(50))
+    run = run_discovery_crawl(
+        seeds, synth.robots_table(5), [pages_path], images.fragment_paths(),
+        str(tmp_path / "run"), num_shards=2, store_size=50, urls_per_epoch=8,
+    )
+    o = run.order_table()
+    assert set(o.column("epoch").to_pylist()) == {0}
+    assert o.num_rows == 20
+    # 3 level-0 sub-epochs + 1 (empty) level-1 sub-epoch, all committed
+    assert sorted(run.state.completed_partitions()) == [0, 1, 2, 3]
+    assert run.resume_epoch() == 4
+
+
 def test_discovery_scan_store_mode_parity(ray_session, fixtures, tmp_path):
     """force_scan_pages streams the page store (scan-store join on
     canonical url) and must reproduce the broadcast mode's tables."""
