@@ -677,6 +677,85 @@ def _ensure_ivf_fixture() -> str:
     return _IVF_FIXTURE
 
 
+_LSH_FIXTURE = "/tmp/ccwarc_lsh_planes.parquet"
+_LSH_BITS = 8
+
+
+def _ensure_lsh_fixture() -> str:
+    """Random-hyperplane matrix (bit_id, vec) for the LSH-ANN path —
+    pure function of the seed + the (fixed) embedding dim, written once
+    so the static oracle SQL can recompute every vector's sign sketch
+    independently.  Race-safe tmp+rename like the IVF fixture."""
+    if not os.path.exists(_LSH_FIXTURE):
+        emb = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
+                            columns=["embedding"])
+        dim = len(emb.column("embedding")[0])
+        planes = ann.lsh_planes(dim, bits=_LSH_BITS, seed=11)  # [dim, bits]
+        t = pa.table({
+            "bit_id": pa.array(np.arange(_LSH_BITS, dtype=np.int64)),
+            "vec": pa.array([planes[:, b].tolist() for b in range(_LSH_BITS)],
+                            pa.list_(pa.float64())),
+        })
+        tmp = f"{_LSH_FIXTURE}.{os.getpid()}.tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _LSH_FIXTURE)
+    return _LSH_FIXTURE
+
+
+def q_lsh_ann(sf_dir: str) -> pd.DataFrame:
+    """Multiprobe hyperplane-LSH ANN (Charikar 2002 sketch, Lv 2007
+    multiprobe): corpus sign-sketched against the fixture hyperplanes,
+    each query scores only vectors within 1 bit flip of its own bucket.
+    The oracle recomputes sketching, probing, scoring and ranking in SQL
+    from the same plane fixture."""
+    planes_t = pq.read_table(_ensure_lsh_fixture())
+    planes = np.asarray(planes_t.column("vec").to_pylist(), dtype=np.float64).T
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = ann.lsh_assign(ds, planes)
+    emb_small = _pq(sf_dir, "embeddings").filter(
+        pa.compute.less(_pq(sf_dir, "embeddings").column("vec_id"), 3)
+    )
+    queries = {
+        int(i): v
+        for i, v in zip(emb_small.column("vec_id").to_pylist(), emb_small.column("embedding").to_pylist())
+    }
+    out = ann.lsh_topk(assigned, planes, queries, k=5, max_hamming=1)
+    out["cosine_r"] = _r5(out["cosine"])
+    return out[["query_id", "vec_id", "cosine_r", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+SQL_LSH_ANN = f"""
+WITH planes AS (SELECT bit_id, vec FROM read_parquet('{_LSH_FIXTURE}')),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+sk AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_inner_product(p.vec, e.v) > 0
+                  THEN (1::BIGINT << p.bit_id) ELSE 0 END)::BIGINT AS bucket
+  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, s.bucket AS qbucket
+  FROM emb e JOIN sk s ON s.vec_id = e.vec_id WHERE e.vec_id < 3
+),
+cand AS (
+  SELECT q.query_id, s.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+  FROM q
+  JOIN sk s ON bit_count(xor(s.bucket, q.qbucket)) <= 1
+  JOIN emb e ON e.vec_id = s.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, floor(cos * 100000 + 0.5) / 100000 AS cosine_r, rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_discovery_crawl(sf_dir: str) -> pd.DataFrame:
     """Two-level discovery crawl (pages → extracted media → image fetch)
     over the fixed WARC fixture as the page store, DuckDB-checked on the
@@ -1070,7 +1149,12 @@ WHERE rn = 1 ORDER BY src
 # shingle_hashes semantics).  LSH recall at the 0.8 threshold is
 # 1-(1-j^4)^16 (>1-2e-4 at j=0.8); deterministic on this corpus — the
 # harness verifies equality at every sf before shipping.
-_SQL_MINHASH_PAIRS_CTE = """
+def _sql_jaccard_cte(threshold: float) -> str:
+    """Brute-force word-3-gram shingle Jaccard over ALL doc pairs
+    (``vpairs`` = every pair with j >= threshold; empty-token docs pair
+    at j = 1.0, mirroring _jaccard_rows).  Shared spec for the MinHash
+    (recall check at 0.8) and the exact prefix-filter join (0.7)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
 ),
@@ -1095,13 +1179,16 @@ jac AS (
   JOIN sizes sb ON sb.doc_id = id_b
 ),
 vpairs AS (
-  SELECT id_a, id_b, j FROM jac WHERE j >= 0.8
+  SELECT id_a, id_b, j FROM jac WHERE j >= {threshold}
   UNION ALL
   SELECT e1.doc_id, e2.doc_id, 1.0
   FROM (SELECT doc_id FROM toks WHERE len(t) = 0) e1
   JOIN (SELECT doc_id FROM toks WHERE len(t) = 0) e2 ON e1.doc_id < e2.doc_id
 )
 """
+
+
+_SQL_MINHASH_PAIRS_CTE = _sql_jaccard_cte(0.8)
 
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -1121,6 +1208,29 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_MINHASH_PAIRS = _SQL_MINHASH_PAIRS_CTE + """
+SELECT id_a, id_b, floor(j * 100000 + 0.5) / 100000 AS jaccard_r FROM vpairs ORDER BY id_a, id_b
+"""
+
+
+def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram Jaccard similarity self-join at t=0.7: prefix-filter
+    candidate generation (SSJoin/PPJoin lemma — provably no false
+    negatives, unlike the probabilistic MinHash banding) + exact shingle
+    Jaccard verify.  The brute-force SQL oracle is therefore the exact
+    spec of this query, not just a recall check."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    good = dedup.jaccard_join(docs, threshold=0.7).to_pandas()
+    if good.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard_r": pd.Series(dtype="float64")})
+    good["jaccard_r"] = _r5(good["jaccard"])
+    return good[["id_a", "id_b", "jaccard_r"]].sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
+
+
+SQL_JACCARD_PAIRS = _sql_jaccard_cte(0.7) + """
 SELECT id_a, id_b, floor(j * 100000 + 0.5) / 100000 AS jaccard_r FROM vpairs ORDER BY id_a, id_b
 """
 
@@ -1757,6 +1867,7 @@ QUERIES = {
     "media_src_index": q_media_src_index,
     "media_extract": q_media_extract,
     "minhash_pairs": q_minhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
     "simhash_pairs": q_simhash_pairs,
     "phash_neardup": q_phash_neardup,
@@ -1765,10 +1876,11 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprint": q_fingerprint,
     "ngram_scores": q_ngram_scores,
-    # rows-only (non-SQL-expressible: full pipelines / kmeans)
+    # full pipelines / fixture-trained indexes (SQL-checked since round 2)
     "crawl_flagship": q_crawl_flagship,
     "discovery_crawl": q_discovery_crawl,
     "ivf_ann": q_ivf_ann,
+    "lsh_ann": q_lsh_ann,
     "media_classify": q_media_classify,
 }
 
@@ -1800,6 +1912,7 @@ ORACLES = {
     "media_src_index": SQL_MEDIA_SRC_INDEX,
     "media_extract": SQL_MEDIA_EXTRACT,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "phash_neardup": SQL_PHASH_NEARDUP,
@@ -1809,6 +1922,7 @@ ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "ngram_scores": SQL_NGRAM_SCORES,
     "ivf_ann": SQL_IVF_ANN,
+    "lsh_ann": SQL_LSH_ANN,
     "crawl_flagship": SQL_CRAWL_FLAGSHIP,
     "discovery_crawl": SQL_DISCOVERY_CRAWL,
     "media_classify": SQL_MEDIA_CLASSIFY,
@@ -1822,6 +1936,7 @@ def oracles_impl() -> dict[str, str]:
     _ensure_warc_fixture()
     _ensure_phash_fixture()
     _ensure_ivf_fixture()
+    _ensure_lsh_fixture()
     _ensure_frontier_fixture()
     return dict(ORACLES)
 

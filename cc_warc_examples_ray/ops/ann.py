@@ -13,6 +13,11 @@ search over a ``list<float>`` column:
   (trained on a sample), corpus bucketed by nearest centroid
   (groupby shuffle once, reusable), queries probe the ``nprobe``
   nearest lists only.
+- :func:`lsh_topk` — random-hyperplane LSH path (Charikar 2002): the
+  corpus is sign-sketched against ``bits`` shared hyperplanes (one
+  stateless pass, no training), and a query only scores vectors whose
+  bucket is within ``max_hamming`` bit flips of its own — multiprobe
+  LSH (Lv et al. 2007).
 """
 
 from __future__ import annotations
@@ -234,6 +239,149 @@ class IVFBatchScorer(BatchScorer):
                 ),
             }
         )
+
+
+def lsh_planes(dim: int, bits: int = 16, seed: int = 11) -> np.ndarray:
+    """Deterministic [dim, bits] random-hyperplane matrix — shared by the
+    dedup sketch (:class:`..dedup.HyperplaneSketch`), the ANN index and
+    the DuckDB oracle fixture so all three bucket identically."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, bits))
+
+
+def _sign_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit sketch: bucket b has bit i set iff mat[b]·planes[:,i] > 0."""
+    signs = (mat @ planes) > 0
+    keys = np.zeros(len(mat), dtype=np.uint64)
+    for b in range(signs.shape[1]):
+        keys |= signs[:, b].astype(np.uint64) << np.uint64(b)
+    return keys.view(np.int64)
+
+
+def lsh_assign(ds: rd.Dataset, planes: np.ndarray, id_col: str = "vec_id",
+               emb_col: str = "embedding") -> rd.Dataset:
+    """Append ``lsh_bucket``: the 'index build' is a single stateless
+    pass (no training, no shuffle) — the bucket is a partition key the
+    query path row-prunes on.  RAW embeddings go in (signs must match
+    the oracle's inner products on the stored doubles)."""
+    ref = ray.put(planes)
+
+    class Assign:
+        def __init__(self):
+            self.planes = ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(pc.is_valid(tbl.column(emb_col)))  # null emb: unindexable
+            if tbl.num_rows == 0:
+                return tbl.append_column("lsh_bucket", pa.array([], pa.int64()))
+            mat = _as_matrix(tbl.column(emb_col))
+            return tbl.append_column("lsh_bucket",
+                                     pa.array(_sign_buckets(mat, self.planes)))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _probe_buckets(bucket: int, bits: int, max_hamming: int) -> list[int]:
+    """All bucket codes within ``max_hamming`` bit flips (multiprobe set)."""
+    import itertools
+
+    out = [bucket]
+    for h in range(1, max_hamming + 1):
+        for flips in itertools.combinations(range(bits), h):
+            m = 0
+            for f in flips:
+                m |= 1 << f
+            out.append(bucket ^ m)
+    return out
+
+
+class LSHBatchScorer(BatchScorer):
+    """Per-batch scorer honoring PER-QUERY probe-bucket sets: candidates
+    outside a query's multiprobe set are masked to -inf before the local
+    top-k (the hyperplane analog of IVFBatchScorer)."""
+
+    def __init__(self, queries_ref, allowed_ref, k: int, id_col: str, emb_col: str):
+        super().__init__(queries_ref, k, id_col, emb_col)
+        # list of sorted int64 arrays, one per query (qids order)
+        self.allowed = ray.get(allowed_ref)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.filter(pc.is_valid(tbl.column(self.emb_col)))
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array(self.qids[:0]),
+                 self.id_col: pa.array([], tbl.schema.field(self.id_col).type),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        buckets = tbl.column("lsh_bucket").to_numpy(zero_copy_only=False)
+        mat = _unit(_as_matrix(tbl.column(self.emb_col)))
+        sim = self.qmat @ mat.T  # [nq, batch]
+        for qi, al in enumerate(self.allowed):
+            sim[qi, ~np.isin(buckets, al)] = -np.inf
+        k = min(self.k, sim.shape[1])
+        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sim.shape[0]):
+            sel = part[qi]
+            sel = sel[sim[qi, sel] > -np.inf]
+            out_q.append(np.full(len(sel), self.qids[qi]))
+            out_v.append(ids[sel])
+            out_s.append(sim[qi, sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else []),
+                self.id_col: pa.array(np.concatenate(out_v) if out_v else []),
+                "cosine": pa.array(
+                    np.concatenate(out_s) if out_s else [], pa.float64()
+                ),
+            }
+        )
+
+
+def lsh_topk(assigned: rd.Dataset, planes: np.ndarray, queries: dict, k: int = 10,
+             max_hamming: int = 1, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> pd.DataFrame:
+    """Multiprobe hyperplane-LSH top-k: each query scores ONLY vectors
+    whose ``lsh_bucket`` is within ``max_hamming`` flips of its own
+    sketch.  The corpus is first row-pruned to the union of all probe
+    buckets (at 100 TB this is the partition-pruning read), then batches
+    score with the per-query bucket mask — approximate by construction;
+    recall grows with ``max_hamming`` and shrinks with ``bits``."""
+    bits = planes.shape[1]
+    qids = sorted(queries)
+    qmat = np.asarray([queries[i] for i in qids], dtype=np.float64)
+    qbuckets = _sign_buckets(qmat, planes)
+    allowed = [np.sort(np.array(_probe_buckets(int(b), bits, max_hamming),
+                                dtype=np.int64))
+               for b in qbuckets]
+    union = sorted({int(x) for al in allowed for x in al})
+    sub = assigned.filter(expr=f"lsh_bucket in {union}")
+    partials = sub.map_batches(
+        LSHBatchScorer,
+        fn_constructor_args=(ray.put(queries), ray.put(allowed), k),
+        fn_constructor_kwargs=dict(id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             id_col: pd.Series(dtype="object"),
+                             "cosine": pd.Series(dtype="float64"),
+                             "rank": pd.Series(dtype="int64")})
+    out = (
+        partials.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
 
 
 def ivf_topk(assigned: rd.Dataset, centroids: np.ndarray, queries: dict, k: int = 10,

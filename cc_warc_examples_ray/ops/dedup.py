@@ -231,6 +231,89 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc
     return distinct_pairs(cand)
 
 
+# all-shingles-empty docs share this sentinel token so they can still
+# pair (their exact Jaccard is defined as 1.0 by _jaccard_rows, matching
+# the minhash oracle's empty-doc clause)
+_EMPTY_SHINGLE_SENTINEL = np.uint64(0xE3B0C44298FC1C14)
+
+
+def jaccard_prefix_pairs(ds: rd.Dataset, text_col: str = "text",
+                         id_col: str = "doc_id", threshold: float = 0.7,
+                         shingle_n: int = 3) -> rd.Dataset:
+    """EXACT candidate generation for an n-gram Jaccard similarity join
+    via prefix filtering (Chaudhuri et al. 2006 SSJoin; Xiao et al. 2008
+    PPJoin) — the deterministic sibling of :func:`minhash_lsh_pairs`
+    (LSH recall is probabilistic; this path provably has no false
+    negatives).
+
+    Lemma: J(A,B) >= t implies |A∩B| >= t·|A∪B| >= ceil(t·max(|A|,|B|)),
+    and two sets with overlap >= α must collide within each side's first
+    ``|S| - α + 1`` elements under ANY common total order.  Using the
+    per-set bound α_S = ceil(t·|S|) <= ceil(t·max) only lengthens the
+    prefix, so correctness holds.  Only prefix shingles enter the
+    inverted index — at t=0.8 ~20% of each doc's shingles.
+
+    The total order is ascending xxh64 shingle hash: hash order is
+    uniform-random, so prefixes behave like random tokens.  (The classic
+    rarest-first frequency order is a candidate-count refinement that
+    would add a global frequency pass + broadcast rank map; at 100 TB
+    pair explosion is governed by the verify threshold either way.)
+    Shuffle moves (shingle_hash, id) rows only."""
+    import math
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pylist()
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        hs, out_idx = [], []
+        for i, t in enumerate(texts):
+            sh = shingle_hashes(t or "", shingle_n)
+            if len(sh) == 0:
+                hs.append(np.array([_EMPTY_SHINGLE_SENTINEL], dtype=np.uint64))
+                out_idx.append(np.array([i]))
+                continue
+            # -1e-9: float fuzz must never push an exact t·n UP a step
+            # (a too-large α shortens the prefix and loses pairs)
+            alpha = int(math.ceil(threshold * len(sh) - 1e-9))
+            plen = len(sh) - alpha + 1
+            hs.append(sh[:plen])  # shingle_hashes is unique-sorted
+            out_idx.append(np.full(plen, i))
+        if not hs:
+            return pa.table({
+                "shingle": pa.array([], pa.int64()),
+                id_col: pa.array([], tbl.schema.field(id_col).type),
+            })
+        flat = np.concatenate(hs).view(np.int64)
+        take = np.concatenate(out_idx)
+        return pa.table({
+            "shingle": pa.array(flat),
+            id_col: pa.array(ids[take]),
+        })
+
+    from .relational import _arrow_types
+
+    idt = _arrow_types(ds.schema()).get(id_col, pa.string())
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    cand = grouped_bucket_pairs(
+        exploded, ["shingle"], _pairs_from_buckets(id_col),
+        out_schema=pa.schema([("id_a", idt), ("id_b", idt)]),
+    )
+    # a pair can share several prefix shingles
+    return distinct_pairs(cand)
+
+
+def jaccard_join(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                 threshold: float = 0.7, shingle_n: int = 3) -> rd.Dataset:
+    """Exact n-gram Jaccard similarity self-join: prefix-filtered
+    candidates → exact shingle-Jaccard verify.  Returns every pair with
+    J >= threshold (id_a < id_b, jaccard) — exhaustive, unlike the
+    MinHash path whose recall is probabilistic."""
+    pairs = jaccard_prefix_pairs(ds, text_col=text_col, id_col=id_col,
+                                 threshold=threshold, shingle_n=shingle_n)
+    return ngram_jaccard_verify(pairs, ds, threshold=threshold,
+                                shingle_n=shingle_n, text_col=text_col,
+                                id_col=id_col)
+
+
 def _jaccard_rows(tbl: pa.Table, shingle_n: int) -> pa.Table:
     """Exact shingle Jaccard per (text_a, text_b) row — block-local."""
     a = tbl.column("text_a").to_pylist()
@@ -678,22 +761,20 @@ class HyperplaneSketch:
 
     def __init__(self, dim: int, bits: int = 16, id_col: str = "vec_id",
                  emb_col: str = "embedding", seed: int = 11):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, bits))
+        from .ann import lsh_planes
+
+        self.planes = lsh_planes(dim, bits, seed)
         self.id_col, self.emb_col = id_col, emb_col
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from .ann import _as_matrix
+        from .ann import _as_matrix, _sign_buckets
 
         # null embeddings have nothing to compare — drop, don't crash
         tbl = tbl.filter(pc.is_valid(tbl.column(self.emb_col)))
         emb = _as_matrix(tbl.column(self.emb_col))
-        signs = (emb @ self.planes) > 0
-        keys = np.zeros(len(emb), dtype=np.uint64)
-        for b in range(signs.shape[1]):
-            keys |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        keys = _sign_buckets(emb, self.planes)
         norm = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = (emb / np.where(norm == 0, 1.0, norm)).astype(np.float32)
         # vectorized list build from the flat values buffer (no per-row
@@ -704,7 +785,7 @@ class HyperplaneSketch:
         return pa.table(
             {
                 self.id_col: tbl.column(self.id_col),
-                "bucket": pa.array(keys.view(np.int64)),
+                "bucket": pa.array(keys),
                 "unit": unit_arr,
             }
         )

@@ -197,6 +197,47 @@ def test_jaccard_verify_join_path_matches_broadcast(ray_session, docs_ds):
         assert len(out) == 0
 
 
+def test_jaccard_join_exhaustive(ray_session):
+    """The prefix-filter join (SSJoin lemma) must equal brute-force exact
+    Jaccard over ALL pairs — no false negatives at any threshold, on a
+    corpus with planted near-dups, empty docs, and sub-shingle docs."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(40):
+        n = int(rng.integers(0, 12))
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    # planted near-dups: copies and one-token edits of earlier docs
+    texts += [texts[0], texts[1] + " extra", "", "", "solo", "solo two"]
+    ids = list(range(len(texts)))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()), "text": texts,
+    }))
+
+    def jac(a: str, b: str) -> float:
+        sa, sb = dedup.shingle_hashes(a), dedup.shingle_hashes(b)
+        if len(sa) == 0 and len(sb) == 0:
+            return 1.0
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        return inter / union if union else 0.0
+
+    for t in (0.5, 0.7, 0.99):
+        want = sorted(
+            (a, b, jac(texts[a], texts[b]))
+            for a, b in itertools.combinations(ids, 2)
+            if jac(texts[a], texts[b]) >= t
+        )
+        got = dedup.jaccard_join(docs, threshold=t).to_pandas()
+        got = sorted(zip(got["id_a"], got["id_b"], got["jaccard"]))
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want], t
+        assert np.allclose([j for *_, j in got], [j for *_, j in want])
+
+
 def test_simhash_pairs(ray_session, docs_ds):
     out = dedup.simhash_pairs(docs_ds, max_hamming=3).to_pandas()
     pairs = set(zip(out["id_a"], out["id_b"]))
@@ -402,3 +443,43 @@ def test_ivf_per_query_probe_semantics(ray_session):
     # the query vector itself lives in its own nearest list → rank 1, cos 1
     top = out[out["rank"] == 1].set_index("query_id")["vec_id"]
     assert top[0] == 0 and top[1] == 1
+
+
+def test_lsh_topk_probe_semantics(ray_session):
+    """Every LSH-ANN candidate must sit within max_hamming bit flips of
+    its query's own sketch, and the query vector itself (hamming 0 by
+    construction) must come back at rank 1 with cosine 1."""
+    import ray.data as rd
+
+    from cc_warc_examples_ray.ops import ann
+
+    rng = np.random.default_rng(17)
+    mat = rng.standard_normal((300, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    }))
+    planes = ann.lsh_planes(16, bits=6, seed=11)
+    assigned = ann.lsh_assign(ds, planes).materialize()
+    queries = {0: list(map(float, mat[0])), 1: list(map(float, mat[1]))}
+    out = ann.lsh_topk(assigned, planes, queries, k=5, max_hamming=1)
+
+    adf = assigned.to_pandas()
+    bucket_of = dict(zip(adf["vec_id"], adf["lsh_bucket"]))
+    qb = ann._sign_buckets(mat[[0, 1]], planes)
+    for q, vid in zip(out["query_id"], out["vec_id"]):
+        qi = 0 if q == 0 else 1
+        ham = bin(int(bucket_of[vid]) ^ int(qb[qi])).count("1")
+        assert ham <= 1, (q, vid, ham)
+    top = out[out["rank"] == 1].set_index("query_id")
+    assert top.loc[0, "vec_id"] == 0 and top.loc[1, "vec_id"] == 1
+    assert np.allclose(top["cosine"], 1.0)
+
+    # widening the probe radius only ADDS candidates (monotone recall)
+    wide = ann.lsh_topk(assigned, planes, queries, k=5, max_hamming=2)
+    for q in (0, 1):
+        narrow_set = set(out[out["query_id"] == q]["cosine"])
+        wide_top = wide[wide["query_id"] == q]["cosine"]
+        # top-5 cosines can only improve (supersets rank at least as high)
+        assert wide_top.iloc[0] >= max(narrow_set)
