@@ -34,7 +34,9 @@ from . import lancelite, synth
 from .ops import ann, dedup, relational, text
 from .pipelines import classics, crawl as crawl_pipeline
 
-_WS_RE = re.compile(r"\s+", re.ASCII)  # matches RE2's \s class in DuckDB
+# EXACTLY RE2's \s class ([\t\n\f\r ]) as DuckDB regexes see it — python
+# \s (even with re.ASCII) also matches \v, which RE2 does not
+_WS_RE = re.compile(r"[ \t\n\f\r]+")
 
 
 def _strip_meta(tbl: pa.Table) -> pa.Table:
@@ -55,6 +57,18 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
 def _pq(sf_dir: str, table: str, columns=None) -> pa.Table:
     """Driver-side read for small dimension tables only."""
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _query_vecs(sf_dir: str, n: int = 3) -> dict:
+    """ANN query vectors (vec_id < n) — one pruned driver-side read,
+    shared by the brute-force / IVF / LSH ANN queries."""
+    t = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    t = t.filter(pa.compute.less(t.column("vec_id"), n))
+    return {
+        int(i): v
+        for i, v in zip(t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist())
+    }
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -377,26 +391,21 @@ def q_doc_token_counts(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_ws_tokens"]].sort_values("doc_id").reset_index(drop=True)
 
 
+# list_filter drops the empty tokens that leading/trailing whitespace
+# produces (trim() only strips SPACES — a doc starting with \t or \n
+# would otherwise count a phantom token)
 SQL_DOC_TOKEN_COUNTS = """
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens
 FROM documents ORDER BY doc_id
 """
 
 
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     """Similarity search: exact cosine top-5 for query vectors vec_id<3."""
-    emb_small = _pq(sf_dir, "embeddings").filter(
-        pa.compute.less(_pq(sf_dir, "embeddings").column("vec_id"), 3)
-    )
-    queries = {
-        int(i): v
-        for i, v in zip(emb_small.column("vec_id").to_pylist(), emb_small.column("embedding").to_pylist())
-    }
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = ann.brute_force_topk(ds, queries, k=5)
-    out["cosine_r"] = out["cosine"].round(5)
+    out = ann.brute_force_topk(ds, _query_vecs(sf_dir), k=5)
+    out["cosine_r"] = _r5(out["cosine"])
     return out[["query_id", "vec_id", "cosine_r", "rank"]].sort_values(
         ["query_id", "rank"]
     ).reset_index(drop=True)
@@ -410,7 +419,7 @@ s AS (SELECT q.query_id, e.vec_id,
 r AS (SELECT query_id, vec_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
       FROM s)
-SELECT query_id, vec_id, round(cos, 5) AS cosine_r, rank
+SELECT query_id, vec_id, floor(cos * 100000 + 0.5) / 100000 AS cosine_r, rank
 FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
@@ -419,13 +428,13 @@ def q_embedding_pairs(sf_dir: str) -> pd.DataFrame:
     """Embedding near-dup pairs: exact cosine >= 0.4 (brute-force verify path)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = dedup.brute_force_pairs(ds, threshold=0.4)
-    out["cosine_r"] = out["cosine"].round(5)
+    out["cosine_r"] = _r5(out["cosine"])
     return out[["id_a", "id_b", "cosine_r"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 SQL_EMBEDDING_PAIRS = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cosine_r
+       floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 100000 + 0.5) / 100000 AS cosine_r
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 ORDER BY id_a, id_b
@@ -712,14 +721,7 @@ def q_lsh_ann(sf_dir: str) -> pd.DataFrame:
     planes = np.asarray(planes_t.column("vec").to_pylist(), dtype=np.float64).T
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assigned = ann.lsh_assign(ds, planes)
-    emb_small = _pq(sf_dir, "embeddings").filter(
-        pa.compute.less(_pq(sf_dir, "embeddings").column("vec_id"), 3)
-    )
-    queries = {
-        int(i): v
-        for i, v in zip(emb_small.column("vec_id").to_pylist(), emb_small.column("embedding").to_pylist())
-    }
-    out = ann.lsh_topk(assigned, planes, queries, k=5, max_hamming=1)
+    out = ann.lsh_topk(assigned, planes, _query_vecs(sf_dir), k=5, max_hamming=1)
     out["cosine_r"] = _r5(out["cosine"])
     return out[["query_id", "vec_id", "cosine_r", "rank"]].sort_values(
         ["query_id", "rank"]
@@ -1777,14 +1779,7 @@ def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
     cent = np.asarray(cent_t.column("vec").to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assigned = ann.ivf_assign(ds, cent)
-    emb_small = _pq(sf_dir, "embeddings").filter(
-        pa.compute.less(_pq(sf_dir, "embeddings").column("vec_id"), 3)
-    )
-    queries = {
-        int(i): v
-        for i, v in zip(emb_small.column("vec_id").to_pylist(), emb_small.column("embedding").to_pylist())
-    }
-    out = ann.ivf_topk(assigned, cent, queries, k=5, nprobe=4)
+    out = ann.ivf_topk(assigned, cent, _query_vecs(sf_dir), k=5, nprobe=4)
     out["cosine_r"] = _r5(out["cosine"])
     return out[["query_id", "vec_id", "cosine_r", "rank"]].sort_values(
         ["query_id", "rank"]

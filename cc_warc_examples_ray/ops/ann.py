@@ -59,6 +59,26 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.where(n == 0, 1.0, n)
 
 
+def _local_topk(sim_row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Batch-local top-k indices under the GLOBAL tie order (cosine DESC,
+    id ASC).  argpartition on cosine alone would drop equal-cosine
+    candidates arbitrarily — with > k ties at the k-th score inside one
+    batch (exact-duplicate embeddings), the survivor set could disagree
+    with the final merge's / SQL oracle's (cos DESC, id) row_number."""
+    k = min(k, len(sim_row))
+    if k == len(sim_row):
+        order = np.lexsort((ids, -sim_row))
+    else:
+        # O(n) argpartition finds the provisional k-th score; every row
+        # >= that score (i.e. every row that could belong in the top-k
+        # under any tie order) is then ranked with the full tie-break
+        part = np.argpartition(-sim_row, k - 1)[:k]
+        kth = sim_row[part].min()
+        cand = np.flatnonzero(sim_row >= kth)
+        order = cand[np.lexsort((ids[cand], -sim_row[cand]))]
+    return order[:k]
+
+
 class BatchScorer:
     """map_batches callable: per-batch exact cosine vs the broadcast query
     matrix, emitting each batch's local top-k (query_id, vec_id, cosine)
@@ -84,12 +104,10 @@ class BatchScorer:
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
         mat = _unit(_as_matrix(tbl.column(self.emb_col)))
         sim = self.qmat @ mat.T  # [nq, batch]
-        k = min(self.k, sim.shape[1])
-        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
         out_q, out_v, out_s = [], [], []
         for qi in range(sim.shape[0]):
-            sel = part[qi]
-            out_q.append(np.full(k, self.qids[qi]))
+            sel = _local_topk(sim[qi], ids, self.k)
+            out_q.append(np.full(len(sel), self.qids[qi]))
             out_v.append(ids[sel])
             out_s.append(sim[qi, sel])
         return pa.table(
@@ -220,13 +238,10 @@ class IVFBatchScorer(BatchScorer):
         sim = self.qmat @ mat.T  # [nq, batch]
         allowed = self.mask[:, lists]  # [nq, batch]
         sim = np.where(allowed, sim, -np.inf)
-        k = min(self.k, sim.shape[1])
-        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
         out_q, out_v, out_s = [], [], []
         for qi in range(sim.shape[0]):
-            sel = part[qi]
-            good = sim[qi, sel] > -np.inf
-            sel = sel[good]
+            sel = _local_topk(sim[qi], ids, self.k)
+            sel = sel[sim[qi, sel] > -np.inf]
             out_q.append(np.full(len(sel), self.qids[qi]))
             out_v.append(ids[sel])
             out_s.append(sim[qi, sel])
@@ -323,11 +338,9 @@ class LSHBatchScorer(BatchScorer):
         sim = self.qmat @ mat.T  # [nq, batch]
         for qi, al in enumerate(self.allowed):
             sim[qi, ~np.isin(buckets, al)] = -np.inf
-        k = min(self.k, sim.shape[1])
-        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
         out_q, out_v, out_s = [], [], []
         for qi in range(sim.shape[0]):
-            sel = part[qi]
+            sel = _local_topk(sim[qi], ids, self.k)
             sel = sel[sim[qi, sel] > -np.inf]
             out_q.append(np.full(len(sel), self.qids[qi]))
             out_v.append(ids[sel])

@@ -187,35 +187,43 @@ def threshold_filter(ds: rd.Dataset, keys: Sequence[str], min_count: int, alias:
     return counts.filter(expr=f"{alias} >= {min_count}")
 
 
+def _member_keys(keys_ref) -> pa.Array:
+    """Broadcast key set → sorted Arrow array, deserialized once per
+    worker process (the dedup._bcast_cached pattern — a task pool with a
+    per-process cache, never an actor pool: these joins are single-scan
+    stages and an actor pool's ~1-2s spin-up per Dataset execution would
+    dominate their wall time)."""
+    from .dedup import _bcast_cached
+
+    key = ("member_keys", keys_ref)
+    from .dedup import _BCAST_CACHE
+
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = pa.array(sorted(set(_bcast_cached(keys_ref))))
+    return _BCAST_CACHE[key]
+
+
 def broadcast_semi_join(ds: rd.Dataset, col: str, keys_ref) -> rd.Dataset:
     """Keep rows whose ``col`` ∈ broadcast key set (J1/J2).  ``keys_ref``
     is a ``ray.put`` handle to a python set / list — shipped once per
-    actor, not per batch."""
+    worker process, not per batch."""
 
-    class Member:
-        def __init__(self):
-            vals = ray.get(keys_ref)
-            self.keys = pa.array(sorted(set(vals)))
+    def member(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.is_in(tbl.column(col), value_set=_member_keys(keys_ref)))
 
-        def __call__(self, tbl: pa.Table) -> pa.Table:
-            return tbl.filter(pc.is_in(tbl.column(col), value_set=self.keys))
-
-    return ds.map_batches(Member, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(member, batch_format="pyarrow")
 
 
 def broadcast_anti_join(ds: rd.Dataset, col: str, keys_ref) -> rd.Dataset:
     """Drop rows whose ``col`` ∈ broadcast key set (J3 — the
     `dao.exists` downloaded-check, `ProcessingService.java:352`)."""
 
-    class NotMember:
-        def __init__(self):
-            vals = ray.get(keys_ref)
-            self.keys = pa.array(sorted(set(vals)))
+    def not_member(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(
+            pc.invert(pc.is_in(tbl.column(col), value_set=_member_keys(keys_ref)))
+        )
 
-        def __call__(self, tbl: pa.Table) -> pa.Table:
-            return tbl.filter(pc.invert(pc.is_in(tbl.column(col), value_set=self.keys)))
-
-    return ds.map_batches(NotMember, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(not_member, batch_format="pyarrow")
 
 
 def union_distinct(a: rd.Dataset, b: rd.Dataset, col: str) -> rd.Dataset:

@@ -25,6 +25,10 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 # a BPE-ish token pattern: words, numbers, punctuation runs (public GPT-2
 # pre-tokenizer shape, simplified)
 _BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+# EXACTLY RE2's \s ([\t\n\f\r ]) so the whitespace-token count matches
+# the DuckDB oracle: python str.split() also splits on \v and unicode
+# spaces, which RE2 regexes in DuckDB do not
+_WS_RE = re.compile(r"[ \t\n\f\r]+")
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 LANG_PROFILES: dict[str, frozenset] = {
@@ -38,7 +42,8 @@ LANG_PROFILES: dict[str, frozenset] = {
 def token_counts(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace + BPE-ish token counts per document (M7 analog)."""
     texts = tbl.column(text_col).to_pylist()
-    ws = np.array([len((t or "").split()) for t in texts], dtype=np.int64)
+    ws = np.array([sum(1 for w in _WS_RE.split(t or "") if w) for t in texts],
+                  dtype=np.int64)
     bpe = np.array([len(_BPE_RE.findall(t or "")) for t in texts], dtype=np.int64)
     return tbl.append_column("n_ws_tokens", pa.array(ws)).append_column(
         "n_bpe_tokens", pa.array(bpe)

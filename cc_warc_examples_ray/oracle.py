@@ -18,59 +18,83 @@ from .functions.urls import _canon_one
 from .hashing import xxh64
 
 
+class _AdmitState:
+    """THE sequential admission rule — canon → robots gate → first-seen
+    dedup → per-host politeness counter — kept in exactly one place so
+    the flagship (per-epoch) and discovery (per-level) goldens can never
+    drift from each other."""
+
+    def __init__(self, robots: pa.Table, default_delay_ms: int):
+        self.delays = dict(
+            zip(robots.column("host").to_pylist(),
+                robots.column("crawl_delay_ms").to_pylist())
+        )
+        self.disallow = {
+            h: p
+            for h, p in zip(
+                robots.column("host").to_pylist(),
+                robots.column("disallow_prefixes").to_pylist(),
+            )
+            if p
+        }
+        self.default_delay_ms = default_delay_ms
+        self.seen: set[int] = set()
+        self.host_idx: dict[str, int] = {}
+        self.rows: list[tuple] = []
+
+    def admit(self, label: int, seed_urls, page_urls, ranks) -> list[tuple]:
+        """Admit one epoch/level slice in order; returns the admitted
+        (seed_rank, fetch_time_ms, url) triples."""
+        admitted = []
+        for u, p, r in zip(seed_urls, page_urls, ranks):
+            url, surt, host, path = _canon_one(u, p)
+            if not host:
+                continue
+            if any(path.startswith(pre) for pre in self.disallow.get(host, ())):
+                continue
+            h = int(np.uint64(xxh64(surt.encode())).astype(np.int64))
+            if h in self.seen:
+                continue
+            self.seen.add(h)
+            i = self.host_idx.get(host, 0)
+            self.host_idx[host] = i + 1
+            ft = i * int(self.delays.get(host, self.default_delay_ms))
+            self.rows.append((label, ft, r, h, host, i, url))
+            admitted.append((r, ft, url))
+        return admitted
+
+    def table(self) -> pa.Table:
+        rows = sorted(self.rows, key=lambda r: (r[0], r[1], r[2]))
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        return pa.table(
+            {
+                "epoch": pa.array(cols[0], pa.int64()),
+                "fetch_time_ms": pa.array(cols[1], pa.int64()),
+                "seed_rank": pa.array(cols[2], pa.int64()),
+                "url_hash": pa.array(cols[3], pa.int64()),
+                "host": pa.array(cols[4], pa.string()),
+                "host_index": pa.array(cols[5], pa.int64()),
+                "url": pa.array(cols[6], pa.string()),
+            }
+        )
+
+
 def crawl_oracle(
     seeds: pa.Table, robots: pa.Table, num_epochs: int = 1, default_delay_ms: int = 150
 ) -> pa.Table:
     """Golden admitted-URL sequence in crawl order
     ``(epoch, fetch_time_ms, seed_rank)``."""
-    delays = dict(
-        zip(robots.column("host").to_pylist(), robots.column("crawl_delay_ms").to_pylist())
-    )
-    disallow = {
-        h: p
-        for h, p in zip(
-            robots.column("host").to_pylist(),
-            robots.column("disallow_prefixes").to_pylist(),
-        )
-        if p
-    }
+    st = _AdmitState(robots, default_delay_ms)
     seed_urls = seeds.column("seed_url").to_pylist()
     page_urls = seeds.column("page_url").to_pylist()
     ranks = seeds.column("seed_rank").to_pylist()
 
     n = len(seed_urls)
     bounds = [(k * n) // num_epochs for k in range(num_epochs + 1)]
-    seen: set[int] = set()
-    host_idx: dict[str, int] = {}
-    rows: list[tuple] = []
     for epoch in range(num_epochs):
-        for j in range(bounds[epoch], bounds[epoch + 1]):
-            url, surt, host, path = _canon_one(seed_urls[j], page_urls[j])
-            if not host:
-                continue
-            if any(path.startswith(p) for p in disallow.get(host, ())):
-                continue
-            h = int(np.uint64(xxh64(surt.encode())).astype(np.int64))
-            if h in seen:
-                continue
-            seen.add(h)
-            i = host_idx.get(host, 0)
-            host_idx[host] = i + 1
-            ft = i * int(delays.get(host, default_delay_ms))
-            rows.append((epoch, ft, ranks[j], h, host, i, url))
-    rows.sort(key=lambda r: (r[0], r[1], r[2]))
-    cols = list(zip(*rows)) if rows else [[]] * 7
-    return pa.table(
-        {
-            "epoch": pa.array(cols[0], pa.int64()),
-            "fetch_time_ms": pa.array(cols[1], pa.int64()),
-            "seed_rank": pa.array(cols[2], pa.int64()),
-            "url_hash": pa.array(cols[3], pa.int64()),
-            "host": pa.array(cols[4], pa.string()),
-            "host_index": pa.array(cols[5], pa.int64()),
-            "url": pa.array(cols[6], pa.string()),
-        }
-    )
+        lo, hi = bounds[epoch], bounds[epoch + 1]
+        st.admit(epoch, seed_urls[lo:hi], page_urls[lo:hi], ranks[lo:hi])
+    return st.table()
 
 
 def discovery_oracle(
@@ -83,51 +107,20 @@ def discovery_oracle(
     combined crawl order with a ``level`` == epoch column."""
     from .stages.parse import extract_media_batch
 
-    delays = dict(
-        zip(robots.column("host").to_pylist(), robots.column("crawl_delay_ms").to_pylist())
-    )
-    disallow = {
-        h: p
-        for h, p in zip(
-            robots.column("host").to_pylist(),
-            robots.column("disallow_prefixes").to_pylist(),
-        )
-        if p
-    }
+    st = _AdmitState(robots, default_delay_ms)
     page_index = {
         u: i for i, u in enumerate(pages_tbl.column("record_url").to_pylist())
     }
-    seen: set[int] = set()
-    host_idx: dict[str, int] = {}
-    rows: list[tuple] = []
 
-    def admit_level(level: int, seed_urls, page_urls, ranks):
-        admitted = []
-        for u, p, r in zip(seed_urls, page_urls, ranks):
-            url, surt, host, path = _canon_one(u, p)
-            if not host:
-                continue
-            if any(path.startswith(pre) for pre in disallow.get(host, ())):
-                continue
-            h = int(np.uint64(xxh64(surt.encode())).astype(np.int64))
-            if h in seen:
-                continue
-            seen.add(h)
-            i = host_idx.get(host, 0)
-            host_idx[host] = i + 1
-            ft = i * int(delays.get(host, default_delay_ms))
-            rows.append((level, ft, r, h, host, i, url))
-            admitted.append((r, ft, url))
-        return admitted
-
-    seed_urls = page_seeds.column("seed_url").to_pylist()
-    page_urls = page_seeds.column("page_url").to_pylist()
-    ranks = page_seeds.column("seed_rank").to_pylist()
-    admitted0 = admit_level(0, seed_urls, page_urls, ranks)
+    admitted0 = st.admit(
+        0,
+        page_seeds.column("seed_url").to_pylist(),
+        page_seeds.column("page_url").to_pylist(),
+        page_seeds.column("seed_rank").to_pylist(),
+    )
 
     # discovery: extract media from fetched pages in schedule order
     admitted0.sort(key=lambda t: (t[1], t[0]))
-    discovered: list[tuple] = []
     base = page_seeds.num_rows
     # ordering spec: (parent seed_rank, intra-page position)
     per_parent = []
@@ -152,18 +145,5 @@ def discovery_oracle(
     d_urls = [t[2] for t in per_parent]
     d_pages = [t[3] for t in per_parent]
     d_ranks = list(range(base, base + len(per_parent)))
-    admit_level(1, d_urls, d_pages, d_ranks)
-
-    rows.sort(key=lambda r: (r[0], r[1], r[2]))
-    cols = list(zip(*rows)) if rows else [[]] * 7
-    return pa.table(
-        {
-            "epoch": pa.array(cols[0], pa.int64()),
-            "fetch_time_ms": pa.array(cols[1], pa.int64()),
-            "seed_rank": pa.array(cols[2], pa.int64()),
-            "url_hash": pa.array(cols[3], pa.int64()),
-            "host": pa.array(cols[4], pa.string()),
-            "host_index": pa.array(cols[5], pa.int64()),
-            "url": pa.array(cols[6], pa.string()),
-        }
-    )
+    st.admit(1, d_urls, d_pages, d_ranks)
+    return st.table()
