@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "phash_neardup",
     "phash_groups",
     "minhash_pairs",
+    "jaccard_pairs",
+    "lsh_ann",
 ]
 
 

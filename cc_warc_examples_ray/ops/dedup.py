@@ -24,6 +24,7 @@ All shuffles move (key, id, sketch) rows only — never payloads.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import numpy as np
@@ -237,9 +238,47 @@ def minhash_lsh_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc
 _EMPTY_SHINGLE_SENTINEL = np.uint64(0xE3B0C44298FC1C14)
 
 
+def _hot_shingles(ds: rd.Dataset, text_col: str, shingle_n: int,
+                  hot_min: int, max_hot: int) -> tuple[np.ndarray, np.ndarray]:
+    """Global document frequencies for the Zipf HEAD of the shingle
+    vocabulary: per-batch partial counts, one grouped Sum, then only
+    shingles with doc-freq >= hot_min come back to the driver (bounded
+    further to the max_hot most frequent).  The long tail (freq <
+    hot_min) never leaves the cluster — at 100 TB the broadcast is the
+    head only, not the vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pylist()
+        hs = [_shingles_cached(t or "", shingle_n) for t in texts]
+        hs = [h for h in hs if len(h)]
+        if not hs:
+            return pa.table({"shingle": pa.array([], pa.int64()),
+                             "_n": pa.array([], pa.int64())})
+        flat = np.concatenate(hs).view(np.int64)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"shingle": pa.array(uniq),
+                         "_n": pa.array(cnt.astype(np.int64))})
+
+    freq = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shingle").aggregate(Sum("_n", alias_name="freq"))
+        .filter(expr=f"freq >= {hot_min}")
+        .to_pandas()
+    )
+    if freq.empty:  # no hot head (empty to_pandas also drops columns)
+        return np.array([], np.int64), np.array([], np.int64)
+    if len(freq) > max_hot:
+        freq = freq.nlargest(max_hot, "freq")
+    order = np.argsort(freq["shingle"].to_numpy())
+    return (freq["shingle"].to_numpy()[order].astype(np.int64),
+            freq["freq"].to_numpy()[order].astype(np.int64))
+
+
 def jaccard_prefix_pairs(ds: rd.Dataset, text_col: str = "text",
                          id_col: str = "doc_id", threshold: float = 0.7,
-                         shingle_n: int = 3) -> rd.Dataset:
+                         shingle_n: int = 3, hot_min: int = 8,
+                         max_hot: int = 1 << 17) -> rd.Dataset:
     """EXACT candidate generation for an n-gram Jaccard similarity join
     via prefix filtering (Chaudhuri et al. 2006 SSJoin; Xiao et al. 2008
     PPJoin) — the deterministic sibling of :func:`minhash_lsh_pairs`
@@ -253,48 +292,92 @@ def jaccard_prefix_pairs(ds: rd.Dataset, text_col: str = "text",
     prefix, so correctness holds.  Only prefix shingles enter the
     inverted index — at t=0.8 ~20% of each doc's shingles.
 
-    The total order is ascending xxh64 shingle hash: hash order is
-    uniform-random, so prefixes behave like random tokens.  (The classic
-    rarest-first frequency order is a candidate-count refinement that
-    would add a global frequency pass + broadcast rank map; at 100 TB
-    pair explosion is governed by the verify threshold either way.)
-    Shuffle moves (shingle_hash, id) rows only."""
+    The total order is PPJoin's rarest-first: (global doc-freq if the
+    shingle is in the broadcast hot head else 0, hash) — boilerplate
+    shingles shared by thousands of docs sort LAST and fall out of every
+    prefix, which is what bounds bucket fan-out (hash order alone left
+    hot shingles in ~30% of prefixes and exploded candidates ~1000x the
+    true pair count on the synthetic corpus).  A bucket pair must also
+    pass the size filter min(|A|,|B|) >= t·max(|A|,|B|) (J <= min/max).
+    Shuffle moves (shingle_hash, id, set_size) rows only."""
     import math
 
+    import ray
+
+    hot_hash, hot_freq = _hot_shingles(ds, text_col, shingle_n, hot_min, max_hot)
+    hot_ref = ray.put((hot_hash, hot_freq))
+
     def explode(tbl: pa.Table) -> pa.Table:
+        hh, hf = _bcast_cached(hot_ref)
         texts = tbl.column(text_col).to_pylist()
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        hs, out_idx = [], []
+        hs, out_idx, out_sz, out_pos = [], [], [], []
         for i, t in enumerate(texts):
-            sh = shingle_hashes(t or "", shingle_n)
+            sh = _shingles_cached(t or "", shingle_n)
             if len(sh) == 0:
                 hs.append(np.array([_EMPTY_SHINGLE_SENTINEL], dtype=np.uint64))
                 out_idx.append(np.array([i]))
+                out_sz.append(np.array([0], dtype=np.int64))
+                out_pos.append(np.array([0], dtype=np.int64))
                 continue
             # -1e-9: float fuzz must never push an exact t·n UP a step
             # (a too-large α shortens the prefix and loses pairs)
             alpha = int(math.ceil(threshold * len(sh) - 1e-9))
             plen = len(sh) - alpha + 1
-            hs.append(sh[:plen])  # shingle_hashes is unique-sorted
+            shi = sh.view(np.int64)
+            ranks = np.zeros(len(shi), dtype=np.int64)
+            if len(hh):
+                pos = np.minimum(np.searchsorted(hh, shi), len(hh) - 1)
+                hit = hh[pos] == shi
+                ranks[hit] = hf[pos[hit]]
+            order = np.lexsort((shi, ranks))
+            hs.append(sh[order[:plen]])
             out_idx.append(np.full(plen, i))
+            out_sz.append(np.full(plen, len(sh), dtype=np.int64))
+            out_pos.append(np.arange(plen, dtype=np.int64))
         if not hs:
             return pa.table({
                 "shingle": pa.array([], pa.int64()),
                 id_col: pa.array([], tbl.schema.field(id_col).type),
+                "sz": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
             })
         flat = np.concatenate(hs).view(np.int64)
         take = np.concatenate(out_idx)
         return pa.table({
             "shingle": pa.array(flat),
             id_col: pa.array(ids[take]),
+            "sz": pa.array(np.concatenate(out_sz)),
+            "pos": pa.array(np.concatenate(out_pos)),
         })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[id_col].to_numpy())
+        ids = g[id_col].to_numpy()[order]
+        szs = g["sz"].to_numpy()[order]
+        poss = g["pos"].to_numpy()[order]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        sa, sb = szs[ia], szs[ib]
+        # size filter: J(A,B) <= min/max, so min < t·max can never verify
+        keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        # positional filter (PPJoin): the shared token at ordered-set
+        # positions (pa, pb) caps the overlap at 1 + min(remaining);
+        # J >= t needs overlap >= t/(1+t)·(|A|+|B|).  Exact: a
+        # qualifying pair's SMALLEST common token always passes (all
+        # other common tokens sort after it on both sides).
+        alpha = np.ceil(threshold / (1.0 + threshold) * (sa + sb) - 1e-9)
+        ubound = 1 + np.minimum(sa - poss[ia] - 1, sb - poss[ib] - 1)
+        keep &= ubound >= alpha
+        if not keep.any():
+            return _typed_empty(g[id_col].dtype)
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
 
     from .relational import _arrow_types
 
     idt = _arrow_types(ds.schema()).get(id_col, pa.string())
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     cand = grouped_bucket_pairs(
-        exploded, ["shingle"], _pairs_from_buckets(id_col),
+        exploded, ["shingle"], bucket_pairs,
         out_schema=pa.schema([("id_a", idt), ("id_b", idt)]),
     )
     # a pair can share several prefix shingles
@@ -314,14 +397,23 @@ def jaccard_join(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
                                 id_col=id_col)
 
 
+@functools.lru_cache(maxsize=4096)
+def _shingles_cached(text: str, n: int) -> np.ndarray:
+    """Per-process shingle memo for the verify kernel: a hot document
+    appears in MANY candidate pairs, and re-hashing its text per pair
+    dominates verify wall time (the cache is per worker process and
+    bounded; returned arrays are treated read-only)."""
+    return shingle_hashes(text, n)
+
+
 def _jaccard_rows(tbl: pa.Table, shingle_n: int) -> pa.Table:
     """Exact shingle Jaccard per (text_a, text_b) row — block-local."""
     a = tbl.column("text_a").to_pylist()
     b = tbl.column("text_b").to_pylist()
     sims = np.zeros(len(a))
     for i, (x, y) in enumerate(zip(a, b)):
-        sa = shingle_hashes(x or "", shingle_n)
-        sb = shingle_hashes(y or "", shingle_n)
+        sa = _shingles_cached(x or "", shingle_n)
+        sb = _shingles_cached(y or "", shingle_n)
         if len(sa) == 0 and len(sb) == 0:
             sims[i] = 1.0
         else:
