@@ -45,6 +45,23 @@ BENCH_QUERIES = [
 ]
 
 
+def _silence_ray_empty_block_warning() -> None:
+    """Ray's streaming executor warns 'RefBundle with a different schema
+    ... new schema: .' whenever a groupby sort range is empty (more
+    blocks than groups) — the empty block is Ray-internal, carries no
+    schema, and is harmless.  Minimal repro on ray 2.49:
+    from_arrow(1000 rows, 2 keys).repartition(32).groupby(k)
+    .map_groups(identity).  Our own kernels always emit typed empties
+    (see dedup._typed_empty / grouped_bucket_pairs), so this logger only
+    fires on the Ray-internal case; silence it to keep the bench tail
+    readable."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
+
 def _loadavg() -> float | None:
     try:
         with open("/proc/loadavg") as f:
@@ -68,6 +85,7 @@ def run_bench() -> dict:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    _silence_ray_empty_block_warning()
 
     from cc_warc_examples_ray import lancelite, synth
     from cc_warc_examples_ray.entry_queries import QUERIES, _STORE_N, _store, _sf_scale

@@ -76,6 +76,11 @@ def main():
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    # Ray-internal empty-sort-range blocks trigger a harmless
+    # schema-mismatch warning (see bench._silence_ray_empty_block_warning)
+    import bench
+
+    bench._silence_ray_empty_block_warning()
 
     import __ray_entry__ as e
 
