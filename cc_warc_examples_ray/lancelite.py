@@ -187,6 +187,17 @@ class LanceLiteTable:
             return pa.table({})  # empty-partition sentinel
         return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
 
+    def partition_fragment_paths(self, partitions) -> list[str]:
+        """Fragment files of ONLY the given partitions — the
+        partition-pruned read an ANN index / key-range scan uses (probed
+        buckets are opened; everything else never leaves storage)."""
+        ps = set(partitions)
+        return [
+            os.path.join(self.path, f["file"])
+            for f in self.manifest()["fragments"]
+            if f["partition"] in ps and f["file"]
+        ]
+
     def completed_partitions(self) -> set:
         return {
             f["partition"]

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -254,6 +255,65 @@ class IVFBatchScorer(BatchScorer):
                 ),
             }
         )
+
+
+def build_index(assigned: rd.Dataset, path: str, key_col: str):
+    """Persist a bucketed corpus (``ivf_assign`` / ``lsh_assign`` output)
+    as a partitioned lancelite table, one committed fragment per bucket —
+    the 'index build once, query many' layout.  Queries then open ONLY
+    their probed buckets' files (``query_index``): at 100 TB the probe
+    read is nprobe/n_lists of the corpus instead of a full scan, and the
+    build is resumable (completed buckets are skipped on rerun)."""
+    from .. import lancelite
+
+    return lancelite.write_ray_partitioned(assigned, path, key_col)
+
+
+def query_index(path: str, buckets) -> rd.Dataset:
+    """Partition-pruned open of a persisted ANN index: a Dataset over
+    ONLY the probed buckets' fragments (buckets with no committed rows
+    are skipped — reading zero files is an error, an empty index is)."""
+    from .. import lancelite
+
+    t = lancelite.LanceLiteTable(path)
+    paths = t.partition_fragment_paths(buckets)
+    if not paths:
+        # no probed bucket holds rows; an empty typed Dataset keeps the
+        # scorer path uniform (schema from any committed fragment)
+        allp = t.fragment_paths()
+        if not allp:
+            raise FileNotFoundError(f"empty ANN index at {path}")
+        sch = pq.read_schema(allp[0])
+        return rd.from_arrow(sch.empty_table())
+    return rd.read_parquet(paths)
+
+
+def ivf_topk_indexed(path: str, centroids: np.ndarray, queries: dict,
+                     k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> pd.DataFrame:
+    """IVF top-k over a persisted index: identical results to
+    :func:`ivf_topk` on the live assignment, but the read is pruned to
+    the union of probed lists at the FILE level."""
+    qids = sorted(queries)
+    qmat = _unit(np.asarray([queries[i] for i in qids], dtype=np.float64))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[:, :nprobe]
+    lists_needed = sorted({int(x) for row in probes for x in row})
+    sub = query_index(path, lists_needed)
+    return ivf_topk(sub, centroids, queries, k=k, nprobe=nprobe,
+                    id_col=id_col, emb_col=emb_col)
+
+
+def lsh_topk_indexed(path: str, planes: np.ndarray, queries: dict,
+                     k: int = 10, max_hamming: int = 1, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> pd.DataFrame:
+    """LSH top-k over a persisted index (file-level probe pruning)."""
+    bits = planes.shape[1]
+    qmat = np.asarray([queries[i] for i in sorted(queries)], dtype=np.float64)
+    union = sorted({b for qb in _sign_buckets(qmat, planes)
+                    for b in _probe_buckets(int(qb), bits, max_hamming)})
+    sub = query_index(path, union)
+    return lsh_topk(sub, planes, queries, k=k, max_hamming=max_hamming,
+                    id_col=id_col, emb_col=emb_col)
 
 
 def lsh_planes(dim: int, bits: int = 16, seed: int = 11) -> np.ndarray:

@@ -307,6 +307,75 @@ def test_text_kernels():
     assert fp.column("text_hash")[0].as_py() != fp.column("text_hash")[1].as_py()
 
 
+def test_ann_persisted_index(ray_session, tmp_path):
+    """build_index → query_index must (a) return exactly the live
+    ivf_topk/lsh_topk results and (b) open ONLY the probed buckets'
+    fragment files (the partition-pruned read)."""
+    import ray.data as rd
+
+    from cc_warc_examples_ray import lancelite
+    from cc_warc_examples_ray.ops import ann
+
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((400, 8))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    }))
+    queries = {0: list(map(float, mat[0])), 5: list(map(float, mat[5]))}
+
+    cent = ann.train_centroids(ds, n_centroids=8, sample=400, seed=5)
+    ipath = str(tmp_path / "ivf_idx")
+    ann.build_index(ann.ivf_assign(ds, cent), ipath, "ivf_list")
+    live = ann.ivf_topk(ann.ivf_assign(ds, cent), cent, queries, k=5, nprobe=2)
+    idx = ann.ivf_topk_indexed(ipath, cent, queries, k=5, nprobe=2)
+    pd.testing.assert_frame_equal(live.reset_index(drop=True),
+                                  idx.reset_index(drop=True))
+
+    planes = ann.lsh_planes(8, bits=5, seed=11)
+    lpath = str(tmp_path / "lsh_idx")
+    ann.build_index(ann.lsh_assign(ds, planes), lpath, "lsh_bucket")
+    live = ann.lsh_topk(ann.lsh_assign(ds, planes), planes, queries,
+                        k=5, max_hamming=1)
+    idx = ann.lsh_topk_indexed(lpath, planes, queries, k=5, max_hamming=1)
+    pd.testing.assert_frame_equal(live.reset_index(drop=True),
+                                  idx.reset_index(drop=True))
+
+    # pruned read: probe union of 2 queries at hamming<=1 over 5 bits is
+    # at most 12 buckets — far fewer fragments than the full index
+    t = lancelite.LanceLiteTable(lpath)
+    qb = ann._sign_buckets(np.asarray([queries[0], queries[5]]), planes)
+    union = sorted({b for q in qb for b in ann._probe_buckets(int(q), 5, 1)})
+    pruned = t.partition_fragment_paths(union)
+    assert 0 < len(pruned) <= len(union)
+    assert len(pruned) < len(t.fragment_paths())
+
+    # build is resumable/idempotent: a second build commits nothing new
+    ann.build_index(ann.lsh_assign(ds, planes), lpath, "lsh_bucket")
+    assert lancelite.LanceLiteTable(lpath).count_rows() == 400
+
+
+def test_token_counts_match_duckdb_whitespace():
+    """The whitespace-token count must agree with the DuckDB oracle
+    expression on every whitespace edge: python \\s matches \\v (RE2's
+    does not), DuckDB trim() strips spaces only (leading \\t/\\n used to
+    count a phantom empty token)."""
+    import duckdb
+
+    texts = ["a b", "\na b", "\t", "a\x0bb", "", " x ", "a\r\nb", "\f\fz"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    got = text.token_counts(t).column("n_ws_tokens").to_pylist()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = [r[0] for r in con.execute(
+        "SELECT len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))"
+        " FROM documents ORDER BY doc_id"
+    ).fetchall()]
+    assert got == want, (texts, got, want)
+
+
 def test_langid(ray_session):
     t = pa.table({
         "doc_id": pa.array(range(3), pa.int64()),
