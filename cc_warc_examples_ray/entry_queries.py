@@ -1195,8 +1195,9 @@ _SQL_MINHASH_PAIRS_CTE = _sql_jaccard_cte(0.8)
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """Verified near-dup pairs: LSH candidates → exact shingle-Jaccard
-    >= 0.8 (join-based verify, no corpus broadcast)."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    >= 0.8 (join-based verify, no corpus broadcast).  Docs materialized
+    once — the LSH explode and the verify prune both scan them."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
     pairs = dedup.minhash_lsh_pairs(docs)
     good = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8).to_pandas()
     if good.empty:
@@ -1239,7 +1240,7 @@ SELECT id_a, id_b, floor(j * 100000 + 0.5) / 100000 AS jaccard_r FROM vpairs ORD
 
 def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     """Near-dup components (doc_id, group_id) over the verified pairs."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
     return dedup.minhash_dedup(docs, threshold=0.8).reset_index(drop=True)
 
 
