@@ -295,6 +295,40 @@ ORDER BY p_partkey
 """
 
 
+def q_events_asof_orders(sf_dir: str) -> pd.DataFrame:
+    """As-of join: every event picks its user's LATEST order at or
+    before the event timestamp (equal-orderdate ties → max o_orderkey);
+    unmatched events keep sentinel -1 so the compare never crosses a
+    nullable-int boundary.  Oracle: LEFT JOIN + row_number window."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = relational.asof_join(
+        ev, od, left_by="user_id", left_on="ts",
+        right_by="o_custkey", right_on="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"], tiebreak=["o_orderkey"],
+    ).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].fillna(-1.0)
+    return out[["event_id", "user_id", "o_orderkey", "o_totalprice"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+SELECT event_id, user_id,
+       coalesce(o_orderkey, -1) AS o_orderkey,
+       coalesce(o_totalprice, -1.0) AS o_totalprice
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1 ORDER BY event_id
+"""
+
+
 def q_event_windows(sf_dir: str) -> pd.DataFrame:
     """§2.8 streaming analog: tumbling 1-hour windows per event_type."""
     ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
@@ -1844,6 +1878,7 @@ QUERIES = {
     "asia_customers": q_asia_customers,
     "parts_never_hiqty": q_parts_never_hiqty,
     "event_windows": q_event_windows,
+    "events_asof_orders": q_events_asof_orders,
     "session_windows": q_session_windows,
     "union_nationkeys": q_union_nationkeys,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -1890,6 +1925,7 @@ ORACLES = {
     "asia_customers": SQL_ASIA_CUSTOMERS,
     "parts_never_hiqty": SQL_PARTS_NEVER_HIQTY,
     "event_windows": SQL_EVENT_WINDOWS,
+    "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "session_windows": SQL_SESSION_WINDOWS,
     "union_nationkeys": SQL_UNION_NATIONKEYS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,

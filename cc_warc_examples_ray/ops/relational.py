@@ -371,3 +371,85 @@ def hash_join(
         ).replace_schema_metadata(None)
 
     return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_by: str,
+    left_on: str,
+    right_by: str,
+    right_on: str,
+    right_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """As-of join: each left row gets the single right row with the
+    GREATEST ``right_on`` <= ``left_on`` among rows whose ``right_by``
+    matches ``left_by`` (the streaming "latest state as of event time"
+    join; left rows with no eligible right row keep typed nulls).
+
+    Shape: both sides hash-bucket by key (one shuffle each), and every
+    bucket runs ONE vectorized ``pandas.merge_asof`` across all its keys
+    at once (``by=`` grouping inside the kernel — no per-key group).
+    Equal ``right_on`` ties resolve to the row LAST in ``(right_on,
+    *tiebreak)`` ascending order (merge_asof picks the last eligible
+    row), i.e. the MAX of ``tiebreak`` — pass a unique column to pin a
+    deterministic winner, mirroring a SQL ``row_number() OVER (ORDER BY
+    right_on DESC, tiebreak DESC)`` pick."""
+    from ..hashing import xxh64_many
+
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    rkeep = [right_by, right_on] + [c for c in right_cols if c not in (right_by, right_on)]
+    right = right.select_columns(rkeep)
+    types = _arrow_types(right.schema())
+    types.update(_arrow_types(lschema))
+    rextra = [c for c in rkeep if c not in lcols]  # right-side output cols
+    all_cols = lcols + rextra
+
+    def bucketer(side: int, key: str):
+        def fn(tbl: pa.Table) -> pa.Table:
+            kcol = tbl.column(key)
+            if pa.types.is_integer(kcol.type):
+                kb = (kcol.to_numpy(zero_copy_only=False).astype(np.uint64)) % np.uint64(num_buckets)
+            else:
+                kb = xxh64_many(pc.cast(kcol.combine_chunks(), pa.string())) % np.uint64(num_buckets)
+            for c in all_cols:
+                if c not in tbl.column_names:
+                    tbl = tbl.append_column(c, pa.nulls(tbl.num_rows, types[c]))
+            tbl = tbl.select(all_cols)
+            return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
+                "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
+            ).replace_schema_metadata(None)
+
+        return fn
+
+    lt = left.map_batches(bucketer(0, left_by), batch_format="pyarrow")
+    rt = right.map_batches(bucketer(1, right_by), batch_format="pyarrow")
+    out_cols = lcols + [c for c in rextra if c != right_by]
+    out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
+
+    def merge(gt: pa.Table) -> pa.Table:
+        g = gt.to_pandas()
+        lg = g.loc[g["_side"] == 0, lcols].sort_values(left_on, kind="mergesort")
+        rg = g.loc[g["_side"] == 1, rkeep].sort_values(
+            [right_on, *tiebreak], kind="mergesort"
+        )
+        # the union's typed-null padding degrades int join columns to
+        # float64 in pandas when a bucket is one-sided; merge_asof
+        # requires matching key dtypes, so restore them after filtering
+        # (join columns are non-null on their own side by contract)
+        lg = lg.astype({left_by: types[left_by].to_pandas_dtype(),
+                        left_on: types[left_on].to_pandas_dtype()}, copy=False)
+        rg = rg.astype({right_by: types[right_by].to_pandas_dtype(),
+                        right_on: types[right_on].to_pandas_dtype()}, copy=False)
+        m = pd.merge_asof(
+            lg, rg, left_on=left_on, right_on=right_on,
+            left_by=left_by, right_by=right_by, direction="backward",
+        )
+        return pa.Table.from_pandas(
+            m[out_cols], schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pyarrow")

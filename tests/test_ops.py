@@ -197,6 +197,44 @@ def test_jaccard_verify_join_path_matches_broadcast(ray_session, docs_ds):
         assert len(out) == 0
 
 
+def test_asof_join(ray_session):
+    """asof_join semantics: latest right row at-or-before each left ts
+    per key; equal-ts ties -> max tiebreak; no match -> typed nulls;
+    exact-timestamp matches included (backward, inclusive)."""
+    ts = pd.Timestamp
+    left = rd.from_pandas(pd.DataFrame({
+        "eid": [1, 2, 3, 4],
+        "k": [10, 10, 20, 30],
+        "t": [ts("2024-01-05"), ts("2024-01-01"), ts("2024-01-03"), ts("2024-01-02")],
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "rk": [10, 10, 10, 20, 20],
+        "rt": [ts("2024-01-02"), ts("2024-01-02"), ts("2024-01-04"),
+               ts("2024-01-03"), ts("2024-01-06")],
+        "rid": [100, 101, 102, 200, 201],
+    }))
+    out = relational.asof_join(
+        left, right, left_by="k", left_on="t", right_by="rk", right_on="rt",
+        right_cols=["rid"], tiebreak=["rid"],
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    # eid1: k=10 t=01-05 -> rt=01-04 rid=102
+    # eid2: k=10 t=01-01 -> nothing at/before -> null
+    # eid3: k=20 t=01-03 -> EXACT match rt=01-03 rid=200 (inclusive)
+    # eid4: k=30 -> no right rows -> null
+    assert out["rid"].tolist()[0] == 102
+    assert pd.isna(out["rid"].tolist()[1])
+    assert out["rid"].tolist()[2] == 200
+    assert pd.isna(out["rid"].tolist()[3])
+    # tie determinism: at t=01-02 two k=10 rows (rid 100, 101) -> max wins
+    left2 = rd.from_pandas(pd.DataFrame(
+        {"eid": [9], "k": [10], "t": [ts("2024-01-02")]}))
+    out2 = relational.asof_join(
+        left2, right, left_by="k", left_on="t", right_by="rk", right_on="rt",
+        right_cols=["rid"], tiebreak=["rid"],
+    ).to_pandas()
+    assert out2["rid"].tolist() == [101]
+
+
 def test_jaccard_join_exhaustive(ray_session):
     """The prefix-filter join (SSJoin lemma) must equal brute-force exact
     Jaccard over ALL pairs — no false negatives at any threshold, on a
