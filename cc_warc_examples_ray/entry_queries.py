@@ -335,7 +335,10 @@ def q_event_windows(sf_dir: str) -> pd.DataFrame:
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["window_start"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        # keep the window key as a TIMESTAMP through the shuffle — the
+        # per-row strftime string build is the batch kernel's hot spot
+        # and only the tiny aggregated result needs formatting
+        df["window_start"] = df["ts"].dt.floor("h")
         df["c"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
         g = df.groupby(["event_type", "window_start"], sort=False)["c"].agg(["sum", "count"]).reset_index()
         return g.rename(columns={"sum": "_ps", "count": "_pn"})
@@ -347,6 +350,7 @@ def q_event_windows(sf_dir: str) -> pd.DataFrame:
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("_ps", alias_name="value_sum_c"), Sum("_pn", alias_name="n_events"))
     ).to_pandas()
+    out["window_start"] = out["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
