@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "jaccard_pairs",
     "lsh_ann",
+    "events_asof_orders",
+    "event_bursts",
 ]
 
 

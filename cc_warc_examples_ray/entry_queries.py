@@ -329,6 +329,35 @@ FROM (
 """
 
 
+def q_event_bursts(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) self-join: pairs of events by the same user
+    where the second lands within [0, 5min) of the first — the
+    burst-detection join.  Oracle: plain JOIN + BETWEEN."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    right = ev.map_batches(
+        lambda t: t.rename_columns(["b_event_id", "b_ts", "r_user"]),
+        batch_format="pyarrow",
+    )
+    out = relational.range_join(
+        ev, right, left_by="user_id", left_on="ts",
+        right_by="r_user", right_on="b_ts", right_cols=["b_event_id"],
+        lo=pd.Timedelta(0), hi=pd.Timedelta("5min"),
+    ).to_pandas()
+    out = out[out["event_id"] != out["b_event_id"]]
+    return out[["event_id", "b_event_id"]].sort_values(
+        ["event_id", "b_event_id"]
+    ).reset_index(drop=True)
+
+
+SQL_EVENT_BURSTS = """
+SELECT a.event_id, b.event_id AS b_event_id
+FROM events a JOIN events b
+  ON b.user_id = a.user_id AND b.event_id <> a.event_id
+ AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+ORDER BY 1, 2
+"""
+
+
 def q_event_windows(sf_dir: str) -> pd.DataFrame:
     """§2.8 streaming analog: tumbling 1-hour windows per event_type."""
     ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
@@ -1883,6 +1912,7 @@ QUERIES = {
     "parts_never_hiqty": q_parts_never_hiqty,
     "event_windows": q_event_windows,
     "events_asof_orders": q_events_asof_orders,
+    "event_bursts": q_event_bursts,
     "session_windows": q_session_windows,
     "union_nationkeys": q_union_nationkeys,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -1930,6 +1960,7 @@ ORACLES = {
     "parts_never_hiqty": SQL_PARTS_NEVER_HIQTY,
     "event_windows": SQL_EVENT_WINDOWS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
+    "event_bursts": SQL_EVENT_BURSTS,
     "session_windows": SQL_SESSION_WINDOWS,
     "union_nationkeys": SQL_UNION_NATIONKEYS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,

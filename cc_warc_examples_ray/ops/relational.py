@@ -373,6 +373,118 @@ def hash_join(
     return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_by: str,
+    left_on: str,
+    right_by: str,
+    right_on: str,
+    right_cols: Sequence[str],
+    lo,
+    hi,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Interval (range) join: emit every (left, right) pair with matching
+    key and ``left_on + lo <= right_on < left_on + hi`` (lo inclusive,
+    hi exclusive; ``lo``/``hi`` are anything addable to the on-column,
+    e.g. ``pd.Timedelta``).  INNER semantics — unmatched left rows drop.
+
+    Shape: both sides hash-bucket by key (the equi-key bounds fan-out;
+    this is the Spark-style key-bucketed range join), and each bucket
+    matches ALL its keys in one vectorized kernel: right rows sort by
+    (key-code, on) and collapse to a composite int64 ``code·(n+1) +
+    dense_rank(on)``; each left bound maps onto the same rank scale via
+    searchsorted, so two more searchsorted calls yield every left row's
+    [lo_idx, hi_idx) right slice — no per-key python loop, no cross
+    join.  Correctness of the rank mapping: for bound t, rank(t) =
+    #\\{right on-values < t\\}, so a right row r is inside [t+lo, t+hi)
+    iff rank(t+lo) <= dense_rank(r) < rank(t+hi) (strictness falls out
+    of r itself being counted) — pinned by the brute-force randomized
+    test."""
+    from ..hashing import xxh64_many
+
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    rkeep = [right_by, right_on] + [c for c in right_cols if c not in (right_by, right_on)]
+    right = right.select_columns(rkeep)
+    types = _arrow_types(right.schema())
+    types.update(_arrow_types(lschema))
+    rextra = [c for c in rkeep if c not in lcols]
+    all_cols = lcols + rextra
+
+    def bucketer(side: int, key: str):
+        def fn(tbl: pa.Table) -> pa.Table:
+            kcol = tbl.column(key)
+            if pa.types.is_integer(kcol.type):
+                kb = (kcol.to_numpy(zero_copy_only=False).astype(np.uint64)) % np.uint64(num_buckets)
+            else:
+                kb = xxh64_many(pc.cast(kcol.combine_chunks(), pa.string())) % np.uint64(num_buckets)
+            for c in all_cols:
+                if c not in tbl.column_names:
+                    tbl = tbl.append_column(c, pa.nulls(tbl.num_rows, types[c]))
+            tbl = tbl.select(all_cols)
+            return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
+                "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
+            ).replace_schema_metadata(None)
+
+        return fn
+
+    lt = left.map_batches(bucketer(0, left_by), batch_format="pyarrow")
+    rt = right.map_batches(bucketer(1, right_by), batch_format="pyarrow")
+    out_cols = lcols + [c for c in rextra if c != right_by]
+    out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
+
+    def merge(gt: pa.Table) -> pa.Table:
+        g = gt.to_pandas()
+        lg = g.loc[g["_side"] == 0, lcols]
+        rg = g.loc[g["_side"] == 1, rkeep]
+        if not len(lg) or not len(rg):
+            return out_schema.empty_table()
+        lg = lg.astype({left_by: types[left_by].to_pandas_dtype()}, copy=False)
+        rg = rg.astype({right_by: types[right_by].to_pandas_dtype()}, copy=False)
+        def as_i64(arr: np.ndarray) -> np.ndarray:
+            # datetimes normalize to ONE unit before the int view:
+            # pandas upcasts `ts + Timedelta` to ns while Arrow columns
+            # come back as us — mixed-scale views silently match nothing
+            if np.issubdtype(arr.dtype, np.datetime64):
+                return arr.astype("datetime64[ns]").astype(np.int64)
+            return arr.astype(np.int64)
+
+        codes, _ = pd.factorize(pd.concat([lg[left_by], rg[right_by]]))
+        lc, rc = codes[: len(lg)].astype(np.int64), codes[len(lg):].astype(np.int64)
+        r_on = as_i64(rg[right_on].to_numpy())
+        order = np.lexsort((r_on, rc))
+        rc_s, rt_s = rc[order], r_on[order]
+        all_sorted = np.sort(rt_s)
+        n = len(rt_s)
+        comp_r = rc_s * np.int64(n + 1) + np.searchsorted(all_sorted, rt_s, "left")
+        l_on = lg[left_on]
+        b_lo = as_i64((l_on + lo).to_numpy())
+        b_hi = as_i64((l_on + hi).to_numpy())
+        lo_idx = np.searchsorted(
+            comp_r, lc * np.int64(n + 1) + np.searchsorted(all_sorted, b_lo, "left"), "left")
+        hi_idx = np.searchsorted(
+            comp_r, lc * np.int64(n + 1) + np.searchsorted(all_sorted, b_hi, "left"), "left")
+        counts = hi_idx - lo_idx
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        li = np.repeat(np.arange(len(lg)), counts)
+        intra = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        ri = np.repeat(lo_idx, counts) + intra
+        out = lg.iloc[li].reset_index(drop=True)
+        rsel = rg.iloc[order[ri]].reset_index(drop=True)
+        for c in rextra:
+            if c != right_by:
+                out[c] = rsel[c].to_numpy()
+        return pa.Table.from_pandas(
+            out[out_cols], schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

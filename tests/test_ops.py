@@ -235,6 +235,46 @@ def test_asof_join(ray_session):
     assert out2["rid"].tolist() == [101]
 
 
+def test_range_join_brute_force(ray_session):
+    """range_join (composite-rank kernel) must equal the brute-force
+    double loop on random data — integer AND datetime on-columns, ties,
+    empty windows, keys on one side only."""
+    rng = np.random.default_rng(31)
+    nl, nr = 120, 150
+    lk = rng.integers(0, 12, nl)
+    rk = rng.integers(0, 14, nr)  # some right keys never on the left
+    lt_ = rng.integers(0, 100, nl)
+    rt_ = rng.integers(0, 100, nr)
+
+    # integer on-column
+    left = rd.from_pandas(pd.DataFrame({"lid": np.arange(nl), "k": lk, "t": lt_}))
+    right = rd.from_pandas(pd.DataFrame({"rk": rk, "rt": rt_, "rid": np.arange(nr)}))
+    got = relational.range_join(
+        left, right, left_by="k", left_on="t", right_by="rk", right_on="rt",
+        right_cols=["rid"], lo=-3, hi=5,
+    ).to_pandas()
+    got_pairs = sorted(zip(got["lid"], got["rid"])) if len(got) else []
+    want = sorted(
+        (li, ri)
+        for li in range(nl) for ri in range(nr)
+        if lk[li] == rk[ri] and lt_[li] - 3 <= rt_[ri] < lt_[li] + 5
+    )
+    assert got_pairs == want
+
+    # datetime on-column (us-precision Arrow vs ns-promoted pandas bounds)
+    base = pd.Timestamp("2024-03-01")
+    ldt = base + pd.to_timedelta(lt_, unit="min")
+    rdt = base + pd.to_timedelta(rt_, unit="min")
+    left2 = rd.from_pandas(pd.DataFrame({"lid": np.arange(nl), "k": lk, "t": ldt}))
+    right2 = rd.from_pandas(pd.DataFrame({"rk": rk, "rt": rdt, "rid": np.arange(nr)}))
+    got2 = relational.range_join(
+        left2, right2, left_by="k", left_on="t", right_by="rk", right_on="rt",
+        right_cols=["rid"], lo=pd.Timedelta("-3min"), hi=pd.Timedelta("5min"),
+    ).to_pandas()
+    got2_pairs = sorted(zip(got2["lid"], got2["rid"])) if len(got2) else []
+    assert got2_pairs == want
+
+
 def test_jaccard_join_exhaustive(ray_session):
     """The prefix-filter join (SSJoin lemma) must equal brute-force exact
     Jaccard over ALL pairs — no false negatives at any threshold, on a
