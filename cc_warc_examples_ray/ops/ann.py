@@ -92,6 +92,11 @@ class BatchScorer:
         self.k = k
         self.id_col, self.emb_col = id_col, emb_col
 
+    def _allowed(self, tbl: pa.Table) -> np.ndarray | None:
+        """Per-query candidate mask [nq, batch] (None = all allowed);
+        the ONLY hook the IVF / LSH subclasses override."""
+        return None
+
     def __call__(self, tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -105,17 +110,27 @@ class BatchScorer:
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
         mat = _unit(_as_matrix(tbl.column(self.emb_col)))
         sim = self.qmat @ mat.T  # [nq, batch]
+        mask = self._allowed(tbl)
+        if mask is not None:
+            sim = np.where(mask, sim, -np.inf)
         out_q, out_v, out_s = [], [], []
         for qi in range(sim.shape[0]):
             sel = _local_topk(sim[qi], ids, self.k)
+            if mask is not None:
+                sel = sel[sim[qi, sel] > -np.inf]
             out_q.append(np.full(len(sel), self.qids[qi]))
             out_v.append(ids[sel])
             out_s.append(sim[qi, sel])
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                self.id_col: pa.array(np.concatenate(out_v)),
-                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q) if out_q else []),
+                self.id_col: pa.array(
+                    np.concatenate(out_v) if out_v else [],
+                    tbl.schema.field(self.id_col).type,
+                ),
+                "cosine": pa.array(
+                    np.concatenate(out_s) if out_s else [], pa.float64()
+                ),
             }
         )
 
@@ -223,38 +238,9 @@ class IVFBatchScorer(BatchScorer):
         super().__init__(queries_ref, k, id_col, emb_col)
         self.mask = ray.get(probe_mask_ref)  # bool [nq, n_lists]
 
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        tbl = tbl.filter(pc.is_valid(tbl.column(self.emb_col)))  # null emb = no match
-        if tbl.num_rows == 0:
-            return pa.table(
-                {"query_id": pa.array(self.qids[:0]),
-                 self.id_col: pa.array([], tbl.schema.field(self.id_col).type),
-                 "cosine": pa.array([], pa.float64())}
-            )
-        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+    def _allowed(self, tbl: pa.Table) -> np.ndarray:
         lists = tbl.column("ivf_list").to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _unit(_as_matrix(tbl.column(self.emb_col)))
-        sim = self.qmat @ mat.T  # [nq, batch]
-        allowed = self.mask[:, lists]  # [nq, batch]
-        sim = np.where(allowed, sim, -np.inf)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sim.shape[0]):
-            sel = _local_topk(sim[qi], ids, self.k)
-            sel = sel[sim[qi, sel] > -np.inf]
-            out_q.append(np.full(len(sel), self.qids[qi]))
-            out_v.append(ids[sel])
-            out_s.append(sim[qi, sel])
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q) if out_q else []),
-                self.id_col: pa.array(np.concatenate(out_v) if out_v else []),
-                "cosine": pa.array(
-                    np.concatenate(out_s) if out_s else [], pa.float64()
-                ),
-            }
-        )
+        return self.mask[:, lists]  # [nq, batch]
 
 
 def build_index(assigned: rd.Dataset, path: str, key_col: str):
@@ -314,6 +300,19 @@ def lsh_topk_indexed(path: str, planes: np.ndarray, queries: dict,
     sub = query_index(path, union)
     return lsh_topk(sub, planes, queries, k=k, max_hamming=max_hamming,
                     id_col=id_col, emb_col=emb_col)
+
+
+def _empty_topk(ds: rd.Dataset, id_col: str) -> pd.DataFrame:
+    """Typed empty top-k result — the id dtype comes from the corpus
+    schema (an object-dtype empty would mismatch the non-empty path's
+    int64/string ids in concatenations and oracle compares)."""
+    from .relational import _arrow_types
+
+    idt = _arrow_types(ds.schema()).get(id_col, pa.string())
+    return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                         id_col: pd.Series(dtype=idt.to_pandas_dtype()),
+                         "cosine": pd.Series(dtype="float64"),
+                         "rank": pd.Series(dtype="int64")})
 
 
 def lsh_planes(dim: int, bits: int = 16, seed: int = 11) -> np.ndarray:
@@ -382,38 +381,9 @@ class LSHBatchScorer(BatchScorer):
         # list of sorted int64 arrays, one per query (qids order)
         self.allowed = ray.get(allowed_ref)
 
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        tbl = tbl.filter(pc.is_valid(tbl.column(self.emb_col)))
-        if tbl.num_rows == 0:
-            return pa.table(
-                {"query_id": pa.array(self.qids[:0]),
-                 self.id_col: pa.array([], tbl.schema.field(self.id_col).type),
-                 "cosine": pa.array([], pa.float64())}
-            )
-        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+    def _allowed(self, tbl: pa.Table) -> np.ndarray:
         buckets = tbl.column("lsh_bucket").to_numpy(zero_copy_only=False)
-        mat = _unit(_as_matrix(tbl.column(self.emb_col)))
-        sim = self.qmat @ mat.T  # [nq, batch]
-        for qi, al in enumerate(self.allowed):
-            sim[qi, ~np.isin(buckets, al)] = -np.inf
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sim.shape[0]):
-            sel = _local_topk(sim[qi], ids, self.k)
-            sel = sel[sim[qi, sel] > -np.inf]
-            out_q.append(np.full(len(sel), self.qids[qi]))
-            out_v.append(ids[sel])
-            out_s.append(sim[qi, sel])
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q) if out_q else []),
-                self.id_col: pa.array(np.concatenate(out_v) if out_v else []),
-                "cosine": pa.array(
-                    np.concatenate(out_s) if out_s else [], pa.float64()
-                ),
-            }
-        )
+        return np.stack([np.isin(buckets, al) for al in self.allowed])
 
 
 def lsh_topk(assigned: rd.Dataset, planes: np.ndarray, queries: dict, k: int = 10,
@@ -443,10 +413,7 @@ def lsh_topk(assigned: rd.Dataset, planes: np.ndarray, queries: dict, k: int = 1
         concurrency=(1, 8),
     ).to_pandas()
     if partials.empty:
-        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                             id_col: pd.Series(dtype="object"),
-                             "cosine": pd.Series(dtype="float64"),
-                             "rank": pd.Series(dtype="int64")})
+        return _empty_topk(assigned, id_col)
     out = (
         partials.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
         .groupby("query_id", sort=True)
@@ -484,10 +451,7 @@ def ivf_topk(assigned: rd.Dataset, centroids: np.ndarray, queries: dict, k: int 
     if partials.empty:
         # every probed list was empty (k-means can keep empty clusters):
         # return a typed empty result instead of KeyError-ing on sort
-        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                             id_col: pd.Series(dtype="object"),
-                             "cosine": pd.Series(dtype="float64"),
-                             "rank": pd.Series(dtype="int64")})
+        return _empty_topk(assigned, id_col)
     out = (
         partials.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
         .groupby("query_id", sort=True)

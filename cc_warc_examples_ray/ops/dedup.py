@@ -253,12 +253,17 @@ def _hot_shingles(ds: rd.Dataset, text_col: str, shingle_n: int,
     output.  hot_min scales by the sample fraction (floor 2: a repeat
     within a small sample already marks a globally common shingle)."""
     n = ds.count()
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
     sub = ds.select_columns([text_col])
     frac = 1.0
     if n > sample:
         frac = min(1.0, 1.2 * sample / n)
         sub = sub.random_sample(frac, seed=seed)
-    texts = sub.to_pandas()[text_col]
+    df = sub.to_pandas()
+    if text_col not in df.columns:  # empty sample draw drops columns
+        return np.array([], np.int64), np.array([], np.int64)
+    texts = df[text_col]
     hs = [h for h in (_shingles_cached(t or "", shingle_n) for t in texts)
           if len(h)]
     if not hs:
@@ -403,13 +408,28 @@ def jaccard_join(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
                                 id_col=id_col)
 
 
-@functools.lru_cache(maxsize=4096)
+# per-process shingle memo: a hot document appears in MANY candidate
+# pairs, and re-hashing its text per pair dominates verify wall time.
+# BYTE-bounded (not entry-bounded) and keyed by text hash so neither the
+# texts themselves nor an unbounded array set is pinned — an
+# entry-bounded lru_cache of 1 MB documents would hold GBs per worker.
+_SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE_BYTES = [0]
+_SHINGLE_CACHE_MAX_BYTES = 64 * 1024 * 1024
+
+
 def _shingles_cached(text: str, n: int) -> np.ndarray:
-    """Per-process shingle memo for the verify kernel: a hot document
-    appears in MANY candidate pairs, and re-hashing its text per pair
-    dominates verify wall time (the cache is per worker process and
-    bounded; returned arrays are treated read-only)."""
-    return shingle_hashes(text, n)
+    key = (xxh64_many([text])[0].item(), n, len(text))
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    arr = shingle_hashes(text, n)
+    if _SHINGLE_CACHE_BYTES[0] + arr.nbytes > _SHINGLE_CACHE_MAX_BYTES:
+        _SHINGLE_CACHE.clear()
+        _SHINGLE_CACHE_BYTES[0] = 0
+    _SHINGLE_CACHE[key] = arr
+    _SHINGLE_CACHE_BYTES[0] += arr.nbytes
+    return arr
 
 
 def _jaccard_rows(tbl: pa.Table, shingle_n: int) -> pa.Table:

@@ -192,14 +192,18 @@ def _member_keys(keys_ref) -> pa.Array:
     worker process (the dedup._bcast_cached pattern — a task pool with a
     per-process cache, never an actor pool: these joins are single-scan
     stages and an actor pool's ~1-2s spin-up per Dataset execution would
-    dominate their wall time)."""
-    from .dedup import _bcast_cached
+    dominate their wall time).  Only the DERIVED Arrow array is cached —
+    caching the raw ray.get collection too would pin the key set twice
+    per worker."""
+    import ray
 
-    key = ("member_keys", keys_ref)
     from .dedup import _BCAST_CACHE
 
+    key = ("member_keys", keys_ref)
     if key not in _BCAST_CACHE:
-        _BCAST_CACHE[key] = pa.array(sorted(set(_bcast_cached(keys_ref))))
+        if len(_BCAST_CACHE) > 4:
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = pa.array(sorted(set(ray.get(keys_ref))))
     return _BCAST_CACHE[key]
 
 
@@ -308,6 +312,44 @@ def native_join(left: rd.Dataset, right: rd.Dataset, key: str,
     return left.join(right, join_type=how, num_partitions=num_partitions, on=(key,))
 
 
+def _union_bucketer(key: str, side: int, all_cols: Sequence[str], types: dict,
+                    num_buckets: int):
+    """map_batches kernel shared by the three two-sided joins
+    (hash_join / asof_join / range_join): pad each side to the typed
+    union schema (typed nulls for the absent side so one-sided bucket
+    groups keep the full column set), tag ``_bucket`` = key-hash %
+    num_buckets and ``_side``."""
+    from ..hashing import xxh64_many
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        kcol = tbl.column(key)
+        if pa.types.is_integer(kcol.type):
+            kb = (kcol.to_numpy(zero_copy_only=False).astype(np.uint64)) % np.uint64(num_buckets)
+        else:
+            kb = xxh64_many(pc.cast(kcol.combine_chunks(), pa.string())) % np.uint64(num_buckets)
+        for c in all_cols:
+            if c not in tbl.column_names:
+                tbl = tbl.append_column(c, pa.nulls(tbl.num_rows, types[c]))
+        tbl = tbl.select(all_cols)
+        return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
+            "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
+        ).replace_schema_metadata(None)  # unhashable-schema hygiene
+
+    return fn
+
+
+def _side_tables(gt: pa.Table, lcols: Sequence[str], rcols: Sequence[str]):
+    """Split a union bucket group back into per-side pandas frames,
+    filtering IN ARROW first: the union's typed-null padding would
+    otherwise degrade each side's int64 columns to float64 in pandas
+    (silent low-bit corruption above 2^53) — after the Arrow filter a
+    side's own columns are null-free and convert exactly."""
+    side = gt.column("_side")
+    lg = gt.filter(pc.equal(side, 0)).select(lcols).to_pandas()
+    rg = gt.filter(pc.equal(side, 1)).select(rcols).to_pandas()
+    return lg, rg
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -320,8 +362,6 @@ def hash_join(
     Use only when neither side fits a broadcast; skewed keys should be
     salted into sub-buckets first (SURVEY.md §4).  See also
     :func:`native_join` for Ray's built-in implementation."""
-    from ..hashing import xxh64_many
-
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     rcols = [key] + [c for c in rschema.names if c != key and c not in lcols]
@@ -332,25 +372,10 @@ def hash_join(
     types.update(_arrow_types(lschema))
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
-    def bucketer(side: int):
-        def fn(tbl: pa.Table) -> pa.Table:
-            kcol = tbl.column(key)
-            if pa.types.is_integer(kcol.type):
-                kb = (kcol.to_numpy(zero_copy_only=False).astype(np.uint64)) % np.uint64(num_buckets)
-            else:
-                kb = xxh64_many(pc.cast(kcol.combine_chunks(), pa.string())) % np.uint64(num_buckets)
-            for c in all_cols:
-                if c not in tbl.column_names:
-                    tbl = tbl.append_column(c, pa.nulls(tbl.num_rows, types[c]))
-            tbl = tbl.select(all_cols)
-            return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
-                "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
-            ).replace_schema_metadata(None)  # unhashable-schema hygiene
-
-        return fn
-
-    lt = left.map_batches(bucketer(0), batch_format="pyarrow")
-    rt = right.map_batches(bucketer(1), batch_format="pyarrow")
+    lt = left.map_batches(_union_bucketer(key, 0, all_cols, types, num_buckets),
+                          batch_format="pyarrow")
+    rt = right.map_batches(_union_bucketer(key, 1, all_cols, types, num_buckets),
+                           batch_format="pyarrow")
 
     out_cols = lcols + [c for c in rcols if c != key]
     out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
@@ -362,9 +387,7 @@ def hash_join(
     # (one-sided groups and empty merges would otherwise float/object-
     # drift pandas dtypes and poison downstream shuffles).
     def merge(gt: pa.Table) -> pa.Table:
-        g = gt.to_pandas()
-        lg = g.loc[g["_side"] == 0, lcols]
-        rg = g.loc[g["_side"] == 1, rcols]
+        lg, rg = _side_tables(gt, lcols, rcols)
         m = lg.merge(rg, on=key, how=how)
         return pa.Table.from_pandas(
             m[out_cols], schema=out_schema, preserve_index=False
@@ -402,8 +425,6 @@ def range_join(
     iff rank(t+lo) <= dense_rank(r) < rank(t+hi) (strictness falls out
     of r itself being counted) — pinned by the brute-force randomized
     test."""
-    from ..hashing import xxh64_many
-
     lschema = left.schema()
     lcols = list(lschema.names)
     rkeep = [right_by, right_on] + [c for c in right_cols if c not in (right_by, right_on)]
@@ -413,36 +434,18 @@ def range_join(
     rextra = [c for c in rkeep if c not in lcols]
     all_cols = lcols + rextra
 
-    def bucketer(side: int, key: str):
-        def fn(tbl: pa.Table) -> pa.Table:
-            kcol = tbl.column(key)
-            if pa.types.is_integer(kcol.type):
-                kb = (kcol.to_numpy(zero_copy_only=False).astype(np.uint64)) % np.uint64(num_buckets)
-            else:
-                kb = xxh64_many(pc.cast(kcol.combine_chunks(), pa.string())) % np.uint64(num_buckets)
-            for c in all_cols:
-                if c not in tbl.column_names:
-                    tbl = tbl.append_column(c, pa.nulls(tbl.num_rows, types[c]))
-            tbl = tbl.select(all_cols)
-            return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
-                "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
-            ).replace_schema_metadata(None)
-
-        return fn
-
-    lt = left.map_batches(bucketer(0, left_by), batch_format="pyarrow")
-    rt = right.map_batches(bucketer(1, right_by), batch_format="pyarrow")
+    lt = left.map_batches(_union_bucketer(left_by, 0, all_cols, types, num_buckets),
+                          batch_format="pyarrow")
+    rt = right.map_batches(_union_bucketer(right_by, 1, all_cols, types, num_buckets),
+                           batch_format="pyarrow")
     out_cols = lcols + [c for c in rextra if c != right_by]
     out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
 
     def merge(gt: pa.Table) -> pa.Table:
-        g = gt.to_pandas()
-        lg = g.loc[g["_side"] == 0, lcols]
-        rg = g.loc[g["_side"] == 1, rkeep]
+        lg, rg = _side_tables(gt, lcols, rkeep)
         if not len(lg) or not len(rg):
             return out_schema.empty_table()
-        lg = lg.astype({left_by: types[left_by].to_pandas_dtype()}, copy=False)
-        rg = rg.astype({right_by: types[right_by].to_pandas_dtype()}, copy=False)
+
         def as_i64(arr: np.ndarray) -> np.ndarray:
             # datetimes normalize to ONE unit before the int view:
             # pandas upcasts `ts + Timedelta` to ns while Arrow columns
@@ -509,8 +512,6 @@ def asof_join(
     row), i.e. the MAX of ``tiebreak`` — pass a unique column to pin a
     deterministic winner, mirroring a SQL ``row_number() OVER (ORDER BY
     right_on DESC, tiebreak DESC)`` pick."""
-    from ..hashing import xxh64_many
-
     lschema = left.schema()
     lcols = list(lschema.names)
     rkeep = [right_by, right_on] + [c for c in right_cols if c not in (right_by, right_on)]
@@ -520,42 +521,17 @@ def asof_join(
     rextra = [c for c in rkeep if c not in lcols]  # right-side output cols
     all_cols = lcols + rextra
 
-    def bucketer(side: int, key: str):
-        def fn(tbl: pa.Table) -> pa.Table:
-            kcol = tbl.column(key)
-            if pa.types.is_integer(kcol.type):
-                kb = (kcol.to_numpy(zero_copy_only=False).astype(np.uint64)) % np.uint64(num_buckets)
-            else:
-                kb = xxh64_many(pc.cast(kcol.combine_chunks(), pa.string())) % np.uint64(num_buckets)
-            for c in all_cols:
-                if c not in tbl.column_names:
-                    tbl = tbl.append_column(c, pa.nulls(tbl.num_rows, types[c]))
-            tbl = tbl.select(all_cols)
-            return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
-                "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
-            ).replace_schema_metadata(None)
-
-        return fn
-
-    lt = left.map_batches(bucketer(0, left_by), batch_format="pyarrow")
-    rt = right.map_batches(bucketer(1, right_by), batch_format="pyarrow")
+    lt = left.map_batches(_union_bucketer(left_by, 0, all_cols, types, num_buckets),
+                          batch_format="pyarrow")
+    rt = right.map_batches(_union_bucketer(right_by, 1, all_cols, types, num_buckets),
+                           batch_format="pyarrow")
     out_cols = lcols + [c for c in rextra if c != right_by]
     out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
 
     def merge(gt: pa.Table) -> pa.Table:
-        g = gt.to_pandas()
-        lg = g.loc[g["_side"] == 0, lcols].sort_values(left_on, kind="mergesort")
-        rg = g.loc[g["_side"] == 1, rkeep].sort_values(
-            [right_on, *tiebreak], kind="mergesort"
-        )
-        # the union's typed-null padding degrades int join columns to
-        # float64 in pandas when a bucket is one-sided; merge_asof
-        # requires matching key dtypes, so restore them after filtering
-        # (join columns are non-null on their own side by contract)
-        lg = lg.astype({left_by: types[left_by].to_pandas_dtype(),
-                        left_on: types[left_on].to_pandas_dtype()}, copy=False)
-        rg = rg.astype({right_by: types[right_by].to_pandas_dtype(),
-                        right_on: types[right_on].to_pandas_dtype()}, copy=False)
+        lg, rg = _side_tables(gt, lcols, rkeep)
+        lg = lg.sort_values(left_on, kind="mergesort")
+        rg = rg.sort_values([right_on, *tiebreak], kind="mergesort")
         m = pd.merge_asof(
             lg, rg, left_on=left_on, right_on=right_on,
             left_by=left_by, right_by=right_by, direction="backward",

@@ -275,6 +275,47 @@ def test_range_join_brute_force(ray_session):
     assert got2_pairs == want
 
 
+def test_two_sided_joins_preserve_big_int64(ray_session):
+    """The union's typed-null padding must never round int64 values
+    through float64: on-columns above 2^53 (epoch-nanosecond scale) and
+    payload ids near 2^63 must come back exact from range/asof/hash
+    joins (sides are filtered in Arrow before pandas)."""
+    big = 1 << 60
+    bid = (1 << 62) + 12345
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array([bid, bid + 1], pa.int64()),
+        "k": pa.array([1, 1], pa.int64()),
+        "t": pa.array([big, big + 100], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 1], pa.int64()),
+        "rt": pa.array([big + 2, big + 101], pa.int64()),
+        "rid": pa.array([bid + 7, bid + 8], pa.int64()),
+    }))
+    rj = relational.range_join(
+        left, right, left_by="k", left_on="t", right_by="rk", right_on="rt",
+        right_cols=["rid"], lo=0, hi=5,
+    ).to_pandas()
+    assert sorted(zip(rj["lid"], rj["rid"])) == [
+        (bid, bid + 7), (bid + 1, bid + 8)]
+    aj = relational.asof_join(
+        left, right, left_by="k", left_on="t", right_by="rk", right_on="rt",
+        right_cols=["rid"], tiebreak=["rid"],
+    ).to_pandas().sort_values("lid")
+    # lid@big has no right row at/before big; lid@big+100 -> rt=big+2
+    assert pd.isna(aj["rid"].iloc[0]) and aj["rid"].iloc[1] == bid + 7
+    assert aj["lid"].tolist() == [bid, bid + 1]
+
+
+def test_jaccard_join_empty_corpus(ray_session):
+    """jaccard_join on an empty corpus returns an empty typed result
+    (the sampled hot-head pass must survive 0-row to_pandas)."""
+    docs = rd.from_arrow(pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string())]).empty_table())
+    out = dedup.jaccard_join(docs, threshold=0.7)
+    assert out.count() == 0
+
+
 def test_jaccard_join_exhaustive(ray_session):
     """The prefix-filter join (SSJoin lemma) must equal brute-force exact
     Jaccard over ALL pairs — no false negatives at any threshold, on a
