@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "lsh_ann",
     "events_asof_orders",
     "event_bursts",
+    "text_prep",
 ]
 
 

@@ -1514,6 +1514,104 @@ FROM r ORDER BY doc_id
 """.replace("{en_stop}", ", ".join(f"'{w}'" for w in sorted(text.LANG_PROFILES["en"])))
 
 
+def q_text_prep(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-data prep as ONE streaming pipeline —
+    language ID → quality gate (en AND raw quality >= 0.5; margin to
+    the gate is >= 0.028 on the corpus, far above float noise) → exact
+    dedup (min-doc_id keeper per distinct text) → token counts.  Every
+    stage is an individually oracle-checked query (langid /
+    quality_scores / exact_dedup_docs / doc_token_counts); this entry
+    pins their COMPOSITION against one chained SQL oracle.  The
+    keeper-id rejoin broadcasts the survivor manifest (at corpus scale
+    swap in hash_join — ids only, never text)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    enriched = (
+        docs.map_batches(text.LangIdentifier(), batch_format="pyarrow")
+        .map_batches(lambda t: text.quality_scores(t), batch_format="pyarrow")
+        .map_batches(lambda t: text.token_counts(t), batch_format="pyarrow")
+    )
+    gated = enriched.filter(
+        expr="lang_pred == 'en' and quality >= 0.5"
+    ).materialize()
+    keep = dedup.exact_dedup(gated, "text", "doc_id")
+    ids = ray.put(keep.select_columns(["doc_id"]).to_pandas()["doc_id"].tolist())
+    out = relational.broadcast_semi_join(gated, "doc_id", ids).to_pandas()
+    out["quality_r"] = _r5(out["quality"])
+    return out[["doc_id", "lang_pred", "quality_r", "n_ws_tokens"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+SQL_TEXT_PREP = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok FROM documents
+),
+tot AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+profiles(plang, w) AS (VALUES {{values}}),
+hits AS (
+  SELECT t.doc_id, p.plang, count(*) AS h
+  FROM toks t JOIN profiles p ON t.tok = p.w GROUP BY 1, 2
+),
+scores AS (
+  SELECT tot.doc_id, l.plang, coalesce(hits.h, 0)::DOUBLE / tot.n AS score
+  FROM tot CROSS JOIN (SELECT DISTINCT plang FROM profiles) l
+  LEFT JOIN hits ON hits.doc_id = tot.doc_id AND hits.plang = l.plang
+),
+best AS (
+  SELECT doc_id, plang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang DESC) AS rn
+  FROM scores
+),
+lp AS (
+  SELECT d.doc_id, d.text,
+         CASE WHEN b.score > 0.02 THEN b.plang ELSE 'und' END AS lang_pred
+  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+),
+base AS (
+  SELECT doc_id, length(text) AS nc,
+    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha_cnt,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
+    length(text) - length(regexp_replace(text, '[ ' || chr(9) || chr(10) || chr(13) || ']', '', 'g')) AS space_cnt,
+    length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS nonascii_cnt
+  FROM documents
+),
+wstats AS (
+  SELECT doc_id, count(*) AS nw, sum(length(tok))::BIGINT AS wlen,
+         sum(CASE WHEN tok IN ({{en_stop}}) THEN 1 ELSE 0 END)::BIGINT AS stop_hits
+  FROM toks GROUP BY 1
+),
+q AS (
+  SELECT b.doc_id,
+    ((CASE WHEN b.nc >= 50 THEN 1.0 ELSE 0.0 END) * 0.25
+     + least((CASE WHEN w.nw > 0 THEN w.wlen::DOUBLE / w.nw ELSE 0.0 END) / 8.0, 1.0) * 0.25
+     + least((CASE WHEN w.nw > 0 THEN w.stop_hits::DOUBLE / w.nw ELSE 0.0 END) * 4.0, 1.0) * 0.25
+     + (1.0 - least((CASE WHEN b.nc > 0 THEN (b.nc - b.alpha_cnt - b.digit_cnt - b.space_cnt - b.nonascii_cnt)::DOUBLE / b.nc ELSE 0.0 END) * 4.0, 1.0)) * 0.25
+    ) AS qraw
+  FROM base b LEFT JOIN wstats w ON w.doc_id = b.doc_id
+),
+tokc AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens
+  FROM documents
+),
+gated AS (
+  SELECT lp.doc_id, lp.text, lp.lang_pred, q.qraw
+  FROM lp JOIN q ON q.doc_id = lp.doc_id
+  WHERE lp.lang_pred = 'en' AND q.qraw >= 0.5
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+SELECT g.doc_id, g.lang_pred,
+       floor(g.qraw * 100000 + 0.5) / 100000 AS quality_r,
+       tokc.n_ws_tokens
+FROM gated g
+JOIN keep ON keep.doc_id = g.doc_id
+JOIN tokc ON tokc.doc_id = g.doc_id
+ORDER BY g.doc_id
+""".replace("{values}", _sql_stopword_values()).replace(
+    "{en_stop}", ", ".join(f"'{w}'" for w in sorted(text.LANG_PROFILES["en"]))
+)
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     """md5-hash variant of the winnowing fingerprint (DuckDB-replicable:
     md5_number_lower on both sides)."""
@@ -1941,6 +2039,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprint": q_fingerprint,
     "ngram_scores": q_ngram_scores,
+    "text_prep": q_text_prep,
     # full pipelines / fixture-trained indexes (SQL-checked since round 2)
     "crawl_flagship": q_crawl_flagship,
     "discovery_crawl": q_discovery_crawl,
@@ -1988,6 +2087,7 @@ ORACLES = {
     "quality_scores": SQL_QUALITY_SCORES,
     "fingerprint": SQL_FINGERPRINT,
     "ngram_scores": SQL_NGRAM_SCORES,
+    "text_prep": SQL_TEXT_PREP,
     "ivf_ann": SQL_IVF_ANN,
     "lsh_ann": SQL_LSH_ANN,
     "crawl_flagship": SQL_CRAWL_FLAGSHIP,
