@@ -73,10 +73,32 @@ def _loadavg() -> float | None:
         return None
 
 
+def _kernel_rate() -> float | None:
+    """Single-process decode-kernel rows/s (~5 s, no Ray).  Recorded in
+    the bench JSON because loadavg is BLIND to co-tenant DRAM traffic on
+    this shared box: windows with loadavg 0.2 have measured the kernel
+    anywhere from 462 to 1,460 rows/s, and the whole pipeline scales
+    with it (see BENCH/BASELINE.md variance notes).  A low value marks
+    the RUN as degraded, not the code."""
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bandwidth_probe.py"), "4096", "1"],
+            capture_output=True, text=True, check=True, timeout=120,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return float(json.loads(out.strip().splitlines()[-1])["legs"][0][
+            "per_core_rows_per_sec"])
+    except Exception:
+        return None
+
+
 def run_bench() -> dict:
     import ray
 
     load_at_start = _loadavg()  # external load BEFORE we spin up workers
+    kernel_rate = _kernel_rate()  # co-tenant DRAM health (loadavg-blind)
 
     ray.init(
         address="local",
@@ -136,6 +158,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "loadavg_1m_at_start": load_at_start,
             "loadavg_1m_at_end": _loadavg(),
+            "kernel_rate_1proc": kernel_rate,
             "crawl": {
                 "n_seeds": n_seeds,
                 "n_admitted": n_admitted,
@@ -165,6 +188,8 @@ def run_bench() -> dict:
         # start = external load, end includes our own workers draining
         "loadavg_1m_at_start": load_at_start,
         "loadavg_1m_at_end": _loadavg(),
+        # healthy ~1460 rows/s; degraded co-tenant windows measure 460-800
+        "kernel_rate_1proc": kernel_rate,
         "crawl": {
             "n_seeds": n_seeds,
             "n_admitted": n_admitted,
