@@ -392,6 +392,54 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_event_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) windows: 1-hour windows every 15 minutes — each
+    event lands in exactly window/hop = 4 windows.  The explode happens
+    inside the batch kernel (np.repeat, no flat_map rows through the
+    driver), then the same partial-sum + grouped-Sum shape as the
+    tumbling query."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    n_hops = 4  # 1h window / 15min hop
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor("15min")
+        c = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        k = np.tile(np.arange(n_hops), len(df))
+        g = pd.DataFrame({
+            "event_type": np.repeat(df["event_type"].to_numpy(), n_hops),
+            "window_start": np.repeat(base.to_numpy(), n_hops)
+            - k * np.timedelta64(15, "m"),
+            "c": np.repeat(c, n_hops),
+        })
+        out = g.groupby(["event_type", "window_start"], sort=False)["c"].agg(
+            ["sum", "count"]).reset_index()
+        return out.rename(columns={"sum": "_ps", "count": "_pn"})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(assign, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("_ps", alias_name="value_sum_c"), Sum("_pn", alias_name="n_events"))
+    ).to_pandas()
+    out["window_start"] = out["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+# every event belongs to windows starting at bucket(ts) - k*hop for
+# k = 0..3: bucket(ts) <= ts < bucket+hop implies ws <= ts < ws + 1h
+# for all four, so no containment filter is needed
+SQL_EVENT_HOPPING = """
+SELECT event_type,
+       strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_c,
+       count(*) AS n_events
+FROM events CROSS JOIN unnest([0, 1, 2, 3]) AS t(k)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_session_windows(sf_dir: str) -> pd.DataFrame:
     """§2.8 streaming: 30-minute-gap session windows per user."""
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
@@ -2011,6 +2059,7 @@ QUERIES = {
     "event_windows": q_event_windows,
     "events_asof_orders": q_events_asof_orders,
     "event_bursts": q_event_bursts,
+    "event_hopping": q_event_hopping,
     "session_windows": q_session_windows,
     "union_nationkeys": q_union_nationkeys,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -2060,6 +2109,7 @@ ORACLES = {
     "event_windows": SQL_EVENT_WINDOWS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "event_bursts": SQL_EVENT_BURSTS,
+    "event_hopping": SQL_EVENT_HOPPING,
     "session_windows": SQL_SESSION_WINDOWS,
     "union_nationkeys": SQL_UNION_NATIONKEYS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
