@@ -277,12 +277,19 @@ def run_crawl(
             # backpressure count (pop-first made it invisible and let a
             # third epoch's write start)
             epoch_, admitted_, blobs_, nums_, fut_ = inflight[0]
-            _ct = _time.time()
+            _ct = time.time()
             frags = fut_.result()
             if _dbg:
-                print(f"[crawl-timing] epoch {epoch_} commit: frags_wait {_time.time()-_ct:.2f}s", flush=True)
-            _ct = _time.time()
+                print(f"[crawl-timing] epoch {epoch_} commit: frags_wait {time.time()-_ct:.2f}s", flush=True)
+            _ct = time.time()
             run.images_out.commit_fragments(frags)
+            if not frags:
+                # EMPTY epoch: register the partition explicitly (an
+                # empty-sentinel fragment) — commit_fragments([]) is a
+                # no-op, and resume_epoch's contiguous committed-prefix
+                # scan would otherwise stall at the gap forever and
+                # recompute the whole crawl on every rerun
+                run.images_out.append_partition(pa.table({}), epoch_)
             flags = run.images_out.partition_table(epoch_, columns=["valid", "big"])
             run.crawl_order.append_partition(
                 admitted_ if admitted_.num_rows else pa.table({}), epoch_
@@ -317,7 +324,7 @@ def run_crawl(
             )
             inflight.pop(0)
             if _dbg:
-                print(f"[crawl-timing] epoch {epoch_} commit: apply {_time.time()-_ct:.2f}s", flush=True)
+                print(f"[crawl-timing] epoch {epoch_} commit: apply {time.time()-_ct:.2f}s", flush=True)
 
         import queue
         import time
@@ -366,7 +373,6 @@ def run_crawl(
                     return
 
         import os as _os
-        import time as _time
 
         _dbg = _os.environ.get("CRAWL_TIMING") == "1"
 
@@ -378,22 +384,38 @@ def run_crawl(
             blobs_tbl = run.state.partition_table(start_epoch - 1)
             order = np.argsort(blobs_tbl.column("shard").to_numpy())
             pool.restore([blobs_tbl.column("blob")[int(i)].as_py() for i in order])
-        pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
+        hs = list(delays)
+        # ONE vectorized hash call over all hosts (per-host 1-element
+        # xxh64_many calls cost ~0.1 ms each — serial driver seconds at
+        # a 10^5-host robots table)
+        pool.set_robots(delays, dict(zip(hs, (int(v) for v in xxh64_many(hs)))) if hs else {})
         try:
             for epoch in range(start_epoch, num_epochs):
                 lo, hi = bounds[epoch], bounds[epoch + 1]
                 if hi <= lo:
+                    # empty epochs still commit (state marker + empty
+                    # partitions) in commit order — skipping would leave
+                    # a permanent resume gap (see commit_oldest)
+                    inflight.append(
+                        (epoch, pa.table({}), pool.checkpoints(), (0, 0, 0),
+                         executor.submit(list))
+                    )
+                    if committer is None:
+                        committer = executor2.submit(commit_loop)
+                    commit_q.put(None)
+                    if commit_err:
+                        raise commit_err[0]
                     continue
                 stats_before = pool.stats()
-                _t = _time.time()
+                _t = time.time()
                 cdf = canon_futs.pop(epoch).result()
                 if _dbg:
-                    print(f"[crawl-timing] epoch {epoch} canon_wait {_time.time()-_t:.2f}s", flush=True)
+                    print(f"[crawl-timing] epoch {epoch} canon_wait {time.time()-_t:.2f}s", flush=True)
                 prefetch_from(epoch + 1)
-                _t = _time.time()
+                _t = time.time()
                 admitted = admit_epoch(cdf)
                 if _dbg:
-                    print(f"[crawl-timing] epoch {epoch} admit {_time.time()-_t:.2f}s", flush=True)
+                    print(f"[crawl-timing] epoch {epoch} admit {time.time()-_t:.2f}s", flush=True)
                 stats_after = pool.stats()
                 d_admit = sum(s["admitted"] for s in stats_after) - sum(
                     s["admitted"] for s in stats_before
@@ -403,21 +425,21 @@ def run_crawl(
                 )
                 blobs = pool.checkpoints()  # exactly epochs <= this one
 
-                _t = _time.time()
+                _t = time.time()
                 admitted = admitted.append_column(
                     "epoch", pa.array(np.full(admitted.num_rows, epoch, dtype=np.int64))
                 )
                 admitted = add_image_ids(admitted, store_size)
                 admitted = admitted.sort_by(
                     [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
-                ).select([c for c in ORDER_COLS if c != "path"] + ["image_id"])
+                ).select(list(ORDER_COLS) + ["image_id"])
                 if _dbg:
-                    print(f"[crawl-timing] epoch {epoch} order_prep {_time.time()-_t:.2f}s", flush=True)
+                    print(f"[crawl-timing] epoch {epoch} order_prep {time.time()-_t:.2f}s", flush=True)
 
-                _t = _time.time()
+                _t = time.time()
                 vds = build_validated_ds(admitted)
                 if _dbg:
-                    print(f"[crawl-timing] epoch {epoch} build_ds {_time.time()-_t:.2f}s", flush=True)
+                    print(f"[crawl-timing] epoch {epoch} build_ds {time.time()-_t:.2f}s", flush=True)
                 fut = executor.submit(
                     run.images_out.write_partition_files, vds, epoch
                 )

@@ -71,31 +71,31 @@ def _canonicalize(seeds: pa.Table, disallow, nblocks: int) -> pa.Table:
 
 def discover_kernel(tbl: pa.Table) -> pa.Table:
     """map_batches kernel: fetched page records → CRAWLED_MEDIA rows +
-    (parent_rank, intra_pos) for deterministic discovery ordering."""
-    out = []
-    for i in range(tbl.num_rows):
-        one = tbl.slice(i, 1)
-        media = extract_media_batch(
-            pa.table(
-                {
-                    "record_url": one.column("url"),
-                    "warc_type": pa.array(["response"]),
-                    "mime": one.column("mime"),
-                    "payload": one.column("payload"),
-                }
-            )
-        )
-        if media.num_rows:
-            media = media.append_column(
-                "parent_rank",
-                pa.array(np.full(media.num_rows, one.column("seed_rank")[0].as_py(), dtype=np.int64)),
-            ).append_column(
-                "intra_pos", pa.array(np.arange(media.num_rows, dtype=np.int64))
-            )
-            out.append(media)
-    if not out:
+    (parent_rank, intra_pos) for deterministic discovery ordering.  ONE
+    visitor pass over the whole batch; per-page positions derive from
+    the extractor's ``_page_idx`` column (rows arrive grouped by page in
+    page order), not from a per-page table slice + re-invocation."""
+    media = extract_media_batch(
+        pa.table(
+            {
+                "record_url": tbl.column("url"),
+                "warc_type": pa.array(["response"] * tbl.num_rows),
+                "mime": tbl.column("mime"),
+                "payload": tbl.column("payload"),
+            }
+        ),
+        with_page_index=True,
+    )
+    if media.num_rows == 0:
         return _EMPTY_MEDIA
-    return pa.concat_tables(out)
+    idx = media.column("_page_idx").to_numpy()
+    ranks = tbl.column("seed_rank").to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.bincount(idx, minlength=tbl.num_rows)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    intra = np.arange(len(idx), dtype=np.int64) - starts[idx]
+    return media.drop_columns(["_page_idx"]).append_column(
+        "parent_rank", pa.array(ranks[idx])
+    ).append_column("intra_pos", pa.array(intra))
 
 
 from ..schemas import CRAWLED_MEDIA as _CM  # noqa: E402
@@ -137,7 +137,18 @@ def _pages_index(paths: tuple) -> tuple[pa.Table, dict]:
         if len(_PAGES_IDX_CACHE) > 2:
             _PAGES_IDX_CACHE.clear()
         tbl = pa.concat_tables([pq.read_table(p) for p in paths])
-        idx = {u: i for i, u in enumerate(tbl.column("record_url").to_pylist())}
+        urls = tbl.column("record_url").to_pylist()
+        idx = {u: i for i, u in enumerate(urls)}
+        if len(idx) != len(urls):
+            # PRECONDITION for both fetch modes: duplicate record_url
+            # rows would make broadcast (dict keeps one copy) and scan
+            # (fans out to every copy) diverge AND make the discovered
+            # ordering block-arrival-dependent — dedupe upstream
+            # (exact_dedup on record_url) before discovery
+            raise ValueError(
+                f"page store has {len(urls) - len(idx)} duplicate "
+                "record_url rows; discovery requires a unique page key"
+            )
         got = _PAGES_IDX_CACHE.setdefault(key, (tbl, idx))
     return got
 
@@ -303,7 +314,11 @@ def run_discovery_crawl(
     start = run.resume_epoch()
     pool = FrontierPool(num_shards, capacity_per_shard=shard_capacity)
     try:
-        pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
+        hs = list(delays)
+        # ONE vectorized hash call over all hosts (per-host 1-element
+        # xxh64_many calls cost ~0.1 ms each — serial driver seconds at
+        # a 10^5-host robots table)
+        pool.set_robots(delays, dict(zip(hs, (int(v) for v in xxh64_many(hs)))) if hs else {})
         if start > 0:
             blobs_tbl = run.state.partition_table(start - 1)
             order = np.argsort(blobs_tbl.column("shard").to_numpy())

@@ -119,7 +119,11 @@ def run_streaming_crawl(
         capacity_per_shard=1 << max(16, (int(2.5 * seeds.num_rows / num_shards) - 1).bit_length()),
     )
     try:
-        pool.set_robots(delays, {h: int(xxh64_many([h])[0]) for h in delays})
+        hs = list(delays)
+        # ONE vectorized hash call over all hosts (per-host 1-element
+        # xxh64_many calls cost ~0.1 ms each — serial driver seconds at
+        # a 10^5-host robots table)
+        pool.set_robots(delays, dict(zip(hs, (int(v) for v in xxh64_many(hs)))) if hs else {})
 
         if start_round > 0:
             # resume: queue/heap/seen state all live in the round checkpoint
@@ -168,9 +172,20 @@ def run_streaming_crawl(
             validated = fetched.map_batches(decoder, batch_format="pyarrow", batch_size=256)
             run.images_out.append_ray_partition(validated, rounds)
             run.crawl_order.append_partition(admitted, rounds)
+            # counter semantics match the batch pipeline: 'fetched' =
+            # committed image rows (store misses emit null-payload rows,
+            # so fetched == admitted only when every id resolves);
+            # valid/big from the committed flags, same as crawl_oldest
+            flags = run.images_out.partition_table(rounds, columns=["valid", "big"])
             run.lineage.append_partition(
-                lineage_table(rounds, rounds, "stream",
-                              {"fetched": admitted.num_rows}),
+                lineage_table(rounds, rounds, "stream", {
+                    "admitted": admitted.num_rows,
+                    "fetched": flags.num_rows,
+                    "valid": int(pa.compute.sum(flags.column("valid")).as_py() or 0)
+                    if flags.num_rows else 0,
+                    "big": int(pa.compute.sum(flags.column("big")).as_py() or 0)
+                    if flags.num_rows else 0,
+                }),
                 rounds,
             )
             # state LAST: it is the round-completion marker resume_epoch

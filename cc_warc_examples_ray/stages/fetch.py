@@ -96,14 +96,28 @@ class StoreLookupFetcher:
         self._index: dict = {}
         for i, v in enumerate(admitted.column(admitted_key).to_pylist()):
             self._index.setdefault(v, []).append(i)
-        self._keyset = pa.array(list(self._index))
+        # type the keyset from the admitted column: pa.array([]) is
+        # null-typed and pc.is_in raises on a string store column (an
+        # all-duplicate epoch admits 0 rows — must emit 0 matches, not
+        # crash)
+        self._keyset = pa.array(
+            list(self._index),
+            type=admitted.schema.field(admitted_key).type,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         # vectorized pre-filter: at scale almost every store row misses
-        # the admitted set — drop them before the python fan-out loop
-        batch = batch.filter(pc.is_in(batch.column(self.store_key), value_set=self._keyset))
+        # the admitted set — drop them before the python fan-out loop.
+        # Skipped when the admitted set is empty: besides being useless,
+        # an empty keyset may be null-typed and pc.is_in would raise
+        if len(self._keyset):
+            batch = batch.filter(
+                pc.is_in(batch.column(self.store_key), value_set=self._keyset)
+            )
+        else:
+            batch = batch.slice(0, 0)
         ids = batch.column(self.store_key).to_pylist()
         store_pos: list[int] = []
         meta_pos: list[int] = []

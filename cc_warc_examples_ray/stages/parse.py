@@ -225,15 +225,21 @@ class _MediaVisitor(HTMLParser):
             self.stack[-1][2].append(data.strip())
 
 
-def extract_media_batch(tbl: pa.Table) -> pa.Table:
-    """response+HTML records → CRAWLED_MEDIA rows (one per media element)."""
+def extract_media_batch(tbl: pa.Table, with_page_index: bool = False) -> pa.Table:
+    """response+HTML records → CRAWLED_MEDIA rows (one per media element).
+
+    ``with_page_index=True`` appends ``_page_idx`` = the input-batch row
+    each media row came from (rows are emitted grouped by page, in page
+    order) — lets callers derive per-page positions vectorized instead
+    of re-invoking the visitor one page at a time."""
     from ..schemas import CRAWLED_MEDIA
 
     mimes = tbl.column("mime").to_pylist()
     payloads = tbl.column("payload").to_pylist()
     urls = tbl.column("record_url").to_pylist()
     rows: list[dict] = []
-    for mime, payload, url in zip(mimes, payloads, urls):
+    page_of: list[int] = []
+    for pi, (mime, payload, url) in enumerate(zip(mimes, payloads, urls)):
         if mime != RESPONSE_MIME:
             continue
         header, body = split_http_payload(payload)
@@ -246,7 +252,12 @@ def extract_media_batch(tbl: pa.Table) -> pa.Table:
         except Exception:
             continue  # swallow-and-continue (MediaMap.java:63-65)
         rows.extend(v.rows)
+        page_of.extend([pi] * len(v.rows))
     if not rows:
-        return CRAWLED_MEDIA.empty_table()
-    cols = {name: [r[name] for r in rows] for name in CRAWLED_MEDIA.names}
-    return pa.table(cols, schema=CRAWLED_MEDIA)
+        out = CRAWLED_MEDIA.empty_table()
+    else:
+        cols = {name: [r[name] for r in rows] for name in CRAWLED_MEDIA.names}
+        out = pa.table(cols, schema=CRAWLED_MEDIA)
+    if with_page_index:
+        out = out.append_column("_page_idx", pa.array(page_of, pa.int64()))
+    return out

@@ -37,6 +37,25 @@ def _order_key(t: pa.Table):
     )
 
 
+def test_crawl_empty_epochs_commit(ray_session, store, fixtures, tmp_path):
+    """More epochs than seeds: empty epochs must still commit their
+    state/images partitions, otherwise resume_epoch's contiguous scan
+    stalls at the gap and every rerun recomputes the whole crawl."""
+    _, robots = fixtures
+    seeds = synth.frontier_seeds_table(2, n_hosts=3)
+    out = str(tmp_path / "tiny")
+    run = run_crawl(seeds, robots, store.fragment_paths(), out,
+                    num_shards=2, num_epochs=4, store_size=N_IMAGES,
+                    concurrency=(1, 2))
+    assert run.resume_epoch() == 4  # every epoch committed, incl. empties
+    order1 = _order_key(run.order_table())
+    # rerun on the completed dir: a no-op resume, identical output
+    run2 = run_crawl(seeds, robots, store.fragment_paths(), out,
+                     num_shards=2, num_epochs=4, store_size=N_IMAGES,
+                     concurrency=(1, 2))
+    assert _order_key(run2.order_table()) == order1
+
+
 def test_crawl_matches_oracle(ray_session, store, fixtures, tmp_path):
     seeds, robots = fixtures
     run = run_crawl(

@@ -22,7 +22,7 @@ def _admitted(n=30, miss=2):
     m = n + miss
     return pa.table(
         {
-            "image_id": pa.array(ids),
+            "image_id": pa.array(ids, pa.string()),
             "fetch_time_ms": pa.array(np.arange(m, dtype=np.int64)),
             "host_index": pa.array(np.zeros(m, dtype=np.int64)),
             "seed_rank": pa.array(np.arange(m, dtype=np.int64)),
@@ -44,6 +44,17 @@ def test_broadcast_scan_parity(ray_session, store):
     assert b["image_id"].tolist() == s["image_id"].tolist()
     assert (b["bytes"] == s["bytes"]).all()
     assert b["caption"].tolist() == s["caption"].tolist()
+
+
+def test_scan_mode_empty_admitted(ray_session, store):
+    """An all-duplicate epoch admits 0 rows: scan mode must emit 0 rows,
+    not crash (pa.array([]) is null-typed and pc.is_in raises against a
+    string store column)."""
+    adm = _admitted(n=0, miss=0)
+    out = fetch.fetch_scan_store(store.fragment_paths(), adm).to_pandas()
+    assert len(out) == 0
+    b = fetch.fetch_broadcast_store(store.fragment_paths(), adm).to_pandas()
+    assert len(b) == 0  # mode parity on the empty epoch
 
 
 def test_broadcast_keeps_fetch_misses(ray_session, store):
