@@ -130,6 +130,40 @@ def canonicalized_ds(seeds: pa.Table, disallow: dict, nblocks: int) -> rd.Datase
     return eds.map_batches(_make_robots_gate(disallow), batch_format="pyarrow")
 
 
+def default_shard_capacity(n_seeds: int, num_shards: int) -> int:
+    """Seen-set slots per shard: 2.5x a UNIFORM split (admission routes
+    by url-hash, which is provably uniform — host-hash routing would
+    need worst-case-host sizing), rounded up to a power of two, floor
+    2^16.  One formula for all three pipelines."""
+    need = max(1 << 16, int(2.5 * n_seeds / num_shards))
+    return 1 << (need - 1).bit_length()
+
+
+def admit_table(pool: FrontierPool, ct: pa.Table) -> pa.Table:
+    """Rank-ordered admission through the PIPELINED shard protocol (all
+    chunks' admit calls in flight at once, schedule calls streamed
+    behind — no per-chunk driver sync), Arrow end-to-end.  THE single
+    admission implementation: the flagship, discovery and streaming
+    paths all route here so the protocol can't drift between modes.
+    ``host_hash`` comes from the canonicalized column when present,
+    else is hashed from ``host``."""
+    ct = ct.sort_by([("seed_rank", "ascending")])
+    if ct.num_rows == 0:
+        return ct.append_column(
+            "fetch_time_ms", pa.array([], pa.int64())
+        ).append_column("host_index", pa.array([], pa.int64()))
+    uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    if "host_hash" in ct.column_names:
+        hh = ct.column("host_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    else:
+        hh = xxh64_many(ct.column("host"))
+    admit, ft, hi = pool.admit_and_schedule_pipelined(uh, hh)
+    out = ct.filter(pa.array(admit))
+    return out.append_column(
+        "fetch_time_ms", pa.array(ft[admit], pa.int64())
+    ).append_column("host_index", pa.array(hi[admit], pa.int64()))
+
+
 def lineage_table(epoch: int, partition: int, stage: str, counters: dict) -> pa.Table:
     """One LINEAGE partition's rows (shared shape across pipelines)."""
     return pa.table(
@@ -196,8 +230,7 @@ def run_crawl(
     import pyarrow.parquet as pq
 
     if shard_capacity is None:
-        need = max(1 << 16, int(2.5 * seeds.num_rows / num_shards))
-        shard_capacity = 1 << (need - 1).bit_length()
+        shard_capacity = default_shard_capacity(seeds.num_rows, num_shards)
 
     run = CrawlRun(out_dir)
     if store_size is None:
@@ -237,17 +270,7 @@ def run_crawl(
             return pa.concat_tables(tables).combine_chunks()
 
         def admit_epoch(ct: pa.Table) -> pa.Table:
-            """Epoch admission via the PIPELINED shard protocol: all
-            chunks' admit calls in flight at once, schedule calls
-            streamed behind them — no per-chunk driver sync."""
-            ct = ct.sort_by([("seed_rank", "ascending")])
-            uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            hh = ct.column("host_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            admit, ft, hi = pool.admit_and_schedule_pipelined(uh, hh)
-            out = ct.filter(pa.array(admit))
-            return out.append_column(
-                "fetch_time_ms", pa.array(ft[admit], pa.int64())
-            ).append_column("host_index", pa.array(hi[admit], pa.int64()))
+            return admit_table(pool, ct)
 
         decode_cap = (concurrency if isinstance(concurrency, int)
                       else max(concurrency) if concurrency else None)

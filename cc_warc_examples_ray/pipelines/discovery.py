@@ -38,27 +38,16 @@ from .crawl import (
     ORDER_COLS,
     CrawlRun,
     _robots_maps,
+    admit_table,
     canonicalized_ds,
     lineage_table,
 )
 
 
 def _admit(pool: FrontierPool, ct: pa.Table) -> pa.Table:
-    """Rank-ordered epoch admission, Arrow end-to-end (mirrors the
-    flagship's admit_epoch — pandas round-trips were the dominant serial
-    cost at large frontiers)."""
-    ct = ct.sort_by([("seed_rank", "ascending")])
-    if ct.num_rows == 0:
-        return ct.append_column("fetch_time_ms", pa.array([], pa.int64())).append_column(
-            "host_index", pa.array([], pa.int64())
-        )
-    uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-    hh = xxh64_many(ct.column("host"))
-    a, ft, hi = pool.admit_and_schedule_pipelined(uh, hh)
-    out = ct.filter(pa.array(a))
-    return out.append_column("fetch_time_ms", pa.array(ft[a], pa.int64())).append_column(
-        "host_index", pa.array(hi[a], pa.int64())
-    )
+    """Rank-ordered epoch admission — the flagship's shared
+    :func:`..pipelines.crawl.admit_table` (one protocol, all modes)."""
+    return admit_table(pool, ct)
 
 
 def _canonicalize(seeds: pa.Table, disallow, nblocks: int) -> pa.Table:

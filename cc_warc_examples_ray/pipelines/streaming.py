@@ -44,6 +44,7 @@ from .crawl import (
     CrawlRun,
     _robots_maps,
     canonicalized_ds,
+    default_shard_capacity,
     lineage_table,
 )
 
@@ -59,17 +60,7 @@ def _admit_enqueue_chunk(pool: FrontierPool, num_shards: int, ct: pa.Table) -> N
     urls = ct.column("url").to_pylist()
     paths = ct.column("path").to_pylist()
 
-    admit = np.zeros(len(uh), dtype=bool)
-    shard_a = pool.route(uh)
-    futs, idxs = [], []
-    for s in range(num_shards):
-        idx = np.flatnonzero(shard_a == s)
-        if len(idx):
-            futs.append(pool.shards[s].admit_batch.remote(uh[idx]))
-            idxs.append(idx)
-    for idx, a in zip(idxs, ray.get(futs)):
-        admit[idx] = a
-
+    admit = pool.admit_only(uh)
     adm_idx = np.flatnonzero(admit)
     shard_h = pool.route(hh[adm_idx])
     enq = []
@@ -116,7 +107,7 @@ def run_streaming_crawl(
     start_round = run.resume_epoch()
     pool = FrontierPool(
         num_shards,
-        capacity_per_shard=1 << max(16, (int(2.5 * seeds.num_rows / num_shards) - 1).bit_length()),
+        capacity_per_shard=default_shard_capacity(seeds.num_rows, num_shards),
     )
     try:
         hs = list(delays)

@@ -263,6 +263,25 @@ class FrontierPool:
             per_shard[int(host_hashes[h] % self.num_shards)][h] = d
         ray.get([s.set_robots.remote(m) for s, m in zip(self.shards, per_shard)])
 
+    def admit_only(self, url_hashes: np.ndarray) -> np.ndarray:
+        """Round A alone: first-seen cuckoo admit, routed by URL-hash
+        (uniform — Zipf-host-safe).  THE single implementation of the
+        admit fan-out/reassembly, shared by admit_and_schedule and the
+        streaming enqueue path."""
+        uh = np.asarray(url_hashes, dtype=np.uint64)
+        admit = np.zeros(len(uh), dtype=bool)
+        shard_of = self.route(uh)
+        futs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard_of == s)
+            if len(idx) == 0:
+                continue
+            futs.append(self.shards[s].admit_batch.remote(uh[idx]))
+            idxs.append(idx)
+        for idx, a in zip(idxs, ray.get(futs)):
+            admit[idx] = a
+        return admit
+
     def admit_and_schedule(
         self, url_hashes: np.ndarray, host_hashes: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -276,21 +295,11 @@ class FrontierPool:
         n = len(url_hashes)
         uh = np.asarray(url_hashes, dtype=np.uint64)
         hh = np.asarray(host_hashes, dtype=np.uint64)
-        admit = np.zeros(n, dtype=bool)
         fetch_time = np.full(n, -1, dtype=np.int64)
         host_index = np.full(n, -1, dtype=np.int64)
 
         # round A: seen-set admit by url-hash
-        shard_of = self.route(uh)
-        futs, idxs = [], []
-        for s in range(self.num_shards):
-            idx = np.flatnonzero(shard_of == s)
-            if len(idx) == 0:
-                continue
-            futs.append(self.shards[s].admit_batch.remote(uh[idx]))
-            idxs.append(idx)
-        for idx, a in zip(idxs, ray.get(futs)):
-            admit[idx] = a
+        admit = self.admit_only(uh)
 
         # round B: politeness schedule by host-hash, admitted rows only
         adm_idx = np.flatnonzero(admit)
