@@ -4,11 +4,13 @@ frame-sample over opaque ``binary`` payload columns with typed metadata.
 Images are fully real (pure-numpy codecs from
 :mod:`cc_warc_examples_ray.imagecodec` — the reference's ``ImageIO``
 decode + 1024x768 scale cap, `ImageVectorization.java:31,156-157`).
-Audio/video decoding needs codec libraries this container does not ship,
-so those *decode kernels* are STUBS behind ``NotImplementedError`` /
-a deterministic fake — but the Ray-side plumbing (schemas, actor-pool
-signatures, batch sizing, output layout) is real and tested, so swapping
-a real decoder in changes one function.
+Audio is real for RIFF/WAVE PCM (8/16-bit + float32); video is real for
+UNCOMPRESSED 24-bit DIB AVI (RIFF container per the public spec) plus
+the deterministic ``fvid`` fake.  COMPRESSED audio/video codecs need
+libraries this container does not ship, so those decode kernels are
+STUBS behind ``NotImplementedError`` — the Ray-side plumbing (schemas,
+actor-pool signatures, batch sizing, output layout) is real and tested,
+so swapping a real decoder in changes one function.
 
 All stages are ``map_batches`` callable classes (actor-pool-ready:
 state in ``__init__``) operating on Arrow batches; payload bytes never
@@ -299,9 +301,94 @@ class VideoFrameSampler:
             out.append(f)
         return b"".join(out)
 
+    @staticmethod
+    def avi_encode(frames: list[np.ndarray], fps: int = 25) -> bytes:
+        """Minimal UNCOMPRESSED AVI (RIFF 'AVI ', 'DIB ' vids stream,
+        24-bit bottom-up BGR '00db' movi chunks) — the public container
+        layout from the Microsoft AVI/RIFF spec.  Real-format test/synth
+        source for :meth:`_parse_avi`."""
+        import struct
+
+        h, w, _ = frames[0].shape
+        stride = (w * 3 + 3) & ~3
+
+        def dib(img: np.ndarray) -> bytes:
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+            return rows.tobytes()
+
+        def chunk(cc: bytes, payload: bytes) -> bytes:
+            pad = b"\x00" if len(payload) & 1 else b""
+            return cc + struct.pack("<I", len(payload)) + payload + pad
+
+        avih = struct.pack(
+            "<10I", 1_000_000 // fps, stride * h * fps, 0, 0x10,
+            len(frames), 0, 1, stride * h, w, h,
+        ) + b"\x00" * 16
+        strh = (b"vids" + b"DIB " + struct.pack("<I", 0) + b"\x00" * 8
+                + struct.pack("<3I", 1, fps, 0)
+                + struct.pack("<3I", len(frames), stride * h, 0xFFFFFFFF)
+                + struct.pack("<I", 0) + b"\x00" * 8)
+        strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           stride * h, 0, 0, 0, 0)
+        strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+        hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+        movi = b"movi" + b"".join(chunk(b"00db", dib(f)) for f in frames)
+        body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    @staticmethod
+    def _iter_riff(blob: bytes, pos: int, end: int):
+        import struct
+
+        while pos + 8 <= end:
+            cc = blob[pos : pos + 4]
+            (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+            yield cc, blob[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+
+    def _parse_avi(self, blob: bytes):
+        """REAL container path: uncompressed 24-bit DIB AVI → frames,
+        re-encoded as BMP so the output schema matches the fvid path.
+        Compressed codecs (mjpg/h264/...) still need external libraries
+        → NotImplementedError."""
+        import struct
+
+        w = h = None
+        movi = None
+        for cc, payload in self._iter_riff(blob, 12, len(blob)):
+            if cc != b"LIST":
+                continue
+            kind, body = payload[:4], payload[4:]
+            if kind == b"hdrl":
+                for cc2, p2 in self._iter_riff(payload, 4, len(payload)):
+                    if cc2 == b"LIST" and p2[:4] == b"strl":
+                        for cc3, p3 in self._iter_riff(p2, 4, len(p2)):
+                            if cc3 == b"strf" and len(p3) >= 40:
+                                (_, w, h, _, bits, comp) = struct.unpack(
+                                    "<IiiHHI", p3[:20])
+                                if comp != 0 or bits != 24:
+                                    raise NotImplementedError(
+                                        "compressed AVI codecs require external libraries")
+            elif kind == b"movi":
+                movi = payload
+        if w is None or movi is None:
+            raise ValueError("not a DIB AVI")
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        for cc, fb in self._iter_riff(movi, 4, len(movi)):
+            if not cc.endswith(b"db"):
+                continue
+            rows = np.frombuffer(fb[: stride * h], np.uint8).reshape(h, stride)
+            rgb = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+            yield "bmp", imagecodec.bmp_encode(np.ascontiguousarray(rgb))
+
     def _parse(self, blob: bytes):
         import struct
 
+        if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+            yield from self._parse_avi(blob)
+            return
         if blob[:4] != b"FVID":
             raise NotImplementedError("real video containers require external libraries")
         (n,) = struct.unpack("<I", blob[4:8])

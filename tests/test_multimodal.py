@@ -113,3 +113,28 @@ def test_video_frame_sampling():
     img = imagecodec.decode(got[1]["frame_bytes"], got[1]["fmt"])
     assert img.shape == (16, 16, 3)
     assert got[1]["ts_ms"] == 400
+
+
+def test_video_avi_real_container():
+    """Uncompressed 24-bit DIB AVI decodes FOR REAL (RIFF container per
+    the public AVI spec): sampled frames round-trip pixel-exact; odd
+    widths exercise the 4-byte row padding; compressed AVIs still raise
+    (stub boundary)."""
+    import numpy as np
+
+    src = [synth.render_image(i, 15, 9) for i in range(12)]  # odd width
+    avi = multimodal.VideoFrameSampler.avi_encode(src, fps=25)
+    t = pa.table({"media_id": ["a1"], "bytes": [avi]})
+    out = multimodal.VideoFrameSampler(every_nth=5, max_frames=8)(t).to_pylist()
+    assert [r["frame_index"] for r in out] == [0, 5, 10]
+    for r in out:
+        got = imagecodec.decode(r["frame_bytes"], r["fmt"])
+        assert np.array_equal(got, src[r["frame_index"]])
+
+    # compressed stream (biCompression != 0) stays a declared stub
+    bad = bytearray(avi)
+    strf_at = bytes(bad).find(b"strf")
+    # biCompression is 16 bytes into BITMAPINFOHEADER (after strf cc+size)
+    bad[strf_at + 8 + 16] = 1
+    t2 = pa.table({"media_id": ["c1"], "bytes": [bytes(bad)]})
+    assert multimodal.VideoFrameSampler()(t2).num_rows == 0  # skipped, not crashed
