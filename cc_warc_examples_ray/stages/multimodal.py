@@ -155,11 +155,54 @@ VIDEO_FRAMES_SCHEMA = pa.schema(
 )
 
 
+def _g711_decode(codes: np.ndarray, alaw: bool) -> np.ndarray:
+    """ITU-T G.711 expansion (the public segmented-companding spec) →
+    float32 in [-1, 1], vectorized over the byte stream."""
+    c = codes.astype(np.int32)
+    if alaw:
+        c ^= 0x55
+        # A-law sign bit 1 = POSITIVE (opposite of μ-law's complemented bit)
+        sign = np.where(c & 0x80, 1, -1)
+        exp = (c >> 4) & 0x07
+        mant = c & 0x0F
+        mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    else:
+        c = ~c & 0xFF
+        sign = np.where(c & 0x80, -1, 1)
+        exp = (c >> 4) & 0x07
+        mant = c & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return (sign * mag).astype(np.float32) / 32768.0
+
+
+def g711_encode(samples: np.ndarray, alaw: bool) -> np.ndarray:
+    """ITU-T G.711 compression of float32 [-1, 1] → uint8 codes (test /
+    synth source; exact inverse pairing with :func:`_g711_decode` is
+    pinned by the round-trip test)."""
+    x = np.clip((samples * 32768.0), -32768, 32767).astype(np.int32)
+    # A-law: bit 7 = 1 for positive; μ-law: bit set pre-complement for negative
+    sign_bit = np.where(x < 0, 0x80, 0) if not alaw else np.where(x >= 0, 0x80, 0)
+    mag = np.abs(x)
+    if alaw:
+        mag = np.minimum(mag, 0x7FFF)
+        exp = np.maximum(np.int32(np.floor(np.log2(np.maximum(mag, 1)))) - 7, 0)
+        exp = np.minimum(exp, 7)
+        mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+        code = (sign_bit | (exp << 4) | mant) ^ 0x55
+    else:
+        mag = np.minimum(mag + 0x84, 0x7FFF)
+        exp = np.int32(np.floor(np.log2(mag))) - 7
+        exp = np.clip(exp, 0, 7)
+        mant = (mag >> (exp + 3)) & 0x0F
+        code = ~(sign_bit | (exp << 4) | mant) & 0xFF
+    return code.astype(np.uint8)
+
+
 def parse_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """Real RIFF/WAVE parser (public ISO/IEC + Microsoft RIFF layout —
     plain struct framing, no codec library needed): walks the chunk list,
-    reads the ``fmt `` chunk (PCM8 / PCM16 / IEEE-float32) and the
-    ``data`` chunk, averages channels to mono.
+    reads the ``fmt `` chunk (PCM8 / PCM16 / IEEE-float32 / G.711
+    A-law / μ-law) and the ``data`` chunk, averages channels to mono.
 
     Returns (float32 mono samples in [-1, 1], sample_rate).  Lenient on a
     truncated ``data`` chunk (uses the bytes present); raises ValueError
@@ -192,6 +235,11 @@ def parse_wav(blob: bytes) -> tuple[np.ndarray, int]:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif audio_format == 3 and bits == 32:
         x = np.frombuffer(data[: len(data) - len(data) % 4], dtype="<f4").astype(np.float32)
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711 A-law (6) / μ-law (7) — real telephony codecs, decoded
+        # from the public ITU-T G.711 tables (pure numpy expansion)
+        x = _g711_decode(np.frombuffer(data, dtype=np.uint8),
+                         alaw=(audio_format == 6))
     else:
         raise ValueError(f"unsupported WAVE format tag {audio_format}/{bits}-bit")
     if channels > 1:

@@ -102,6 +102,36 @@ def test_wav_roundtrip_and_featurizer():
     assert not out[1]["decoded"]
 
 
+def test_g711_wav_decode():
+    """G.711 A-law/μ-law expansion is bit-exact vs the stdlib reference
+    implementation (audioop), and a fmt-tag-6/7 WAVE stream decodes
+    through parse_wav within the codec's quantization error."""
+    import struct
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    warnings.filterwarnings("ignore", category=DeprecationWarning)
+    codes = np.arange(256, dtype=np.uint8)
+    for alaw, ref_fn in ((False, audioop.ulaw2lin), (True, audioop.alaw2lin)):
+        mine = (multimodal._g711_decode(codes, alaw) * 32768.0).astype(np.int32)
+        ref = np.frombuffer(ref_fn(codes.tobytes(), 2), dtype="<i2").astype(np.int32)
+        assert np.array_equal(mine, ref), ("alaw" if alaw else "ulaw")
+
+    x = (np.sin(np.linspace(0, 30, 8000)) * 0.7).astype(np.float32)
+    for tag, alaw in ((7, False), (6, True)):
+        data = multimodal.g711_encode(x, alaw).tobytes()
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        wav = (b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+        y, rate = multimodal.parse_wav(wav)
+        assert rate == 8000 and len(y) == len(x)
+        assert float(np.abs(y - x).max()) < 0.02  # G.711 quantization bound
+
+
 def test_video_frame_sampling():
     frames = [imagecodec.png_encode(synth.render_image(i, 16, 16)) for i in range(25)]
     vid = multimodal.VideoFrameSampler.make_fake_video(frames)
