@@ -252,8 +252,176 @@ def fjpg_decode(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _ENCODERS = {"png": png_encode, "bmp": bmp_encode, "jpg": fjpg_encode}
-_DECODERS = {"png": png_decode, "bmp": bmp_decode, "jpg": fjpg_decode}
-_PROBES = {"png": png_probe, "bmp": bmp_probe, "jpg": fjpg_probe}
+# ---------------------------------------------------------------------------
+# GIF87a/89a (public GIF spec + LZW): real web-image format — the
+# reference decoded GIFs via ImageIO (ProcessingService image path)
+# ---------------------------------------------------------------------------
+
+def gif_probe(data: bytes) -> tuple[int, int]:
+    if data[:4] != b"GIF8":
+        raise ValueError("not a GIF stream")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    return w, h
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW expansion (LSB-first variable-width codes, CLEAR
+    resets the table, widths grow at table fill) → palette indices."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    pos, width = 0, min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    while pos + width <= len(bits) and len(out) < n_pixels:
+        code = int(np.dot(bits[pos : pos + width],
+                          1 << np.arange(width, dtype=np.int64)))
+        pos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # the cScSc case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a stream → RGB uint8 (global/local
+    palette, interlace supported; animation frames beyond the first are
+    ignored — the crawl treats a GIF as one image, like the reference's
+    ImageIO.read)."""
+    w, h = gif_probe(data)
+    pos = 10
+    flags = data[pos]
+    pos += 3  # flags, bg, aspect
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), iw * ih)
+            if len(idx) < iw * ih:
+                idx = np.pad(idx, (0, iw * ih - len(idx)))
+            rows = idx.reshape(ih, iw)
+            if iflags & 0x40:  # de-interlace (4 passes per the spec)
+                order = np.concatenate([np.arange(0, ih, 8), np.arange(4, ih, 8),
+                                        np.arange(2, ih, 4), np.arange(1, ih, 2)])
+                de = np.empty_like(rows)
+                de[order] = rows
+                rows = de
+            img = np.zeros((h, w, 3), np.uint8)
+            img[top : top + ih, left : left + iw] = pal[
+                np.minimum(rows, len(pal) - 1)]
+            return img
+        else:  # 0x3B trailer or junk
+            break
+    raise ValueError("GIF stream has no image block")
+
+
+def gif_encode(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer (test/synth source): palette from unique
+    colors (>256 → 3-3-2 quantization), uncompressed-style LZW (literal
+    codes with CLEAR resets before any width change — valid output per
+    the spec, decodable by any conforming reader)."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        q = (flat[:, 0] & 0xE0) | ((flat[:, 1] & 0xE0) >> 3) | (flat[:, 2] >> 6)
+        colors = np.stack([(np.arange(256) & 0xE0),
+                           ((np.arange(256) << 3) & 0xE0),
+                           ((np.arange(256) << 6) & 0xC0)], axis=1).astype(np.uint8)
+        inverse = q.astype(np.int64)
+    pal_bits = max(1, int(len(colors) - 1).bit_length())
+    n_pal = 1 << pal_bits
+    pal = np.zeros((n_pal, 3), np.uint8)
+    pal[: len(colors)] = colors
+    idx = inverse.astype(np.uint16).reshape(h, w)
+    if interlace:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        idx = idx[order]
+    min_code = max(2, pal_bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    # literal-codes LZW: CLEAR before the table would force a width bump
+    codes, count = [clear], 0
+    room = (1 << width) - clear - 2
+    for v in idx.ravel():
+        if count == room:
+            codes.append(clear)
+            count = 0
+        codes.append(int(v))
+        count += 1
+    codes.append(end)
+    total_bits = len(codes) * width
+    bits = np.zeros(total_bits, np.uint8)
+    at = 0
+    for c in codes:
+        for b in range(width):
+            bits[at + b] = (c >> b) & 1
+        at += width
+    payload = np.packbits(bits, bitorder="little").tobytes()
+    out = [b"GIF89a", w.to_bytes(2, "little"), h.to_bytes(2, "little"),
+           bytes([0x80 | (pal_bits - 1), 0, 0]), pal.tobytes(),
+           b"\x2c", (0).to_bytes(2, "little"), (0).to_bytes(2, "little"),
+           w.to_bytes(2, "little"), h.to_bytes(2, "little"),
+           bytes([0x40 if interlace else 0]), bytes([min_code])]
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(bytes([len(chunk)]) + chunk)
+    out.append(b"\x00\x3b")
+    return b"".join(out)
+
+
+_DECODERS = {"png": png_decode, "bmp": bmp_decode, "jpg": fjpg_decode,
+             "gif": gif_decode}
+_PROBES = {"png": png_probe, "bmp": bmp_probe, "jpg": fjpg_probe,
+           "gif": gif_probe}
 LOSSLESS_FMTS = frozenset({"png", "bmp"})
 
 
@@ -277,6 +445,8 @@ def sniff_fmt(data: bytes) -> str | None:
         return "bmp"
     if data[:4] == _FJPG_MAGIC:
         return "jpg"
+    if data[:4] == b"GIF8":
+        return "gif"
     return None
 
 

@@ -56,6 +56,37 @@ def test_dispatch_and_sniff(img):
             assert ic.psnr(img, d) >= 40
 
 
+def test_gif_roundtrip():
+    """GIF87a/89a LZW codec: palette images round-trip pixel-exact at
+    every code width (palette sizes straddle min_code 2..8), interlaced
+    streams de-interlace, >256-color inputs quantize via the documented
+    3-3-2 map, and extension blocks are skipped."""
+    rng = np.random.default_rng(7)
+    for n_colors in (2, 5, 16, 100, 256):
+        pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, n_colors, (23, 31))]
+        for inter in (False, True):
+            gif = ic.gif_encode(img, interlace=inter)
+            assert ic.sniff_fmt(gif) == "gif"
+            assert ic.gif_probe(gif) == (31, 23)
+            assert np.array_equal(ic.gif_decode(gif), img), (n_colors, inter)
+
+    # >256 colors: deterministic 3-3-2 quantization
+    big = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    assert len(np.unique(big.reshape(-1, 3), axis=0)) > 256
+    back = ic.gif_decode(ic.gif_encode(big))
+    want = np.stack([big[..., 0] & 0xE0, big[..., 1] & 0xE0,
+                     big[..., 2] & 0xC0], axis=-1)
+    assert np.array_equal(back, want)
+
+    # a graphic-control extension before the image block is skipped
+    pal_img = np.zeros((4, 4, 3), np.uint8)
+    gif = ic.gif_encode(pal_img)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = gif[:13 + 3 * 2] + gce + gif[13 + 3 * 2:]  # after 2-entry GCT
+    assert np.array_equal(ic.gif_decode(spliced), pal_img)
+
+
 def test_phash_properties(img):
     p1 = ic.phash64(img)
     shifted = np.clip(img.astype(int) + 3, 0, 255).astype(np.uint8)
