@@ -252,6 +252,7 @@ def fjpg_decode(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _ENCODERS = {"png": png_encode, "bmp": bmp_encode, "jpg": fjpg_encode}
+# gif_encode is registered below, after its definition
 # ---------------------------------------------------------------------------
 # GIF87a/89a (public GIF spec + LZW): real web-image format — the
 # reference decoded GIFs via ImageIO (ProcessingService image path)
@@ -418,6 +419,7 @@ def gif_encode(img: np.ndarray, interlace: bool = False) -> bytes:
     return b"".join(out)
 
 
+_ENCODERS["gif"] = gif_encode
 _DECODERS = {"png": png_decode, "bmp": bmp_decode, "jpg": fjpg_decode,
              "gif": gif_decode}
 _PROBES = {"png": png_probe, "bmp": bmp_probe, "jpg": fjpg_probe,

@@ -19,6 +19,8 @@ leave the stage's task.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 
@@ -32,6 +34,9 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
         ("phash", pa.int64()),
         ("color_hist", pa.list_(pa.float32())),
         ("mean_luma", pa.float32()),
+        # undecodable rows flag False (their phash=0 placeholder would
+        # otherwise cluster all broken images as visual duplicates)
+        ("decoded", pa.bool_()),
     ]
 )
 
@@ -67,6 +72,15 @@ class ImageResizer:
         out_bytes, out_w, out_h = [], [], []
         for blob, fmt in zip(blobs, fmts):
             try:
+                # header-only dimension probe first: images under the cap
+                # (the common case) pass through UNTOUCHED — no decode
+                # cost, and no extra lossy generation for jpg rows
+                w, h = imagecodec.probe(blob, fmt)
+                if w <= self.max_w and h <= self.max_h:
+                    out_bytes.append(blob)
+                    out_w.append(np.int32(w))
+                    out_h.append(np.int32(h))
+                    continue
                 img = imagecodec.decode(blob, fmt)
             except Exception:
                 out_bytes.append(None)
@@ -102,7 +116,7 @@ class ImageFeatureExtractor:
         blobs = tbl.column("bytes").to_pylist()
         fmts = tbl.column("fmt").to_pylist()
         ids = tbl.column("image_id").to_pylist()
-        phashes, hists, lumas = [], [], []
+        phashes, hists, lumas, oks = [], [], [], []
         shift = 8 - int(np.log2(self.b))
         for blob, fmt in zip(blobs, fmts):
             try:
@@ -111,7 +125,9 @@ class ImageFeatureExtractor:
                 phashes.append(0)
                 hists.append(np.zeros(self.b**3, dtype=np.float32))
                 lumas.append(0.0)
+                oks.append(False)
                 continue
+            oks.append(True)
             q = (img >> shift).astype(np.int32)
             code = (q[..., 0] * self.b + q[..., 1]) * self.b + q[..., 2]
             hist = np.bincount(code.ravel(), minlength=self.b**3).astype(np.float32)
@@ -125,6 +141,7 @@ class ImageFeatureExtractor:
                 "phash": pa.array(phashes, pa.int64()),
                 "color_hist": pa.array([h.tolist() for h in hists], pa.list_(pa.float32())),
                 "mean_luma": pa.array(np.array(lumas, dtype=np.float32)),
+                "decoded": pa.array(oks, pa.bool_()),
             },
             schema=IMAGE_FEATURES_SCHEMA,
         )
@@ -207,7 +224,6 @@ def parse_wav(blob: bytes) -> tuple[np.ndarray, int]:
     Returns (float32 mono samples in [-1, 1], sample_rate).  Lenient on a
     truncated ``data`` chunk (uses the bytes present); raises ValueError
     on non-RIFF input or compressed format tags."""
-    import struct
 
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -251,7 +267,6 @@ def write_wav(samples: np.ndarray, rate: int, bits: int = 16,
               channels: int = 1) -> bytes:
     """Encode float32 mono samples as a PCM WAVE file (test/fixture
     helper; ``channels>1`` duplicates the mono signal)."""
-    import struct
 
     x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
     if channels > 1:
@@ -289,9 +304,6 @@ class AudioFeaturizer:
     duration).  Decode goes through :func:`decode_audio` (stubbed for
     compressed codecs); undecodable rows get nulls + an error flag —
     the swallow-and-count convention (`TagCounterMap.java:64-67`)."""
-
-    def __init__(self, batch_hint: int = 64):
-        self.batch_hint = batch_hint
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         ids = tbl.column("media_id").to_pylist()
@@ -341,7 +353,6 @@ class VideoFrameSampler:
     @staticmethod
     def make_fake_video(frames: list[bytes], fmt: str = "png") -> bytes:
         """Build an 'fvid' container from encoded frames (test helper)."""
-        import struct
 
         out = [b"FVID", struct.pack("<I", len(frames)), fmt.ljust(4).encode()]
         for f in frames:
@@ -355,7 +366,6 @@ class VideoFrameSampler:
         24-bit bottom-up BGR '00db' movi chunks) — the public container
         layout from the Microsoft AVI/RIFF spec.  Real-format test/synth
         source for :meth:`_parse_avi`."""
-        import struct
 
         h, w, _ = frames[0].shape
         stride = (w * 3 + 3) & ~3
@@ -387,7 +397,6 @@ class VideoFrameSampler:
 
     @staticmethod
     def _iter_riff(blob: bytes, pos: int, end: int):
-        import struct
 
         while pos + 8 <= end:
             cc = blob[pos : pos + 4]
@@ -398,21 +407,32 @@ class VideoFrameSampler:
     def _parse_avi(self, blob: bytes):
         """REAL container path: uncompressed 24-bit DIB AVI → frames,
         re-encoded as BMP so the output schema matches the fvid path.
-        Compressed codecs (mjpg/h264/...) still need external libraries
-        → NotImplementedError."""
-        import struct
+        Only the 'vids' stream's strf is parsed (an audio strl's strf is
+        a WAVEFORMAT, not a BITMAPINFOHEADER), frames inside the
+        spec-standard interleaved 'LIST rec ' groupings are descended
+        into, and the frame period comes from avih.  Compressed codecs
+        (mjpg/h264/...) still need external libraries →
+        NotImplementedError."""
 
         w = h = None
         movi = None
+        frame_ms = 40.0  # 25 fps fallback when avih is absent
         for cc, payload in self._iter_riff(blob, 12, len(blob)):
             if cc != b"LIST":
                 continue
-            kind, body = payload[:4], payload[4:]
+            kind = payload[:4]
             if kind == b"hdrl":
                 for cc2, p2 in self._iter_riff(payload, 4, len(payload)):
+                    if cc2 == b"avih" and len(p2) >= 4:
+                        (us_per_frame,) = struct.unpack("<I", p2[:4])
+                        if us_per_frame:
+                            frame_ms = us_per_frame / 1000.0
                     if cc2 == b"LIST" and p2[:4] == b"strl":
+                        is_vids = False
                         for cc3, p3 in self._iter_riff(p2, 4, len(p2)):
-                            if cc3 == b"strf" and len(p3) >= 40:
+                            if cc3 == b"strh":
+                                is_vids = p3[:4] == b"vids"
+                            elif cc3 == b"strf" and is_vids and len(p3) >= 40:
                                 (_, w, h, _, bits, comp) = struct.unpack(
                                     "<IiiHHI", p3[:20])
                                 if comp != 0 or bits != 24:
@@ -424,15 +444,23 @@ class VideoFrameSampler:
             raise ValueError("not a DIB AVI")
         h = abs(h)
         stride = (w * 3 + 3) & ~3
-        for cc, fb in self._iter_riff(movi, 4, len(movi)):
-            if not cc.endswith(b"db"):
-                continue
+
+        def frames(chunks):
+            for cc, fb in chunks:
+                if cc == b"LIST" and fb[:4] == b"rec ":
+                    # interleaved layout: frames grouped in rec records
+                    yield from frames(self._iter_riff(fb, 4, len(fb)))
+                elif cc.endswith(b"db"):
+                    yield fb
+
+        for i, fb in enumerate(frames(self._iter_riff(movi, 4, len(movi)))):
             rows = np.frombuffer(fb[: stride * h], np.uint8).reshape(h, stride)
             rgb = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
-            yield "bmp", imagecodec.bmp_encode(np.ascontiguousarray(rgb))
+            yield ("bmp", imagecodec.bmp_encode(np.ascontiguousarray(rgb)),
+                   int(round(i * frame_ms)))
 
     def _parse(self, blob: bytes):
-        import struct
+        """Yield (fmt, encoded_frame_bytes, ts_ms) per frame."""
 
         if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
             yield from self._parse_avi(blob)
@@ -442,10 +470,10 @@ class VideoFrameSampler:
         (n,) = struct.unpack("<I", blob[4:8])
         fmt = blob[8:12].decode().strip()
         pos = 12
-        for _ in range(n):
+        for i in range(n):
             (ln,) = struct.unpack("<I", blob[pos : pos + 4])
             pos += 4
-            yield fmt, blob[pos : pos + ln]
+            yield fmt, blob[pos : pos + ln], i * 40  # fvid is 25 fps nominal
             pos += ln
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -458,14 +486,14 @@ class VideoFrameSampler:
             except Exception:
                 continue  # stub path (NotImplementedError) or corrupt container; skip the row
             taken = 0
-            for i, (fmt, fb) in enumerate(frames):
+            for i, (fmt, fb, ts) in enumerate(frames):
                 if i % self.every_nth:
                     continue
                 if taken >= self.max_frames:
                     break
                 o_id.append(mid)
                 o_idx.append(np.int32(i))
-                o_ts.append(np.int64(i * 40))  # 25 fps nominal
+                o_ts.append(np.int64(ts))
                 o_fb.append(fb)
                 o_fmt.append(fmt)
                 taken += 1

@@ -161,6 +161,12 @@ def test_video_avi_real_container():
         got = imagecodec.decode(r["frame_bytes"], r["fmt"])
         assert np.array_equal(got, src[r["frame_index"]])
 
+    # real frame rate drives ts_ms (not a hardcoded 25 fps)
+    avi50 = multimodal.VideoFrameSampler.avi_encode(src, fps=50)
+    out50 = multimodal.VideoFrameSampler(every_nth=5)(
+        pa.table({"media_id": ["f50"], "bytes": [avi50]})).to_pylist()
+    assert [r["ts_ms"] for r in out50] == [0, 100, 200]
+
     # compressed stream (biCompression != 0) stays a declared stub
     bad = bytearray(avi)
     strf_at = bytes(bad).find(b"strf")
@@ -168,3 +174,48 @@ def test_video_avi_real_container():
     bad[strf_at + 8 + 16] = 1
     t2 = pa.table({"media_id": ["c1"], "bytes": [bytes(bad)]})
     assert multimodal.VideoFrameSampler()(t2).num_rows == 0  # skipped, not crashed
+
+
+def test_video_avi_interleaved_with_audio():
+    """Spec-shape AVIs survive: an 'auds' strl whose 40-byte strf is NOT
+    a BITMAPINFOHEADER must be ignored (only the 'vids' strf parses),
+    and frames wrapped in the interleaved 'LIST rec ' grouping decode."""
+    import struct
+
+    import numpy as np
+
+    src = [synth.render_image(i, 8, 6) for i in range(4)]
+    base = multimodal.VideoFrameSampler.avi_encode(src, fps=25)
+
+    def chunk(cc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cc + struct.pack("<I", len(payload)) + payload + pad
+
+    # rebuild: hdrl gains an audio strl AFTER the video one; movi chunks
+    # are wrapped in LIST 'rec ' records (one frame per record)
+    sampler = multimodal.VideoFrameSampler(every_nth=1, max_frames=8)
+    hdrl_payload = None
+    movi_payload = None
+    for cc, payload in sampler._iter_riff(base, 12, len(base)):
+        if cc == b"LIST" and payload[:4] == b"hdrl":
+            hdrl_payload = payload
+        elif cc == b"LIST" and payload[:4] == b"movi":
+            movi_payload = payload
+    audio_strh = b"auds" + b"\x00" * 52
+    audio_strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8) + b"\x00" * 24
+    assert len(audio_strf) == 40  # the misparse trap: BITMAPINFOHEADER-sized
+    audio_strl = b"strl" + chunk(b"strh", audio_strh) + chunk(b"strf", audio_strf)
+    hdrl2 = hdrl_payload + chunk(b"LIST", audio_strl)
+    recs = b"movi" + b"".join(
+        chunk(b"LIST", b"rec " + chunk(cc, fb))
+        for cc, fb in sampler._iter_riff(movi_payload, 4, len(movi_payload))
+        if cc.endswith(b"db")
+    )
+    body = b"AVI " + chunk(b"LIST", hdrl2) + chunk(b"LIST", recs)
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    out = sampler(pa.table({"media_id": ["m"], "bytes": [avi]})).to_pylist()
+    assert [r["frame_index"] for r in out] == [0, 1, 2, 3]
+    for r in out:
+        assert np.array_equal(
+            imagecodec.decode(r["frame_bytes"], r["fmt"]), src[r["frame_index"]])
