@@ -241,6 +241,13 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
     The per-partition fan-in happens on Ray workers (map_groups writes the
     fragment file); only the tiny manifest commit is serialized on the
     driver, preserving streaming execution for the data itself.
+
+    Concurrency: fragment writes land in a per-writer unique subdir (no
+    writer ever deletes another writer's files — a racing loser's fragment
+    simply goes unreferenced when ``commit_fragments`` dedups the
+    partition) and the manifest commit is atomic.  The startup vacuum of
+    unreferenced ``part-*`` dirs assumes no OTHER writer is mid-flight on
+    this table at that moment; reruns after a crash are the intended user.
     """
     import shutil
 
@@ -248,18 +255,31 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
 
     t = LanceLiteTable(path)
     done = t.completed_partitions() if t.exists() else set()
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    # vacuum: drop part-* dirs from crashed attempts whose files never made
+    # the manifest (referenced files stay; runs once, driver-side, before
+    # any worker writes — see concurrency note above)
+    referenced = {f["file"] for f in t.manifest()["fragments"] if f["file"]}
+    for d in os.listdir(data_dir):
+        sub = os.path.join(data_dir, d)
+        if not (d.startswith("part-") and os.path.isdir(sub)):
+            continue
+        keeps = any(
+            os.path.join("data", d, name) in referenced for name in os.listdir(sub)
+        )
+        if not keeps:
+            shutil.rmtree(sub, ignore_errors=True)
 
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:
         part = g[partition_col].iloc[0]
         if part in done:
             return pd.DataFrame({"partition": [part], "file": [""], "rows": [0]})
-        # deterministic per-partition subdir: a crash between the worker
-        # writes and the manifest commit leaves files a RERUN cleans up
-        # (uuid names directly under data/ would leak forever)
-        sub = os.path.join("data", f"part-{part}")
+        # per-writer unique subdir: never collides with (or deletes) a
+        # racing writer's committed fragments; orphans are reclaimed by
+        # the next run's vacuum above
+        sub = os.path.join("data", f"part-{part}-w{uuid.uuid4().hex[:8]}")
         subdir = os.path.join(path, sub)
-        shutil.rmtree(subdir, ignore_errors=True)
         os.makedirs(subdir)
         name = f"frag-{uuid.uuid4().hex}.parquet"
         # strip the from_pandas metadata blob so read_parquet blocks get
@@ -279,7 +299,7 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
         if r["file"]
     ]
     # commit_fragments: no-op when nothing new, dedups already-committed
-    # partitions (e.g. a racing second writer)
+    # partitions (e.g. a racing second writer — whose files we never touch)
     t.commit_fragments(new_frags, metadata)
     return t
 

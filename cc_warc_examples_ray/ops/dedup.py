@@ -365,6 +365,9 @@ def jaccard_prefix_pairs(ds: rd.Dataset, text_col: str = "text",
         sa, sb = szs[ia], szs[ib]
         # size filter: J(A,B) <= min/max, so min < t·max can never verify
         keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        # duplicate doc_id values in the corpus must not emit (x, x)
+        # self-pairs (they'd verify at J=1.0 and pollute the join)
+        keep &= ids[ia] != ids[ib]
         # positional filter (PPJoin): the shared token at ordered-set
         # positions (pa, pb) caps the overlap at 1 + min(remaining);
         # J >= t needs overlap >= t/(1+t)·(|A|+|B|).  Exact: a
@@ -882,6 +885,7 @@ class HyperplaneSketch:
         from .ann import lsh_planes
 
         self.planes = lsh_planes(dim, bits, seed)
+        self.dim = dim
         self.id_col, self.emb_col = id_col, emb_col
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -891,6 +895,19 @@ class HyperplaneSketch:
 
         # null embeddings have nothing to compare — drop, don't crash
         tbl = tbl.filter(pc.is_valid(tbl.column(self.emb_col)))
+        if tbl.num_rows == 0:
+            # typed empty with the CONFIGURED dim so the fixed-size-list
+            # width matches non-empty batches (all-null block would
+            # otherwise hit _sign_buckets with a (0,)-shaped matrix)
+            return pa.table(
+                {
+                    self.id_col: tbl.column(self.id_col),
+                    "bucket": pa.array([], pa.int64()),
+                    "unit": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], pa.float32()), self.dim
+                    ),
+                }
+            )
         emb = _as_matrix(tbl.column(self.emb_col))
         keys = _sign_buckets(emb, self.planes)
         norm = np.linalg.norm(emb, axis=1, keepdims=True)

@@ -313,17 +313,25 @@ def native_join(left: rd.Dataset, right: rd.Dataset, key: str,
 
 
 def _union_bucketer(key: str, side: int, all_cols: Sequence[str], types: dict,
-                    num_buckets: int):
+                    num_buckets: int, drop_null_keys: bool = False):
     """map_batches kernel shared by the three two-sided joins
     (hash_join / asof_join / range_join): pad each side to the typed
     union schema (typed nulls for the absent side so one-sided bucket
     groups keep the full column set), tag ``_bucket`` = key-hash %
-    num_buckets and ``_side``."""
+    num_buckets and ``_side``.  ``drop_null_keys=True`` filters
+    null-key rows up front (SQL inner-join semantics: NULL matches
+    nothing) — it also keeps nulls out of the integer fast path, whose
+    NaN→uint64 cast is undefined."""
     from ..hashing import xxh64_many
 
     def fn(tbl: pa.Table) -> pa.Table:
         kcol = tbl.column(key)
+        if drop_null_keys and kcol.null_count:
+            tbl = tbl.filter(pc.is_valid(kcol))
+            kcol = tbl.column(key)
         if pa.types.is_integer(kcol.type):
+            if kcol.null_count:  # non-dropping caller: pin nulls to bucket 0
+                kcol = pc.fill_null(kcol, 0)
             kb = (kcol.to_numpy(zero_copy_only=False).astype(np.uint64)) % np.uint64(num_buckets)
         else:
             kb = xxh64_many(pc.cast(kcol.combine_chunks(), pa.string())) % np.uint64(num_buckets)
@@ -372,10 +380,13 @@ def hash_join(
     types.update(_arrow_types(lschema))
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
-    lt = left.map_batches(_union_bucketer(key, 0, all_cols, types, num_buckets),
-                          batch_format="pyarrow")
-    rt = right.map_batches(_union_bucketer(key, 1, all_cols, types, num_buckets),
-                           batch_format="pyarrow")
+    drop_nulls = how == "inner"  # left/outer keep null-key rows unmatched
+    lt = left.map_batches(
+        _union_bucketer(key, 0, all_cols, types, num_buckets, drop_null_keys=drop_nulls),
+        batch_format="pyarrow")
+    rt = right.map_batches(
+        _union_bucketer(key, 1, all_cols, types, num_buckets, drop_null_keys=drop_nulls),
+        batch_format="pyarrow")
 
     out_cols = lcols + [c for c in rcols if c != key]
     out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
@@ -434,10 +445,14 @@ def range_join(
     rextra = [c for c in rkeep if c not in lcols]
     all_cols = lcols + rextra
 
-    lt = left.map_batches(_union_bucketer(left_by, 0, all_cols, types, num_buckets),
-                          batch_format="pyarrow")
-    rt = right.map_batches(_union_bucketer(right_by, 1, all_cols, types, num_buckets),
-                           batch_format="pyarrow")
+    # inner semantics: NULL keys match nothing (and must not share the
+    # factorize -1 sentinel group in the merge kernel) — drop up front
+    lt = left.map_batches(
+        _union_bucketer(left_by, 0, all_cols, types, num_buckets, drop_null_keys=True),
+        batch_format="pyarrow")
+    rt = right.map_batches(
+        _union_bucketer(right_by, 1, all_cols, types, num_buckets, drop_null_keys=True),
+        batch_format="pyarrow")
     out_cols = lcols + [c for c in rextra if c != right_by]
     out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
 

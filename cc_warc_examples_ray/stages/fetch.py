@@ -92,24 +92,40 @@ class StoreLookupFetcher:
         self.store_key = store_key
         self.meta_cols = tuple(meta_cols) if meta_cols is not None else self.META_COLS
         # one admitted URL = one fetch, even when several URLs resolve to
-        # the same content row: index store key -> ALL admitted positions
-        self._index: dict = {}
-        for i, v in enumerate(admitted.column(admitted_key).to_pylist()):
-            self._index.setdefault(v, []).append(i)
+        # the same content row: presorted group index (built ONCE per
+        # process) — store key -> contiguous run of admitted positions.
+        # Replaces the old per-hit python dict loop: the per-batch lookup
+        # is one np.searchsorted + np.repeat over the group offsets.
+        vals = admitted.column(admitted_key).to_numpy(zero_copy_only=False)
+        if vals.dtype == object:
+            vals = vals.astype("U")  # C-level string compares for searchsorted
+        order = np.argsort(vals, kind="stable")  # stable: admitted row order kept per key
+        self._meta_pos = order.astype(np.int64)
+        skeys = vals[order]
+        if len(skeys):
+            starts = np.concatenate(
+                [[0], np.flatnonzero(skeys[1:] != skeys[:-1]) + 1]
+            ).astype(np.int64)
+            self._uniq = skeys[starts]
+            self._starts = starts
+            self._counts = np.diff(np.concatenate([starts, [len(skeys)]]))
+        else:
+            self._uniq = skeys
+            self._starts = np.zeros(0, dtype=np.int64)
+            self._counts = np.zeros(0, dtype=np.int64)
         # type the keyset from the admitted column: pa.array([]) is
         # null-typed and pc.is_in raises on a string store column (an
         # all-duplicate epoch admits 0 rows — must emit 0 matches, not
         # crash)
         self._keyset = pa.array(
-            list(self._index),
-            type=admitted.schema.field(admitted_key).type,
+            self._uniq, type=admitted.schema.field(admitted_key).type
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         # vectorized pre-filter: at scale almost every store row misses
-        # the admitted set — drop them before the python fan-out loop.
+        # the admitted set — drop them before the fan-out expansion.
         # Skipped when the admitted set is empty: besides being useless,
         # an empty keyset may be null-typed and pc.is_in would raise
         if len(self._keyset):
@@ -118,13 +134,20 @@ class StoreLookupFetcher:
             )
         else:
             batch = batch.slice(0, 0)
-        ids = batch.column(self.store_key).to_pylist()
-        store_pos: list[int] = []
-        meta_pos: list[int] = []
-        for i, v in enumerate(ids):
-            for j in self._index.get(v, ()):
-                store_pos.append(i)
-                meta_pos.append(j)
+        ids = batch.column(self.store_key).to_numpy(zero_copy_only=False)
+        if ids.dtype == object:
+            ids = ids.astype("U")
+        # every surviving id is present (the prefilter guarantees it):
+        # expand each hit row to ALL its admitted positions via the
+        # precomputed group offsets — no per-row python loop
+        ui = np.searchsorted(self._uniq, ids)
+        counts = self._counts[ui] if len(ids) else np.zeros(0, dtype=np.int64)
+        total = int(counts.sum())
+        store_pos = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        meta_pos = self._meta_pos[np.repeat(self._starts[ui], counts) + intra]
         out = batch.take(pa.array(store_pos, pa.int64()))
         meta = self._meta.take(pa.array(meta_pos, pa.int64()))
         for col in self.meta_cols:

@@ -671,3 +671,70 @@ def test_lsh_topk_probe_semantics(ray_session):
         wide_top = wide[wide["query_id"] == q]["cosine"]
         # top-5 cosines can only improve (supersets rank at least as high)
         assert wide_top.iloc[0] >= max(narrow_set)
+
+
+def test_hyperplane_sketch_all_null_block(ray_session):
+    """A block whose embeddings are ALL null must yield a typed empty
+    sketch (configured dim), not a matmul crash in _sign_buckets."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 8))
+    valid = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float64())),
+    })
+    allnull = pa.table({
+        "vec_id": pa.array([100, 101], pa.int64()),
+        "embedding": pa.array([None, None], pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow([valid, allnull])  # one block each
+    pairs = dedup.embedding_neardup_pairs(ds, dim=8, threshold=0.999, bits=4).to_pandas()
+    touched = set(pairs.get("id_a", [])) | set(pairs.get("id_b", []))
+    assert not touched & {100, 101}
+
+
+def test_range_join_null_keys_never_match(ray_session):
+    """SQL inner-join semantics: NULL keys match nothing — null-keyed
+    left rows must not pair with null-keyed right rows (the factorize -1
+    sentinel must not form a shared group), for string AND int keys."""
+    for karr_l, karr_r in [
+        (pa.array(["a", None, "b"]), pa.array(["a", None, None])),
+        (pa.array([1, None, 2], pa.int64()), pa.array([1, None, None], pa.int64())),
+    ]:
+        left = rd.from_arrow(pa.table({
+            "lid": pa.array([0, 1, 2], pa.int64()),
+            "k": karr_l,
+            "t": pa.array([10, 10, 10], pa.int64()),
+        }))
+        right = rd.from_arrow(pa.table({
+            "rk": karr_r,
+            "rt": pa.array([10, 10, 10], pa.int64()),
+            "rid": pa.array([7, 8, 9], pa.int64()),
+        }))
+        out = relational.range_join(
+            left, right, left_by="k", left_on="t", right_by="rk", right_on="rt",
+            right_cols=["rid"], lo=0, hi=1,
+        ).to_pandas()
+        assert sorted(zip(out["lid"], out["rid"])) == [(0, 7)]
+
+
+def test_hash_join_inner_drops_null_keys(ray_session):
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 2], pa.int64()), "a": pa.array([0, 1, 2], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()), "b": pa.array([10, 11], pa.int64())}))
+    out = relational.hash_join(left, right, "k", num_buckets=2).to_pandas()
+    assert sorted(zip(out["a"], out["b"])) == [(0, 10)]
+
+
+def test_jaccard_duplicate_doc_ids_no_self_pairs(ray_session):
+    """Duplicate doc_id values in the corpus must not emit (x, x)
+    self-pairs from the prefix buckets (they'd verify at J=1.0)."""
+    t = "the quick brown fox jumps over the lazy dog"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1, 2], pa.int64()),
+        "text": [t, t, t + " tail"],
+    }))
+    got = dedup.jaccard_join(docs, threshold=0.5).to_pandas()
+    assert (got["id_a"] != got["id_b"]).all()
+    assert {(1, 2)} == set(zip(got["id_a"], got["id_b"]))

@@ -58,3 +58,35 @@ def test_lancelite_partition_idempotent(tmp_path):
     assert t.latest_version() == v
     assert sorted(t.to_table().column("a").to_pylist()) == [1, 2]
     assert t.completed_partitions() == {0, 1}
+
+
+def test_write_ray_partitioned_never_deletes_committed(tmp_path, ray_session):
+    """A second write_ray_partitioned call (new partitions) must leave the
+    first call's committed fragment FILES on disk (per-writer unique
+    subdirs — no rmtree of a racer's data), while the startup vacuum
+    reclaims orphan part-* dirs whose files never made the manifest."""
+    import os
+
+    import ray.data as rd
+
+    path = str(tmp_path / "tbl")
+    t1 = lancelite.write_ray_partitioned(
+        rd.from_arrow(pa.table({"p": [0, 0, 1], "v": [1, 2, 3]})), path, "p")
+    first_files = [os.path.join(path, f["file"])
+                   for f in t1.manifest()["fragments"] if f["file"]]
+    assert first_files and all(os.path.exists(p) for p in first_files)
+
+    # orphan dir from a "crashed attempt": has a file, not in the manifest
+    orphan = os.path.join(path, "data", "part-9-wdeadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "frag-garbage.parquet"), "w") as f:
+        f.write("junk")
+
+    t2 = lancelite.write_ray_partitioned(
+        rd.from_arrow(pa.table({"p": [1, 2], "v": [30, 4]})), path, "p")
+    # committed files from writer 1 still exist and still read back
+    assert all(os.path.exists(p) for p in first_files)
+    assert not os.path.exists(orphan)
+    got = sorted(t2.to_table().column("v").to_pylist())
+    assert got == [1, 2, 3, 4]  # partition 1 kept writer 1's rows
+    assert t2.completed_partitions() == {0, 1, 2}
