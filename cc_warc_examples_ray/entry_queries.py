@@ -362,20 +362,28 @@ def q_event_windows(sf_dir: str) -> pd.DataFrame:
     """§2.8 streaming analog: tumbling 1-hour windows per event_type."""
     ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
+    HOUR_US = 3_600_000_000
+
+    def assign(tbl: pa.Table) -> pa.Table:
         # keep the window key as a TIMESTAMP through the shuffle — the
         # per-row strftime string build is the batch kernel's hot spot
-        # and only the tiny aggregated result needs formatting
-        df["window_start"] = df["ts"].dt.floor("h")
-        df["c"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        g = df.groupby(["event_type", "window_start"], sort=False)["c"].agg(["sum", "count"]).reset_index()
-        return g.rename(columns={"sum": "_ps", "count": "_pn"})
+        # and only the tiny aggregated result needs formatting.  Arrow
+        # end-to-end: epoch-aligned int64 floor (== dt.floor('h') for
+        # post-1970 ts) + a pyarrow group_by, no pandas conversion.
+        ts_i = tbl.column("ts").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ws = (ts_i - ts_i % HOUR_US).astype("datetime64[us]")
+        c = np.floor(tbl.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": tbl.column("event_type"),
+                      "window_start": pa.array(ws), "c": pa.array(c)})
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("c", "sum"), ("c", "count")])
+        return g.rename_columns(["event_type", "window_start", "_ps", "_pn"])
 
     from ray.data.aggregate import Sum
 
     out = (
-        ev.map_batches(assign, batch_format="pandas")
+        ev.map_batches(assign, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("_ps", alias_name="value_sum_c"), Sum("_pn", alias_name="n_events"))
     ).to_pandas()
@@ -401,24 +409,28 @@ def q_event_hopping(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
     n_hops = 4  # 1h window / 15min hop
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        base = df["ts"].dt.floor("15min")
-        c = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        k = np.tile(np.arange(n_hops), len(df))
-        g = pd.DataFrame({
-            "event_type": np.repeat(df["event_type"].to_numpy(), n_hops),
-            "window_start": np.repeat(base.to_numpy(), n_hops)
-            - k * np.timedelta64(15, "m"),
-            "c": np.repeat(c, n_hops),
-        })
-        out = g.groupby(["event_type", "window_start"], sort=False)["c"].agg(
-            ["sum", "count"]).reset_index()
-        return out.rename(columns={"sum": "_ps", "count": "_pn"})
+    Q_US = 900_000_000  # 15 min
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        ts_i = tbl.column("ts").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        base = ts_i - ts_i % Q_US  # epoch-aligned 15-min floor, int64 µs
+        c = np.floor(tbl.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        k = np.tile(np.arange(n_hops, dtype=np.int64), n)
+        ws = (np.repeat(base, n_hops) - k * Q_US).astype("datetime64[us]")
+        et = tbl.column("event_type").take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), n_hops)))
+        t = pa.table({"event_type": et, "window_start": pa.array(ws),
+                      "c": pa.array(np.repeat(c, n_hops))})
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("c", "sum"), ("c", "count")])
+        return g.rename_columns(["event_type", "window_start", "_ps", "_pn"])
 
     from ray.data.aggregate import Sum
 
     out = (
-        ev.map_batches(assign, batch_format="pandas")
+        ev.map_batches(assign, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("_ps", alias_name="value_sum_c"), Sum("_pn", alias_name="n_events"))
     ).to_pandas()
@@ -631,16 +643,18 @@ def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = relational.hash_join(orders, cust, "o_custkey", num_buckets=16)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["c"] = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        g = df.groupby("c_mktsegment", sort=False)["c"].agg(["sum", "count"]).reset_index()
-        return g.rename(columns={"sum": "_ps", "count": "_pn"})
+    def partial(tbl: pa.Table) -> pa.Table:
+        c = np.floor(
+            tbl.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({"c_mktsegment": tbl.column("c_mktsegment"), "c": pa.array(c)})
+        g = t.group_by(["c_mktsegment"]).aggregate([("c", "sum"), ("c", "count")])
+        return g.rename_columns(["c_mktsegment", "_ps", "_pn"])
 
     from ray.data.aggregate import Sum
 
     out = (
-        joined.map_batches(partial, batch_format="pandas")
+        joined.map_batches(partial, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Sum("_ps", alias_name="total_price_c"), Sum("_pn", alias_name="n_orders"))
     ).to_pandas()

@@ -241,19 +241,28 @@ def windowed_aggregate(
     """Tumbling-window aggregate over an event stream: assign each row a
     window start inside ``map_batches`` (no shuffle), then grouped
     partial-sum.  ``window``: pandas offset alias ('1h', '15min').
-    Ordering assumption: none — tumbling windows are order-free."""
+    Ordering assumption: none — tumbling windows are order-free.
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[[key, ts_col, value_col]].copy()
-        df["window_start"] = df[ts_col].dt.floor(window)
-        g = (
-            df.groupby([key, "window_start"], sort=False)[value_col]
-            .agg(["sum", "count"])
-            .reset_index()
+    Arrow-native: the window key is epoch-aligned int64 floor arithmetic
+    (identical to ``Series.dt.floor`` for post-1970 timestamps) + a
+    pyarrow group_by — no pandas conversion in the hot stage."""
+    window_us = int(pd.Timedelta(window).value // 1000)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column(ts_col).combine_chunks()
+        ts_i = ts.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ws = (ts_i - ts_i % window_us).astype("datetime64[us]")
+        t = pa.table({
+            key: tbl.column(key),
+            "window_start": pa.array(ws),
+            value_col: tbl.column(value_col),
+        })
+        g = t.group_by([key, "window_start"]).aggregate(
+            [(value_col, "sum"), (value_col, "count")]
         )
-        return g.rename(columns={"sum": "_psum", "count": "_pcnt"})
+        return g.rename_columns([key, "window_start", "_psum", "_pcnt"])
 
-    partials = ds.map_batches(assign, batch_format="pandas")
+    partials = ds.map_batches(assign, batch_format="pyarrow")
     return partials.groupby([key, "window_start"]).aggregate(
         Sum("_psum", alias_name="value_sum"), Sum("_pcnt", alias_name="n_events")
     )
