@@ -147,6 +147,42 @@ def run_bench() -> dict:
     n_valid = run.images_out.count_rows()
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # -- mode variants (same 160k frontier) --------------------------------
+    # scan-store fetch: the 100 TB dispatch branch, measured — not only
+    # parity-tested (VERDICT r2 #9).  streaming: heap-emitted rounds with
+    # the round-pipelined committer (VERDICT r2 #1; done bar ~1.3x batch).
+    variants = {}
+    if (os.environ.get("BENCH_SKIP_VARIANTS") != "1"
+            and os.environ.get("BENCH_SKIP_QUERIES") != "1"):
+        out_dir = tempfile.mkdtemp(prefix="bench_scan_")
+        t0 = time.time()
+        run_s = run_crawl(
+            seeds, robots, store.fragment_paths(), out_dir,
+            num_shards=8, num_epochs=n_epochs, store_size=_STORE_N,
+            force_scan=True,
+        )
+        scan_sec = time.time() - t0
+        variants["scan_store"] = {
+            "sec": round(scan_sec, 3),
+            "urls_per_sec": round(run_s.crawl_order.to_table().num_rows / scan_sec, 1),
+        }
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+        from cc_warc_examples_ray.pipelines.streaming import run_streaming_crawl
+
+        out_dir = tempfile.mkdtemp(prefix="bench_stream_")
+        t0 = time.time()
+        run_t = run_streaming_crawl(
+            seeds, robots, store.fragment_paths(), out_dir,
+            num_shards=8, store_size=_STORE_N, batch_urls=4096,
+        )
+        stream_sec = time.time() - t0
+        variants["streaming"] = {
+            "sec": round(stream_sec, 3),
+            "urls_per_sec": round(run_t.crawl_order.to_table().num_rows / stream_sec, 1),
+        }
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     qtimes = {}
     if os.environ.get("BENCH_SKIP_QUERIES") == "1":
         ray.shutdown()
@@ -181,6 +217,7 @@ def run_bench() -> dict:
         "value": round(crawl_sec, 3),
         "unit": "sec",
         "queries": qtimes,
+        "crawl_variants": variants,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         # co-tenant context: this box's 32-CPU legs degrade ~linearly

@@ -216,6 +216,7 @@ def run_crawl(
     shard_capacity: int | None = None,
     fail_after_epoch: int | None = None,
     concurrency: int | tuple | None = None,
+    force_scan: bool | None = None,
 ) -> CrawlRun:
     """Run (or resume) the crawl.  ``seeds``/``robots`` follow the
     FRONTIER_SEEDS / ROBOTS schemas; ``store_paths`` are the content
@@ -226,7 +227,12 @@ def run_crawl(
     shard load uniform, so this headroom is ample.
 
     ``concurrency`` caps concurrent fetch→decode tasks (int, or a tuple
-    whose max is used — the small-session knob; None = Ray default)."""
+    whose max is used — the small-session knob; None = Ray default).
+
+    ``force_scan`` forces the store-SCAN fetch path even for small
+    stores (None = read ``$CRAWL_FORCE_SCAN``): the 100 TB dispatch
+    branch, benchmarkable at fixture scale (mode parity is separately
+    pinned by tests)."""
     import pyarrow.parquet as pq
 
     if shard_capacity is None:
@@ -242,7 +248,9 @@ def run_crawl(
 
     start_epoch = run.resume_epoch()
     store_bytes = sum(os.path.getsize(p) for p in store_paths)
-    broadcast_mode = store_bytes <= BROADCAST_STORE_MAX_BYTES
+    if force_scan is None:
+        force_scan = os.environ.get("CRAWL_FORCE_SCAN") == "1"
+    broadcast_mode = store_bytes <= BROADCAST_STORE_MAX_BYTES and not force_scan
     decoder = DecodeValidate(min_dim=min_dim)
     nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     pool = FrontierPool(num_shards, capacity_per_shard=shard_capacity)

@@ -52,25 +52,30 @@ from .crawl import (
 def _admit_enqueue_chunk(pool: FrontierPool, num_shards: int, ct: pa.Table) -> None:
     """One rank-sorted chunk through the two admission rounds: round A
     first-seen admit routed by url-hash (uniform, Zipf-safe), round B
-    enqueue of admitted rows on their host-owning shard."""
+    enqueue of admitted rows on their host-owning shard.  Only ADMITTED
+    rows are converted out of Arrow (one ``take`` + per-shard column
+    conversion) — the rejected majority of a deduped frontier never
+    becomes python objects."""
     uh = ct.column("url_hash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     hh = xxh64_many(ct.column("host"))
-    hosts = ct.column("host").to_pylist()
-    ranks = ct.column("seed_rank").to_numpy(zero_copy_only=False).astype(np.int64)
-    urls = ct.column("url").to_pylist()
-    paths = ct.column("path").to_pylist()
 
     admit = pool.admit_only(uh)
     adm_idx = np.flatnonzero(admit)
+    if not len(adm_idx):
+        return
     shard_h = pool.route(hh[adm_idx])
     enq = []
     for s in range(num_shards):
-        sub = adm_idx[shard_h == s]
-        if len(sub):
+        sel = adm_idx[shard_h == s]
+        if len(sel):
+            sub = ct.take(pa.array(sel, pa.int64()))
             enq.append(
                 pool.shards[s].enqueue.remote(
-                    uh[sub], [hosts[i] for i in sub], ranks[sub],
-                    [urls[i] for i in sub], [paths[i] for i in sub],
+                    uh[sel],
+                    sub.column("host").to_pylist(),
+                    sub.column("seed_rank").to_numpy(zero_copy_only=False).astype(np.int64),
+                    sub.column("url").to_pylist(),
+                    sub.column("path").to_pylist(),
                     admit=False,
                 )
             )
@@ -136,48 +141,50 @@ def run_streaming_crawl(
                 if ct.num_rows:
                     _admit_enqueue_chunk(pool, num_shards, ct)
 
+        # Round pipelining (the batch pipeline's committer-thread shape,
+        # `crawl.py`): the drain of round k+1 is inherently sequential
+        # AFTER round k's drain (each next_batch mutates the heaps), but
+        # it does NOT need round k's fetch/decode/commit — those run on
+        # a writer thread while the driver drains ahead.  A single
+        # committer thread applies commits strictly in round order (the
+        # resume invariant: contiguous committed prefix).  Shard
+        # checkpoints are captured immediately after each drain, BEFORE
+        # the next drain mutates the heaps.
+        import queue as _queue
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
         decoder = DecodeValidate(min_dim=min_dim)
-        rounds = start_round
-        while True:
-            batches = ray.get([s.next_batch.remote(batch_urls) for s in pool.shards])
-            emitted = [b for sb in batches for b in sb]
-            if not emitted:
-                break
-            emitted.sort(key=lambda r: (r[0], r[1]))  # (virtual time, rank)
-            admitted = pa.table(
-                {
-                    "epoch": pa.array(np.full(len(emitted), rounds, dtype=np.int64)),
-                    "fetch_time_ms": pa.array([r[0] for r in emitted], pa.int64()),
-                    "seed_rank": pa.array([r[1] for r in emitted], pa.int64()),
-                    "url_hash": pa.array(
-                        np.array([r[3] for r in emitted], dtype=np.uint64).view(np.int64)
-                    ),
-                    "host": pa.array([r[4] for r in emitted], pa.string()),
-                    "host_index": pa.array([r[5] for r in emitted], pa.int64()),
-                    "url": pa.array([r[2] for r in emitted], pa.string()),
-                    "path": pa.array([r[6] for r in emitted], pa.string()),
-                }
-            )
-            admitted = add_image_ids(admitted, store_size).drop_columns(["path"])
-            fetched = fetch_from_store(store_paths, admitted)
-            validated = fetched.map_batches(decoder, batch_format="pyarrow", batch_size=256)
-            run.images_out.append_ray_partition(validated, rounds)
-            run.crawl_order.append_partition(admitted, rounds)
+        writer_pool = ThreadPoolExecutor(max_workers=2)
+        committer_pool = ThreadPoolExecutor(max_workers=1)
+        inflight: list[tuple] = []
+        commit_q: "_queue.Queue" = _queue.Queue()
+        commit_err: list[BaseException] = []
+        committer = None
+
+        def commit_oldest():
+            # peek; pop only after the commit applies (the committing
+            # round must stay visible to the backpressure count)
+            round_, admitted_, blobs_, fut_ = inflight[0]
+            frags = fut_.result()
+            run.images_out.commit_fragments(frags)
+            if not frags:
+                run.images_out.append_partition(pa.table({}), round_)
             # counter semantics match the batch pipeline: 'fetched' =
             # committed image rows (store misses emit null-payload rows,
-            # so fetched == admitted only when every id resolves);
-            # valid/big from the committed flags, same as crawl_oldest
-            flags = run.images_out.partition_table(rounds, columns=["valid", "big"])
+            # so fetched == admitted only when every id resolves)
+            flags = run.images_out.partition_table(round_, columns=["valid", "big"])
+            run.crawl_order.append_partition(admitted_, round_)
             run.lineage.append_partition(
-                lineage_table(rounds, rounds, "stream", {
-                    "admitted": admitted.num_rows,
+                lineage_table(round_, round_, "stream", {
+                    "admitted": admitted_.num_rows,
                     "fetched": flags.num_rows,
                     "valid": int(pa.compute.sum(flags.column("valid")).as_py() or 0)
                     if flags.num_rows else 0,
                     "big": int(pa.compute.sum(flags.column("big")).as_py() or 0)
                     if flags.num_rows else 0,
                 }),
-                rounds,
+                round_,
             )
             # state LAST: it is the round-completion marker resume_epoch
             # checks — writing it earlier could leave a permanent lineage
@@ -186,14 +193,96 @@ def run_streaming_crawl(
                 pa.table(
                     {
                         "shard": pa.array(range(num_shards), pa.int64()),
-                        "blob": pa.array(pool.checkpoints(), pa.binary()),
+                        "blob": pa.array(blobs_, pa.binary()),
                     }
                 ),
-                rounds,
+                round_,
             )
-            rounds += 1
-            if fail_after_round is not None and rounds > fail_after_round:
-                raise RuntimeError(f"injected failure after round {fail_after_round}")
+            inflight.pop(0)
+
+        def commit_loop():
+            while True:
+                tok = commit_q.get()
+                if tok is StopIteration:
+                    while inflight and not commit_err:
+                        try:
+                            commit_oldest()
+                        except BaseException as ex:
+                            commit_err.append(ex)
+                    return
+                if commit_err:
+                    continue
+                try:
+                    commit_oldest()
+                except BaseException as ex:
+                    commit_err.append(ex)
+
+        rounds = start_round
+        try:
+            while True:
+                batches = ray.get([s.next_batch.remote(batch_urls) for s in pool.shards])
+                emitted = [b for sb in batches for b in sb]
+                if not emitted:
+                    break
+                # checkpoint NOW: the blobs must reflect the heap state
+                # after THIS drain and before the next one
+                blobs = pool.checkpoints()
+                emitted.sort(key=lambda r: (r[0], r[1]))  # (virtual time, rank)
+                admitted = pa.table(
+                    {
+                        "epoch": pa.array(np.full(len(emitted), rounds, dtype=np.int64)),
+                        "fetch_time_ms": pa.array([r[0] for r in emitted], pa.int64()),
+                        "seed_rank": pa.array([r[1] for r in emitted], pa.int64()),
+                        "url_hash": pa.array(
+                            np.array([r[3] for r in emitted], dtype=np.uint64).view(np.int64)
+                        ),
+                        "host": pa.array([r[4] for r in emitted], pa.string()),
+                        "host_index": pa.array([r[5] for r in emitted], pa.int64()),
+                        "url": pa.array([r[2] for r in emitted], pa.string()),
+                        "path": pa.array([r[6] for r in emitted], pa.string()),
+                    }
+                )
+                admitted = add_image_ids(admitted, store_size).drop_columns(["path"])
+                fetched = fetch_from_store(store_paths, admitted)
+                validated = fetched.map_batches(
+                    decoder, batch_format="pyarrow", batch_size=256
+                )
+                fut = writer_pool.submit(
+                    run.images_out.write_partition_files, validated, rounds
+                )
+                inflight.append((rounds, admitted, blobs, fut))
+                if committer is None:
+                    committer = committer_pool.submit(commit_loop)
+                commit_q.put(None)
+                if commit_err:
+                    raise commit_err[0]
+                # backpressure: at most 2 rounds' writes in flight
+                while sum(1 for t in list(inflight) if not t[3].done()) > 1:
+                    time.sleep(0.02)
+                rounds += 1
+                if fail_after_round is not None and rounds > fail_after_round:
+                    commit_q.put(StopIteration)
+                    committer.result()
+                    committer = None  # drained; finally must not re-drain
+                    if commit_err:
+                        raise commit_err[0]
+                    raise RuntimeError(f"injected failure after round {fail_after_round}")
+            if committer is not None:
+                commit_q.put(StopIteration)
+                committer.result()
+                committer = None
+            if commit_err:
+                raise commit_err[0]
+        finally:
+            # ALWAYS unblock the committer thread (see crawl.py)
+            if committer is not None:
+                commit_q.put(StopIteration)
+                try:
+                    committer.result(timeout=300)
+                except Exception:
+                    pass
+            writer_pool.shutdown(wait=False, cancel_futures=True)
+            committer_pool.shutdown(wait=False, cancel_futures=True)
     finally:
         pool.shutdown()
     return run

@@ -129,14 +129,24 @@ class FrontierShard:
         to Zipf host skew overflowing a host-routed filter) and calls
         ``enqueue(..., admit=False)`` with only the admitted rows,
         routed by host.  ``paths`` carries the canonical query-free path
-        so downstream never re-derives it from the URL."""
+        so downstream never re-derives it from the URL.
+
+        Vectorized: rows are grouped by host with one factorize +
+        lexsort, item tuples built by one C-level ``zip``, and each
+        host's queue extended with a rank-sorted slice + one timsort
+        (linear on the nearly-sorted result; a SORTED list is a valid
+        min-heap, so ``next_batch``'s heappop stays correct) — no
+        per-row heappush."""
         import heapq
+
+        import pandas as pd
 
         if not hasattr(self, "_queues"):
             self._queues: dict[str, list] = {}
             self._heap: list = []
             self._in_heap: set = set()
         uh = np.asarray(url_hashes, dtype=np.uint64)
+        ranks = np.asarray(ranks, dtype=np.int64)
         if admit:
             adm = self.seen.add_if_absent(uh)
             self.admitted += int(adm.sum())
@@ -144,20 +154,38 @@ class FrontierShard:
             keep = np.flatnonzero(adm)
         else:
             keep = np.arange(len(uh))
-        for j in keep:
-            h = hosts[j]
+        if not len(keep):
+            return 0
+        hosts_k = np.asarray(hosts, dtype=object)[keep]
+        paths_k = (np.asarray(paths, dtype=object)[keep]
+                   if paths is not None else np.full(len(keep), "", dtype=object))
+        codes, uniq = pd.factorize(hosts_k, sort=False)
+        order = np.lexsort((ranks[keep], codes))
+        ks = keep[order]
+        codes_s = codes[order]
+        items = list(zip(
+            ranks[ks].tolist(),
+            np.asarray(urls, dtype=object)[ks].tolist(),
+            uh[ks].tolist(),  # uint64 .tolist() keeps unsigned python ints
+            paths_k[order].tolist(),
+        ))
+        bounds = np.flatnonzero(np.diff(codes_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(ks)]])
+        for gi in range(len(starts)):
+            h = uniq[codes_s[starts[gi]]]
             st = self.hosts.setdefault(h, [0, self.default_delay_ms])
             q = self._queues.setdefault(h, [])
             if h not in self._in_heap:
                 next_t = st[0] * st[1]  # continue politeness across calls
                 heapq.heappush(self._heap, (next_t, h))
                 self._in_heap.add(h)
-            # per-host queue is itself a rank-keyed min-heap: O(log n)
-            # push/pop instead of sort-per-pop
-            heapq.heappush(
-                q, (int(ranks[j]), urls[j], int(uh[j]),
-                    "" if paths is None else paths[j])
-            )
+            seg = items[starts[gi]:ends[gi]]  # rank-sorted within host
+            if q:
+                q.extend(seg)
+                q.sort()  # timsort: linear when q was (nearly) sorted
+            else:
+                self._queues[h] = seg
         return int(len(keep))
 
     def next_batch(self, max_urls: int = 256) -> list[tuple]:
