@@ -1449,7 +1449,12 @@ def q_phash_groups(sf_dir: str) -> pd.DataFrame:
     store = _store()
     _ensure_phash_fixture()
     ds = store.read_ray(columns=["image_id", "phash"])
-    pairs = dedup.phash_neardup_groups(ds, max_hamming=2)
+    # salt>1 by default: the driver's oracle run exercises the salted
+    # (fragment-replicate) path — its output is EXACTLY the unsalted
+    # pair set, so the recursive-CTE closure oracle needs no change
+    pairs = dedup.phash_neardup_groups(
+        ds, max_hamming=2, salt=int(os.environ.get("PHASH_SALT", "2"))
+    )
     out = dedup.pair_components(pairs).to_pandas()
     out = out.rename(columns={"node": "image_id"})
     return out[["image_id", "group_id"]].sort_values("image_id").reset_index(drop=True)

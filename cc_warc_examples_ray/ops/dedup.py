@@ -1004,11 +1004,20 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
     keys — by pigeonhole, ANY pair within Hamming<=3 of the 64 bits
     shares at least one exact block, so recall is guaranteed for
     ``max_hamming<=3``.  Exact Hamming verification within buckets;
-    distinct-pair dedup across blocks.  ``salt``>1 additionally splits
-    hot buckets by ``xxhash64(id) % salt`` — the skew-breaking required
-    at 10^10 scale (SURVEY.md §2.6 O9) at the cost of cross-salt
-    recall (salted runs are a partition-local pre-pass; merge across
-    salts with a second unsalted pass over survivors)."""
+    distinct-pair dedup across blocks.
+
+    ``salt``>1 splits hot buckets EXACTLY via salt-PAIR replication
+    (the fragment-replicate skew self-join): each row takes salt
+    ``s = xxhash64(id) % S`` and is emitted to every bucket ``(block,
+    block_key, {i,j})`` with ``s ∈ {i,j}`` — a pair with salts
+    ``(sa, sb)`` meets in exactly one bucket ``{sa, sb}``, so the
+    output is IDENTICAL to the unsalted run (pinned by
+    ``test_phash_salted_equals_unsalted``) while the largest bucket
+    shrinks ~``2/S``.  Replication is S× on ~50 B/row of key metadata
+    only; choose ``S ≈ ceil(hot_bucket_rows / target_bucket_rows)``.
+    This is the skew-breaking required at 10^10 scale (SURVEY.md §2.6
+    O9); no cross-salt merge pass is needed — the recall loss of
+    partition-local salting is designed out."""
 
     def explode(tbl: pa.Table) -> pa.Table:
         ph = tbl.column(phash_col).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
@@ -1027,9 +1036,21 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
             }
         )
         if salt > 1:
-            s = (xxh64_many(out.column(id_col)) % np.uint64(salt)).astype(np.int64)
-            return out.append_column("salt", pa.array(s))
-        return out.append_column("salt", pa.array(np.zeros(4 * n, dtype=np.int64)))
+            s_own = (xxh64_many(out.column(id_col)) % np.uint64(salt)).astype(np.int64)
+            n4 = out.num_rows
+            idx = np.repeat(np.arange(n4, dtype=np.int64), salt)
+            partner = np.tile(np.arange(salt, dtype=np.int64), n4)
+            so = s_own[idx]
+            lo = np.minimum(so, partner)
+            hi = np.maximum(so, partner)
+            rep = out.take(pa.array(idx))
+            return rep.append_column("s", pa.array(so)).append_column(
+                "salt_pair", pa.array(lo * salt + hi)
+            )
+        z = np.zeros(4 * n, dtype=np.int64)
+        return out.append_column("s", pa.array(z)).append_column(
+            "salt_pair", pa.array(z)
+        )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
@@ -1038,8 +1059,15 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
         if len(ids) < 2:
             return _typed_empty(g[id_col].dtype, {"hamming": "int64"})
         ia, ib = np.triu_indices(len(ids), k=1)
+        keep = np.ones(len(ia), dtype=bool)
+        if salt > 1:
+            sp = int(g["salt_pair"].iloc[0])
+            if sp // salt != sp % salt:  # cross-salt bucket {i,j}, i != j:
+                # same-salt pairs here duplicate bucket {i,i} — drop them
+                sv = g["s"].to_numpy()
+                keep &= sv[ia] != sv[ib]
         ham = hamming64(ph[ia], ph[ib])
-        keep = ham <= max_hamming
+        keep &= ham <= max_hamming
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
                              "hamming": ham[keep].astype(np.int64)})
 
@@ -1048,7 +1076,7 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
 
     idt = _arrow_types(ds.schema()).get(id_col, pa.string())
     cand = grouped_bucket_pairs(
-        exploded, ["block", "block_key", "salt"], verify,
+        exploded, ["block", "block_key", "salt_pair"], verify,
         out_schema=pa.schema([("id_a", idt), ("id_b", idt), ("hamming", pa.int64())]),
     )
     return distinct_pairs(cand, extra_cols=("hamming",))

@@ -738,3 +738,45 @@ def test_jaccard_duplicate_doc_ids_no_self_pairs(ray_session):
     got = dedup.jaccard_join(docs, threshold=0.5).to_pandas()
     assert (got["id_a"] != got["id_b"]).all()
     assert {(1, 2)} == set(zip(got["id_a"], got["id_b"]))
+
+
+def test_phash_salted_equals_unsalted(ray_session):
+    """Salt-pair replication is EXACT: the salted run's pair set and the
+    resulting components equal the unsalted run's on a Zipf-hot corpus
+    (one huge near-dup cluster — the bucket salting exists to split —
+    plus chains that cross salt boundaries)."""
+    rng = np.random.default_rng(13)
+    phs = []
+    base = np.uint64(0x0123456789ABCDEF)
+    # hot cluster: 60 hashes within hamming<=2 of base (shared blocks)
+    for _ in range(60):
+        h = base
+        for b in rng.choice(64, size=rng.integers(0, 2), replace=False):
+            h ^= np.uint64(1) << np.uint64(b)
+        phs.append(h)
+    # chain cluster: consecutive flips so adjacency crosses any salt split
+    h = np.uint64(0xFEDCBA9876543210)
+    for i in range(12):
+        phs.append(h)
+        h ^= np.uint64(1) << np.uint64(i % 16)
+    # background noise
+    phs += [np.uint64(x) for x in rng.integers(0, 2**63, size=80, dtype=np.int64)]
+    t = pa.table({
+        "image_id": pa.array([f"im{i:04d}" for i in range(len(phs))], pa.string()),
+        "phash": pa.array(np.array(phs, dtype=np.uint64).view(np.int64)),
+    })
+    ds = rd.from_arrow(t)
+    plain = dedup.phash_neardup_groups(ds, max_hamming=2, salt=0).to_pandas()
+    key = ["id_a", "id_b", "hamming"]
+    plain = plain.sort_values(key).reset_index(drop=True)
+    assert len(plain) >= 60  # the hot cluster really is hot
+    for s in (2, 4, 7):
+        salted = dedup.phash_neardup_groups(ds, max_hamming=2, salt=s).to_pandas()
+        salted = salted.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(plain[key], salted[key])
+    comp_plain = dedup.pair_components(
+        dedup.phash_neardup_groups(ds, max_hamming=2, salt=0)).to_pandas()
+    comp_salt = dedup.pair_components(
+        dedup.phash_neardup_groups(ds, max_hamming=2, salt=4)).to_pandas()
+    merged = comp_plain.merge(comp_salt, on="node", suffixes=("_p", "_s"))
+    assert (merged["group_id_p"] == merged["group_id_s"]).all()
