@@ -780,3 +780,39 @@ def test_phash_salted_equals_unsalted(ray_session):
         dedup.phash_neardup_groups(ds, max_hamming=2, salt=4)).to_pandas()
     merged = comp_plain.merge(comp_salt, on="node", suffixes=("_p", "_s"))
     assert (merged["group_id_p"] == merged["group_id_s"]).all()
+
+
+def test_pair_components_distributed_regime_on_fixture(ray_session):
+    """VERDICT r2 #6: the distributed min-label-propagation regime
+    (finish_cutoff=0) must equal the driver union-find regime on a real
+    fixture-scale pHash pair graph, not only on a 200-edge unit graph."""
+    rng = np.random.default_rng(23)
+    phs = []
+    # chains of diameter ~7 (multi-round propagation without paying one
+    # hash_join round per hop for dozens of hops) + hot clusters + noise
+    for c in range(6):
+        h = np.uint64(rng.integers(0, 2**63))
+        for i in range(8):
+            phs.append(h)
+            h ^= np.uint64(1) << np.uint64((i * 7 + c) % 64)
+    for c in range(3):  # hot clusters: all within hamming 2 of a center
+        base = np.uint64(rng.integers(0, 2**63))
+        for _ in range(20):
+            h = base
+            for b in rng.choice(64, size=rng.integers(0, 2), replace=False):
+                h ^= np.uint64(1) << np.uint64(b)
+            phs.append(h)
+    phs += [np.uint64(x) for x in rng.integers(0, 2**63, size=300, dtype=np.int64)]
+    t = pa.table({
+        "image_id": pa.array([f"im{i:05d}" for i in range(len(phs))], pa.string()),
+        "phash": pa.array(np.array(phs, dtype=np.uint64).view(np.int64)),
+    })
+    pairs = dedup.phash_neardup_groups(
+        rd.from_arrow(t), max_hamming=2, salt=2
+    ).materialize()
+    assert pairs.count() > 200  # real multi-component near-dup structure
+    uf = dedup.pair_components(pairs).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    dist = dedup.pair_components(pairs, finish_cutoff=0).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(uf, dist)
