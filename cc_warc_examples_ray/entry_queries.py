@@ -766,6 +766,41 @@ def _ensure_phash_fixture() -> str:
     return _PHASH_FIXTURE
 
 
+_WEIGHTS_FIXTURE = "/tmp/ccwarc_trained_weights.parquet"
+# dict-insertion order = the ensemble's fp summation order; the SQL
+# oracle embeds the same terms left to right (see _sql_media_classify)
+_TRAIN_FEATURES = ("attr_w", "attr_h", "url_w", "url_h", "alt_len", "elem_img",
+                   "same_domain", "dom_depth", "dom_sib", "suffix_gif")
+
+
+def _ensure_weights_fixture() -> str:
+    """Persisted classifier coefficients (WekaTrainer.java:23-47 analog):
+    one-pass ridge least-squares over the deterministic labeled training
+    corpus (synth.media_training_table — offline, sf-independent, like
+    the IVF centroid fixture).  Pure function of the global seed; the
+    no-Ray trainer path keeps oracle_sql() Ray-free."""
+    if not os.path.exists(_WEIGHTS_FIXTURE):
+        from .ops import features
+
+        t = synth.media_training_table(4000)
+        w, b = features.train_feature_weights(t, list(_TRAIN_FEATURES))
+        out = pa.table({
+            "feature": pa.array(list(_TRAIN_FEATURES) + ["__bias__"], pa.string()),
+            "weight": pa.array([w[c] for c in _TRAIN_FEATURES] + [b], pa.float64()),
+        })
+        tmp = f"{_WEIGHTS_FIXTURE}.{os.getpid()}.tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, _WEIGHTS_FIXTURE)
+    return _WEIGHTS_FIXTURE
+
+
+def _trained_weights() -> tuple[dict, float]:
+    """Load (weights dict in training order, bias) from the fixture."""
+    t = pq.read_table(_ensure_weights_fixture())
+    m = dict(zip(t.column("feature").to_pylist(), t.column("weight").to_pylist()))
+    return {c: m[c] for c in _TRAIN_FEATURES}, m["__bias__"]
+
+
 _FRONTIER_FIXTURE = "/tmp/ccwarc_frontier_fixture.parquet"
 _FRONTIER_N = 2000
 _FRONTIER_HOSTS = 20
@@ -1754,8 +1789,13 @@ def q_media_classify(sf_dir: str) -> pd.DataFrame:
     scores = text.ngram_class_scores(docs, "text", "lang", pos_label="en", min_count=5)
     vocab = features.build_ngram_vocab(scores, top_n=500)
     vref = ray.put(vocab)
+    # TRAINED feature-side coefficients (persisted fixture; see
+    # _ensure_weights_fixture) — the reference's offline-trained model
+    # loaded once per actor (S14)
+    w, b = _trained_weights()
     out = feats.map_batches(
         features.PresenceAndEnsemble, fn_constructor_args=(vref,),
+        fn_constructor_kwargs=dict(feature_weights=w, bias=b - 0.5),
         batch_format="pyarrow", concurrency=(1, 4),
     ).to_pandas()
     out["p_feat"] = _r5(out["p_feat"])
@@ -1900,12 +1940,12 @@ feat AS (
 ),
 scored AS (
   -- term order mirrors EnsembleClassifier's weight-dict iteration
-  -- exactly (z += w*x left to right), keeping fp summation identical
+  -- exactly (z += w*x left to right), keeping fp summation identical;
+  -- the TRAINED weights are substituted as repr() literals by
+  -- _sql_media_classify (shortest-round-trip decimals parse back to
+  -- the identical double in DuckDB)
   SELECT src, ngram_hits,
-    1.0 / (1.0 + exp(-((0.002 * attr_w + 0.0 + 0.002 * url_w + 0.002 * url_h
-                        + 0.004 * alt_len + 0.3 * elem_img + 0.1 * same_domain
-                        + (-0.01) * dom_depth + (-0.02) * dom_sib
-                        + (-0.4) * suffix_gif) - 0.5))) AS pf,
+    1.0 / (1.0 + exp(-(__FEATURE_SCORE__))) AS pf,
     1.0 / (1.0 + exp(-(0.08 * ngram_hits - 0.5))) AS pn
   FROM feat
 )
@@ -1917,6 +1957,20 @@ SELECT src, ngram_hits,
             ELSE pf >= 0.5 END AS is_big
 FROM scored ORDER BY src
 """
+
+
+def _sql_media_classify() -> str:
+    """SQL_MEDIA_CLASSIFY with the TRAINED coefficients substituted as
+    literals, in the exact python summation order.  ``attr_h`` is always
+    0 in the fixture's media rows (the visitor extracts width only), so
+    its term is ``w * 0.0`` — bitwise what the python kernel adds."""
+    w, b = _trained_weights()
+    terms = []
+    for c in _TRAIN_FEATURES:
+        col = "0.0" if c == "attr_h" else c
+        terms.append(f"({w[c]!r}) * {col}")
+    expr = " + ".join(terms) + f" + ({b - 0.5!r})"
+    return SQL_MEDIA_CLASSIFY.replace("__FEATURE_SCORE__", expr)
 
 
 def q_crawl_admission(sf_dir: str) -> pd.DataFrame:
@@ -2174,7 +2228,11 @@ def oracles_impl() -> dict[str, str]:
     _ensure_ivf_fixture()
     _ensure_lsh_fixture()
     _ensure_frontier_fixture()
-    return dict(ORACLES)
+    _ensure_weights_fixture()
+    d = dict(ORACLES)
+    # trained-coefficient SQL is built at call time (reads the fixture)
+    d["media_classify"] = _sql_media_classify()
+    return d
 
 
 def entry_impl() -> rd.Dataset:

@@ -194,7 +194,7 @@ class EnsembleClassifier:
     """
 
     def __init__(self, feature_weights: dict | None = None, ngram_bias: float = 0.05,
-                 threshold: float = 0.5):
+                 threshold: float = 0.5, bias: float = -0.5):
         if feature_weights is None:
             # deterministic default stand-in weights: bigger rendered
             # dims / deeper standalone <img> tags → likely "big"
@@ -206,6 +206,7 @@ class EnsembleClassifier:
         self.w = feature_weights
         self.ngram_bias = ngram_bias
         self.threshold = threshold
+        self.bias = bias
 
     @staticmethod
     def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -217,7 +218,7 @@ class EnsembleClassifier:
         for name, w in self.w.items():
             if name in tbl.column_names:
                 z += w * tbl.column(name).to_numpy(zero_copy_only=False)
-        p_feat = self._sigmoid(z - 0.5)
+        p_feat = self._sigmoid(z + self.bias)
         if "ngram_hits" in tbl.column_names:
             hits = tbl.column("ngram_hits").to_numpy(zero_copy_only=False).astype(np.float64)
             p_ngram = self._sigmoid(0.08 * hits - 0.5)
@@ -250,6 +251,67 @@ class PresenceAndEnsemble:
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         return self.ensemble(self.presence(tbl))
+
+
+def train_feature_weights(
+    data, feature_cols, label_col: str = "label", ridge: float = 1e-3
+):
+    """Train the feature-side model: one-pass distributed RIDGE
+    least-squares fit of a linear probability model (the deterministic
+    analog of the reference's offline RandomForest training,
+    `WekaTrainer.java:23-47`).
+
+    Shape: each batch computes a partial Gram matrix ``Xᵀ X`` and
+    moment ``Xᵀ y`` over the bias-augmented feature matrix (k+1 × k+1
+    doubles — tiny); partials sum on the driver and one ``solve``
+    yields the coefficients.  ONE streaming pass, no iteration, no
+    shuffle — at 10^10 rows the only driver state is the (k+1)² matrix.
+
+    Determinism: the engine's media features are integer-valued
+    (lengths, pixel dims, one-hots) and the label is 0/1, so every
+    partial is an exactly-representable integer and float64 summation
+    is order-independent — identical coefficients under any batch
+    split (pinned by ``test_train_feature_weights``).
+
+    ``data`` is a ``ray.data.Dataset`` or a ``pyarrow.Table`` (the
+    no-Ray path used by fixture/oracle builders).  Returns
+    ``(weights: dict[col, float], bias: float)``; feed them to
+    :class:`EnsembleClassifier` as ``feature_weights=weights,
+    bias=trained_bias - 0.5`` so the 0.5 decision threshold matches
+    the linear-probability fit (``sigmoid(p̂ - 0.5) >= 0.5 ⟺ p̂ >= 0.5``).
+    """
+    feature_cols = list(feature_cols)
+    k = len(feature_cols)
+
+    def gram(tbl: pa.Table):
+        X = np.stack(
+            [tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in feature_cols],
+            axis=1,
+        )
+        X = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+        y = tbl.column(label_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return X.T @ X, X.T @ y
+
+    if isinstance(data, pa.Table):
+        G, m = gram(data)
+    else:
+        def partial(tbl: pa.Table) -> pa.Table:
+            Gp, mp = gram(tbl)
+            return pa.table({
+                "g": pa.array([Gp.ravel().tolist()], pa.list_(pa.float64())),
+                "m": pa.array([mp.tolist()], pa.list_(pa.float64())),
+            })
+
+        parts = data.map_batches(partial, batch_format="pyarrow").to_pandas()
+        G = np.zeros((k + 1, k + 1))
+        m = np.zeros(k + 1)
+        for g_row, m_row in zip(parts["g"], parts["m"]):
+            G += np.asarray(g_row).reshape(k + 1, k + 1)
+            m += np.asarray(m_row)
+    G = G + ridge * np.eye(k + 1)
+    w = np.linalg.solve(G, m)
+    return dict(zip(feature_cols, (float(v) for v in w[:k]))), float(w[k])
 
 
 def f1_eval(labels: np.ndarray, preds: np.ndarray) -> dict:

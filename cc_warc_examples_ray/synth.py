@@ -288,3 +288,40 @@ def warc_records_table(n: int, seed: int = GLOBAL_SEED) -> pa.Table:
 
 def stable_hash_str(s: str) -> int:
     return xxh64(s.encode())
+
+
+def media_training_table(n: int = 4000, seed: int = GLOBAL_SEED + 9) -> pa.Table:
+    """Deterministic labeled training set for the big/small classifier
+    (the offline-training corpus stand-in — the reference trains its
+    RandomForests offline on labeled crawled media,
+    `WekaTrainer.java:23-47`; 4.6M-record scans in
+    `NgamFeatureSelection.java:29`).  All feature values are INTEGER
+    floats so the one-pass ridge trainer's Gram partials are exact
+    (order-independent summation — see
+    ops/features.train_feature_weights)."""
+    rng = _rng(seed, 0)
+    attr_w = np.where(rng.random(n) < 0.5, rng.integers(0, 1600, n), 0).astype(np.float64)
+    url_w = np.where(rng.random(n) < 0.4, rng.integers(0, 1200, n), 0).astype(np.float64)
+    url_h = np.where(url_w > 0, (url_w * 3) // 4, 0.0)
+    alt_len = rng.integers(0, 120, n).astype(np.float64)
+    elem_img = (rng.random(n) < 0.6).astype(np.float64)
+    same_domain = (rng.random(n) < 0.5).astype(np.float64)
+    dom_depth = rng.integers(1, 12, n).astype(np.float64)
+    dom_sib = rng.integers(0, 40, n).astype(np.float64)
+    suffix_gif = (rng.random(n) < 0.15).astype(np.float64)
+    attr_h = np.where(attr_w > 0, (attr_w * 3) // 4, 0.0)
+    # ground truth: a noisy linear rule over rendered/url size hints —
+    # integer noise keeps the label deterministic across platforms
+    score = (
+        3 * attr_w + 2 * url_w + 1 * url_h + 5 * alt_len
+        + 300 * elem_img + 80 * same_domain
+        - 10 * dom_depth - 12 * dom_sib - 450 * suffix_gif
+        + rng.integers(-150, 150, n)
+    )
+    label = (score > 600).astype(np.int64)
+    return pa.table({
+        "attr_w": attr_w, "attr_h": attr_h, "url_w": url_w, "url_h": url_h,
+        "alt_len": alt_len, "elem_img": elem_img, "same_domain": same_domain,
+        "dom_depth": dom_depth, "dom_sib": dom_sib, "suffix_gif": suffix_gif,
+        "label": label,
+    })
