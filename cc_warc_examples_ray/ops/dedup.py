@@ -260,16 +260,32 @@ def _hot_shingles(ds: rd.Dataset, text_col: str, shingle_n: int,
     if n > sample:
         frac = min(1.0, 1.2 * sample / n)
         sub = sub.random_sample(frac, seed=seed)
-    df = sub.to_pandas()
-    if text_col not in df.columns:  # empty sample draw drops columns
+
+    # shingle the sample WHERE IT LIVES: per-batch (shingle, count)
+    # partials — the driver only ever folds tiny unique/count arrays
+    # (serially shingling the sample on the driver was ~3 s of a ~15 s
+    # sf0.1 join; the fold is np.unique + add.reduceat, microseconds)
+    def partial(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pylist()
+        hs = [h for h in (_shingles_cached(t or "", shingle_n) for t in texts)
+              if len(h)]
+        if not hs:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        u, c = np.unique(np.concatenate(hs).view(np.int64), return_counts=True)
+        return pa.table({"sh": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    parts = sub.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts) or "sh" not in parts.columns:
         return np.array([], np.int64), np.array([], np.int64)
-    texts = df[text_col]
-    hs = [h for h in (_shingles_cached(t or "", shingle_n) for t in texts)
-          if len(h)]
-    if not hs:
+    all_u = parts["sh"].to_numpy()
+    all_c = parts["c"].to_numpy()
+    if not len(all_u):
         return np.array([], np.int64), np.array([], np.int64)
-    flat = np.concatenate(hs).view(np.int64)
-    uniq, cnt = np.unique(flat, return_counts=True)
+    order0 = np.argsort(all_u, kind="stable")
+    su, sc = all_u[order0], all_c[order0]
+    uniq, starts = np.unique(su, return_index=True)
+    cnt = np.add.reduceat(sc, starts)
     cutoff = max(2, int(round(hot_min * frac)))
     keep = cnt >= cutoff
     uniq, cnt = uniq[keep], cnt[keep]
@@ -436,13 +452,26 @@ def _shingles_cached(text: str, n: int) -> np.ndarray:
 
 
 def _jaccard_rows(tbl: pa.Table, shingle_n: int) -> pa.Table:
-    """Exact shingle Jaccard per (text_a, text_b) row — block-local."""
+    """Exact shingle Jaccard per (text_a, text_b) row — block-local.
+    Shingles memoize by DOC ID within the batch: a hot doc appears in
+    many pairs, and even a cache hit in ``_shingles_cached`` pays a
+    full-text hash for the key — the id dict lookup does not."""
     a = tbl.column("text_a").to_pylist()
     b = tbl.column("text_b").to_pylist()
+    ia = tbl.column("id_a").to_pylist()
+    ib = tbl.column("id_b").to_pylist()
+    memo: dict = {}
+
+    def sh(doc_id, text):
+        r = memo.get(doc_id)
+        if r is None:
+            r = memo[doc_id] = _shingles_cached(text or "", shingle_n)
+        return r
+
     sims = np.zeros(len(a))
     for i, (x, y) in enumerate(zip(a, b)):
-        sa = _shingles_cached(x or "", shingle_n)
-        sb = _shingles_cached(y or "", shingle_n)
+        sa = sh(ia[i], x)
+        sb = sh(ib[i], y)
         if len(sa) == 0 and len(sb) == 0:
             sims[i] = 1.0
         else:
@@ -516,30 +545,57 @@ def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
     use_broadcast = (len(idt) <= broadcast_pairs
                      and docs_small.size_bytes() <= BROADCAST_TEXT_MAX_BYTES)
     if use_broadcast:
-        tex = docs_small.to_pandas()  # bounded by 2*|pairs| rows AND the byte gate
+        # shingle each pruned doc ONCE, distributed, and broadcast the
+        # id→shingle-array map: verification becomes dict lookups +
+        # intersect1d, with no per-pair text re-hash (keying the shingle
+        # memo by full-text hash cost ~50 µs/pair — the dominant verify
+        # term at sf0.1).  Shingle bytes ≈ 8 × words ≈ text bytes, so
+        # the size gate above still bounds the broadcast.
+        def to_shingles(t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_pylist()
+            arrs = [shingle_hashes(x or "", shingle_n).view(np.int64) for x in texts]
+            flat = np.concatenate(arrs) if arrs else np.array([], np.int64)
+            offsets = np.concatenate(
+                [[0], np.cumsum([len(a) for a in arrs], dtype=np.int64)]
+            ).astype(np.int32)
+            return pa.table({
+                id_col: t.column(id_col),
+                "sh": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+            })
+
+        sdf = docs_small.map_batches(to_shingles, batch_format="pyarrow").to_pandas()
         # a fully-pruned (empty) result may drop its columns in pandas
-        tmap_ref = ray.put(
-            dict(zip(tex[id_col], tex[text_col])) if id_col in tex.columns else {}
+        smap_ref = ray.put(
+            {k: np.asarray(v, dtype=np.int64).view(np.uint64)
+             for k, v in zip(sdf[id_col], sdf["sh"])}
+            if id_col in sdf.columns else {}
         )
 
         # plain task (not an actor pool): the pair list is small here by
-        # the regime gate, so spin-up would dominate; the text map is
+        # the regime gate, so spin-up would dominate; the shingle map is
         # deserialized once per worker process via _bcast_cached.
         def attach_and_verify(tbl: pa.Table) -> pa.Table:
-            tmap = _bcast_cached(tmap_ref)
+            smap = _bcast_cached(smap_ref)
             a_ids = tbl.column("id_a").to_pylist()
             b_ids = tbl.column("id_b").to_pylist()
             # inner-join semantics: pairs whose ids are absent from docs
             # are DROPPED (the join regime would never emit them)
             keep = [i for i, (a, b) in enumerate(zip(a_ids, b_ids))
-                    if a in tmap and b in tmap]
+                    if a in smap and b in smap]
             if len(keep) < tbl.num_rows:
                 tbl = tbl.take(pa.array(keep, pa.int64()))
                 a_ids = [a_ids[i] for i in keep]
                 b_ids = [b_ids[i] for i in keep]
-            tbl = tbl.append_column("text_a", pa.array([tmap[x] for x in a_ids], pa.string()))
-            tbl = tbl.append_column("text_b", pa.array([tmap[x] for x in b_ids], pa.string()))
-            return _jaccard_rows(tbl, shingle_n)
+            sims = np.zeros(len(a_ids))
+            for i, (x, y) in enumerate(zip(a_ids, b_ids)):
+                sa, sb = smap[x], smap[y]
+                if len(sa) == 0 and len(sb) == 0:
+                    sims[i] = 1.0
+                else:
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    union = len(sa) + len(sb) - inter
+                    sims[i] = inter / union if union else 0.0
+            return tbl.append_column("jaccard", pa.array(sims, pa.float64()))
 
         verified = pairs.map_batches(attach_and_verify, batch_format="pyarrow")
         return verified.filter(expr=f"jaccard >= {threshold}")
