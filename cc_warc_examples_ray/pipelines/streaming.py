@@ -93,11 +93,22 @@ def run_streaming_crawl(
     batch_urls: int = 4096,
     min_dim: int | None = None,
     fail_after_round: int | None = None,
+    seed_feed=None,
 ) -> CrawlRun:
     """Continuous-mode crawl over a (finite) seed list: enqueue in rank
     order, then drain the per-shard heaps round by round; fetch + decode
     each round's emission; commit one partition per drain round.  Calling
-    again on the same ``out_dir`` resumes from the newest complete round."""
+    again on the same ``out_dir`` resumes from the newest complete round.
+
+    ``seed_feed``: optional ``round -> pa.Table | None`` callable — the
+    CONTINUOUS ingest hook.  Called once at the start of every round;
+    a returned FRONTIER_SEEDS table is canonicalized, first-seen-deduped
+    against everything already admitted, and enqueued before that
+    round's drain.  The crawl ends when a drain emits nothing AND the
+    feed returned no table for that round.  The feed MUST be a
+    deterministic function of the round index: a resumed run re-invokes
+    it for rounds after the checkpoint (earlier feeds' effects are in
+    the shard state) — that is what keeps kill/resume bit-identical."""
     import pyarrow.parquet as pq
 
     from .. import synth
@@ -217,12 +228,24 @@ def run_streaming_crawl(
                 except BaseException as ex:
                     commit_err.append(ex)
 
+        nblocks_feed = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
         rounds = start_round
         try:
             while True:
+                fed = False
+                if seed_feed is not None:
+                    ft = seed_feed(rounds)
+                    if ft is not None and ft.num_rows:
+                        feds = canonicalized_ds(ft, disallow, nblocks_feed).sort("seed_rank")
+                        for ct in feds.iter_batches(
+                            batch_size=MAX_CANON_ROWS_PER_BLOCK, batch_format="pyarrow"
+                        ):
+                            if ct.num_rows:
+                                _admit_enqueue_chunk(pool, num_shards, ct)
+                        fed = True
                 batches = ray.get([s.next_batch.remote(batch_urls) for s in pool.shards])
                 emitted = [b for sb in batches for b in sb]
-                if not emitted:
+                if not emitted and not fed:
                     break
                 # checkpoint NOW: the blobs must reflect the heap state
                 # after THIS drain and before the next one

@@ -101,3 +101,49 @@ def test_streaming_query_url_image_id_parity(ray_session, tmp_path):
     assert bdf["image_id"].tolist() == sdf["image_id"].tolist()
     # the synthetic key regex must have hit (no hash fallback drift)
     assert bdf["image_id"].tolist() == [f"img-{i % 30:010d}" for i in range(12)]
+
+
+def test_streaming_seed_feed_continuous_and_resume(ray_session, fixtures, tmp_path):
+    """Continuous ingest: seeds arriving mid-crawl via seed_feed are
+    canonicalized, first-seen-deduped against everything already
+    admitted, and scheduled; the admitted URL set equals the batch
+    pipeline's over the same total frontier, and kill/resume with the
+    same (deterministic) feed is bit-identical."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    seeds, robots, store = fixtures
+    init = seeds.slice(0, 250)
+
+    def feed(r):
+        if r == 1:
+            return seeds.slice(250, 100)
+        if r == 3:
+            # 50 new + 20 duplicates of already-admitted seeds
+            return pa.concat_tables([seeds.slice(350, 50), seeds.slice(0, 20)])
+        return None
+
+    kw = dict(num_shards=3, store_size=120, batch_urls=48, seed_feed=feed)
+    full = run_streaming_crawl(
+        init, robots, store.fragment_paths(), str(tmp_path / "feed"), **kw)
+    order = full.crawl_order.to_table().to_pandas()
+    assert order["url_hash"].is_unique  # first-seen across feeds
+
+    # cross-mode invariant: same admitted URL-hash set as the batch
+    # pipeline over the full 400-seed frontier (arrival order here is
+    # rank order, so first-seen winners coincide)
+    batch = run_crawl(
+        seeds, robots, store.fragment_paths(), str(tmp_path / "bat"),
+        num_shards=3, num_epochs=1, store_size=120)
+    bset = set(batch.crawl_order.to_table().to_pandas()["url_hash"])
+    assert set(order["url_hash"]) == bset
+
+    killed = str(tmp_path / "feedkill")
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_streaming_crawl(init, robots, store.fragment_paths(), killed,
+                            fail_after_round=1, **kw)
+    resumed = run_streaming_crawl(init, robots, store.fragment_paths(), killed, **kw)
+    assert _schedule(full.crawl_order.to_table()) == _schedule(resumed.crawl_order.to_table())
+    fa = full.images_out.to_table().to_pandas().sort_values("seed_rank")
+    ra = resumed.images_out.to_table().to_pandas().sort_values("seed_rank")
+    assert fa["image_id"].tolist() == ra["image_id"].tolist()
