@@ -94,6 +94,7 @@ def run_streaming_crawl(
     min_dim: int | None = None,
     fail_after_round: int | None = None,
     seed_feed=None,
+    round_target: int | None = None,
 ) -> CrawlRun:
     """Continuous-mode crawl over a (finite) seed list: enqueue in rank
     order, then drain the per-shard heaps round by round; fetch + decode
@@ -243,8 +244,26 @@ def run_streaming_crawl(
                             if ct.num_rows:
                                 _admit_enqueue_chunk(pool, num_shards, ct)
                         fed = True
-                batches = ray.get([s.next_batch.remote(batch_urls) for s in pool.shards])
-                emitted = [b for sb in batches for b in sb]
+                # accumulate drains until the round reaches its target
+                # size: under Zipf host skew a single drain caps at
+                # batch_urls on the hot shard(s) while the others run
+                # dry, and a long tail of tiny rounds pays one Dataset
+                # execution + checkpoint each (measured 20 rounds /
+                # 15.5 s at 160k seeds; ~5 rounds after).  Per-shard
+                # virtual-time order is preserved across consecutive
+                # drains, so the combined round sorts identically.
+                target = round_target if round_target is not None else batch_urls * num_shards
+                emitted: list[tuple] = []
+                while True:
+                    batches = ray.get(
+                        [s.next_batch.remote(batch_urls) for s in pool.shards]
+                    )
+                    got = [b for sb in batches for b in sb]
+                    if not got:
+                        break
+                    emitted.extend(got)
+                    if len(emitted) >= target:
+                        break
                 if not emitted and not fed:
                     break
                 # checkpoint NOW: the blobs must reflect the heap state
