@@ -252,36 +252,52 @@ def run_streaming_crawl(
                 # 15.5 s at 160k seeds; ~5 rounds after).  Per-shard
                 # virtual-time order is preserved across consecutive
                 # drains, so the combined round sorts identically.
+                # Drains arrive as COLUMN arrays (next_batch_arrays):
+                # 160k python tuples per round cost more to build,
+                # serialize and re-sort than the arrays.
                 target = round_target if round_target is not None else batch_urls * num_shards
-                emitted: list[tuple] = []
+                chunks: list[tuple] = []
+                n_emitted = 0
                 while True:
                     batches = ray.get(
-                        [s.next_batch.remote(batch_urls) for s in pool.shards]
+                        [s.next_batch_arrays.remote(batch_urls) for s in pool.shards]
                     )
-                    got = [b for sb in batches for b in sb]
+                    got = [b for b in batches if b is not None]
                     if not got:
                         break
-                    emitted.extend(got)
-                    if len(emitted) >= target:
+                    chunks.extend(got)
+                    n_emitted += sum(len(c[0]) for c in got)
+                    if n_emitted >= target:
                         break
-                if not emitted and not fed:
+                if not n_emitted and not fed:
                     break
                 # checkpoint NOW: the blobs must reflect the heap state
                 # after THIS drain and before the next one
                 blobs = pool.checkpoints()
-                emitted.sort(key=lambda r: (r[0], r[1]))  # (virtual time, rank)
+                if chunks:
+                    ts = np.concatenate([c[0] for c in chunks])
+                    ranks = np.concatenate([c[1] for c in chunks])
+                    urls: list = sum((c[2] for c in chunks), [])
+                    uhs = np.concatenate([c[3] for c in chunks])
+                    hosts: list = sum((c[4] for c in chunks), [])
+                    his = np.concatenate([c[5] for c in chunks])
+                    paths: list = sum((c[6] for c in chunks), [])
+                else:
+                    ts = ranks = his = np.array([], np.int64)
+                    uhs = np.array([], np.uint64)
+                    urls, hosts, paths = [], [], []
+                order = np.lexsort((ranks, ts))  # (virtual time, rank)
+                oa = pa.array(order)
                 admitted = pa.table(
                     {
-                        "epoch": pa.array(np.full(len(emitted), rounds, dtype=np.int64)),
-                        "fetch_time_ms": pa.array([r[0] for r in emitted], pa.int64()),
-                        "seed_rank": pa.array([r[1] for r in emitted], pa.int64()),
-                        "url_hash": pa.array(
-                            np.array([r[3] for r in emitted], dtype=np.uint64).view(np.int64)
-                        ),
-                        "host": pa.array([r[4] for r in emitted], pa.string()),
-                        "host_index": pa.array([r[5] for r in emitted], pa.int64()),
-                        "url": pa.array([r[2] for r in emitted], pa.string()),
-                        "path": pa.array([r[6] for r in emitted], pa.string()),
+                        "epoch": pa.array(np.full(n_emitted, rounds, dtype=np.int64)),
+                        "fetch_time_ms": pa.array(ts[order], pa.int64()),
+                        "seed_rank": pa.array(ranks[order], pa.int64()),
+                        "url_hash": pa.array(uhs[order].view(np.int64)),
+                        "host": pa.array(hosts, pa.string()).take(oa),
+                        "host_index": pa.array(his[order], pa.int64()),
+                        "url": pa.array(urls, pa.string()).take(oa),
+                        "path": pa.array(paths, pa.string()).take(oa),
                     }
                 )
                 admitted = add_image_ids(admitted, store_size).drop_columns(["path"])

@@ -215,6 +215,51 @@ class FrontierShard:
                 self._in_heap.discard(h)
         return out
 
+    def next_batch_arrays(self, max_urls: int = 256):
+        """:meth:`next_batch` in COLUMN form: identical pop order, but
+        the emission returns as numpy arrays + string lists instead of
+        one python tuple per URL — at a 32k-URL round the tuples cost
+        more to build and serialize than the whole drain's heap work.
+        Returns None when nothing is due.  Columns: (fetch_time_ms,
+        seed_rank, url, url_hash(uint64), host, host_index, path)."""
+        import heapq
+
+        if not hasattr(self, "_heap"):
+            return None
+        ts: list[int] = []
+        ranks: list[int] = []
+        urls: list[str] = []
+        uhs: list[int] = []
+        hosts: list[str] = []
+        his: list[int] = []
+        paths: list[str] = []
+        while self._heap and len(ts) < max_urls:
+            t, h = heapq.heappop(self._heap)
+            q = self._queues.get(h)
+            if not q:
+                self._in_heap.discard(h)
+                continue
+            rank, url, uh, path = heapq.heappop(q)
+            st = self.hosts.setdefault(h, [0, self.default_delay_ms])
+            ts.append(t)
+            ranks.append(rank)
+            urls.append(url)
+            uhs.append(uh)
+            hosts.append(h)
+            his.append(st[0])
+            paths.append(path)
+            st[0] += 1
+            if q:
+                heapq.heappush(self._heap, (t + st[1], h))
+            else:
+                self._in_heap.discard(h)
+        if not ts:
+            return None
+        return (
+            np.asarray(ts, np.int64), np.asarray(ranks, np.int64), urls,
+            np.asarray(uhs, np.uint64), hosts, np.asarray(his, np.int64), paths,
+        )
+
     def stats(self) -> dict:
         return {
             "shard": self.shard_id,
