@@ -370,6 +370,8 @@ def q_event_windows(sf_dir: str) -> pd.DataFrame:
         # and only the tiny aggregated result needs formatting.  Arrow
         # end-to-end: epoch-aligned int64 floor (== dt.floor('h') for
         # post-1970 ts) + a pyarrow group_by, no pandas conversion.
+        if tbl.column("ts").null_count:  # NaT int64-wraps into a phantom window
+            tbl = tbl.filter(pa.compute.is_valid(tbl.column("ts")))
         ts_i = tbl.column("ts").combine_chunks().to_numpy(
             zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         ws = (ts_i - ts_i % HOUR_US).astype("datetime64[us]")
@@ -412,6 +414,8 @@ def q_event_hopping(sf_dir: str) -> pd.DataFrame:
     Q_US = 900_000_000  # 15 min
 
     def assign(tbl: pa.Table) -> pa.Table:
+        if tbl.column("ts").null_count:  # NaT int64-wraps into a phantom window
+            tbl = tbl.filter(pa.compute.is_valid(tbl.column("ts")))
         n = tbl.num_rows
         ts_i = tbl.column("ts").combine_chunks().to_numpy(
             zero_copy_only=False).astype("datetime64[us]").astype(np.int64)

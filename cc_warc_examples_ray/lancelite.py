@@ -36,6 +36,11 @@ import uuid
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# orphan part-* dirs younger than this are left alone by the startup
+# vacuum in write_ray_partitioned: they may belong to a LIVE concurrent
+# writer that has not committed yet (crashed attempts age past it)
+VACUUM_MIN_AGE_SEC = 30 * 60
+
 
 class LanceLiteTable:
     def __init__(self, path: str):
@@ -246,10 +251,13 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
     writer ever deletes another writer's files — a racing loser's fragment
     simply goes unreferenced when ``commit_fragments`` dedups the
     partition) and the manifest commit is atomic.  The startup vacuum of
-    unreferenced ``part-*`` dirs assumes no OTHER writer is mid-flight on
-    this table at that moment; reruns after a crash are the intended user.
+    unreferenced ``part-*`` dirs only touches dirs whose newest file is
+    older than ``VACUUM_MIN_AGE_SEC`` — a LIVE concurrent writer's
+    in-flight dir (written seconds ago, committed soon after) is never
+    eligible; crashed attempts are reclaimed by any later run.
     """
     import shutil
+    import time
 
     import pandas as pd
 
@@ -257,18 +265,24 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
     done = t.completed_partitions() if t.exists() else set()
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    # vacuum: drop part-* dirs from crashed attempts whose files never made
-    # the manifest (referenced files stay; runs once, driver-side, before
-    # any worker writes — see concurrency note above)
+    # vacuum: drop part-* dirs from crashed attempts whose files never
+    # made the manifest (referenced or recently-touched dirs stay)
     referenced = {f["file"] for f in t.manifest()["fragments"] if f["file"]}
+    cutoff = time.time() - VACUUM_MIN_AGE_SEC
     for d in os.listdir(data_dir):
         sub = os.path.join(data_dir, d)
         if not (d.startswith("part-") and os.path.isdir(sub)):
             continue
-        keeps = any(
-            os.path.join("data", d, name) in referenced for name in os.listdir(sub)
+        names = os.listdir(sub)
+        keeps = any(os.path.join("data", d, name) in referenced for name in names)
+        if keeps:
+            continue
+        newest = max(
+            [os.path.getmtime(sub)]
+            + [os.path.getmtime(os.path.join(sub, n)) for n in names],
+            default=0,
         )
-        if not keeps:
+        if newest < cutoff:
             shutil.rmtree(sub, ignore_errors=True)
 
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:

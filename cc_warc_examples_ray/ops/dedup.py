@@ -413,7 +413,10 @@ def jaccard_join(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     """Exact n-gram Jaccard similarity self-join: prefix-filtered
     candidates → exact shingle-Jaccard verify.  Returns every pair with
     J >= threshold (id_a < id_b, jaccard) — exhaustive, unlike the
-    MinHash path whose recall is probabilistic.
+    MinHash path whose recall is probabilistic.  Duplicate ``id_col``
+    values are tolerated when they carry the SAME text (no self-pairs
+    emitted); conflicting texts under one id are out of contract — an
+    id-keyed pair output cannot represent them.
 
     The corpus is materialized once up front: four downstream consumers
     (count, freq sample, prefix explode, verify prune) would otherwise
@@ -564,12 +567,17 @@ def ngram_jaccard_verify(pairs: rd.Dataset, docs: rd.Dataset,
             })
 
         sdf = docs_small.map_batches(to_shingles, batch_format="pyarrow").to_pandas()
-        # a fully-pruned (empty) result may drop its columns in pandas
-        smap_ref = ray.put(
-            {k: np.asarray(v, dtype=np.int64).view(np.uint64)
-             for k, v in zip(sdf[id_col], sdf["sh"])}
-            if id_col in sdf.columns else {}
-        )
+        # a fully-pruned (empty) result may drop its columns in pandas.
+        # PRECONDITION (both regimes): a doc_id maps to ONE text —
+        # duplicate (id, text) rows are fine (identical shingles), but
+        # conflicting texts under one id are unrepresentable in an
+        # id-keyed pair output and each regime would pick arbitrarily.
+        smap: dict = {}
+        if id_col in sdf.columns:
+            for k, v in zip(sdf[id_col], sdf["sh"]):
+                if k not in smap:
+                    smap[k] = np.asarray(v, dtype=np.int64).view(np.uint64)
+        smap_ref = ray.put(smap)
 
         # plain task (not an actor pool): the pair list is small here by
         # the regime gate, so spin-up would dominate; the shingle map is

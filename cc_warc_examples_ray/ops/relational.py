@@ -249,8 +249,12 @@ def windowed_aggregate(
     window_us = int(pd.Timedelta(window).value // 1000)
 
     def assign(tbl: pa.Table) -> pa.Table:
-        ts = tbl.column(ts_col).combine_chunks()
-        ts_i = ts.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ts = tbl.column(ts_col)
+        if ts.null_count:  # NaT would int64-wrap into a phantom window;
+            tbl = tbl.filter(pc.is_valid(ts))  # pandas dt.floor dropped them
+            ts = tbl.column(ts_col)
+        ts_i = ts.combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         ws = (ts_i - ts_i % window_us).astype("datetime64[us]")
         t = pa.table({
             key: tbl.column(key),
@@ -378,7 +382,16 @@ def hash_join(
     ``xxhash64(key) % B``, co-group, and merge per bucket with pandas.
     Use only when neither side fits a broadcast; skewed keys should be
     salted into sub-buckets first (SURVEY.md §4).  See also
-    :func:`native_join` for Ray's built-in implementation."""
+    :func:`native_join` for Ray's built-in implementation.
+
+    ``how``: 'inner' or 'left'.  SQL null-key semantics both ways:
+    inner drops null keys on both sides; left drops them on the RIGHT
+    only (null-key left rows come back null-padded — pandas merge
+    would otherwise match NaN==NaN).  Other join types: use
+    :func:`native_join`."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join supports how='inner'/'left', got {how!r}"
+                         " — use native_join for other types")
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     rcols = [key] + [c for c in rschema.names if c != key and c not in lcols]
@@ -389,12 +402,16 @@ def hash_join(
     types.update(_arrow_types(lschema))
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
-    drop_nulls = how == "inner"  # left/outer keep null-key rows unmatched
+    # inner: null keys match nothing, drop both sides; left: keep
+    # null-key LEFT rows (they null-pad) but drop null-key right rows
+    # so pandas' NaN==NaN merge can't fabricate a match
     lt = left.map_batches(
-        _union_bucketer(key, 0, all_cols, types, num_buckets, drop_null_keys=drop_nulls),
+        _union_bucketer(key, 0, all_cols, types, num_buckets,
+                        drop_null_keys=(how == "inner")),
         batch_format="pyarrow")
     rt = right.map_batches(
-        _union_bucketer(key, 1, all_cols, types, num_buckets, drop_null_keys=drop_nulls),
+        _union_bucketer(key, 1, all_cols, types, num_buckets,
+                        drop_null_keys=True),
         batch_format="pyarrow")
 
     out_cols = lcols + [c for c in rcols if c != key]

@@ -95,6 +95,7 @@ def run_streaming_crawl(
     fail_after_round: int | None = None,
     seed_feed=None,
     round_target: int | None = None,
+    shard_capacity: int | None = None,
 ) -> CrawlRun:
     """Continuous-mode crawl over a (finite) seed list: enqueue in rank
     order, then drain the per-shard heaps round by round; fetch + decode
@@ -109,7 +110,13 @@ def run_streaming_crawl(
     feed returned no table for that round.  The feed MUST be a
     deterministic function of the round index: a resumed run re-invokes
     it for rounds after the checkpoint (earlier feeds' effects are in
-    the shard state) — that is what keeps kill/resume bit-identical."""
+    the shard state) — that is what keeps kill/resume bit-identical.
+
+    ``shard_capacity``: seen-set slots per shard.  The default sizes
+    from the INITIAL seed table only — a long-running feed that
+    delivers many times ``seeds.num_rows`` must pass the expected
+    total here (the cuckoo filter raises when full rather than
+    degrade)."""
     import pyarrow.parquet as pq
 
     from .. import synth
@@ -124,7 +131,8 @@ def run_streaming_crawl(
     start_round = run.resume_epoch()
     pool = FrontierPool(
         num_shards,
-        capacity_per_shard=default_shard_capacity(seeds.num_rows, num_shards),
+        capacity_per_shard=(shard_capacity if shard_capacity is not None
+                            else default_shard_capacity(seeds.num_rows, num_shards)),
     )
     try:
         hs = list(delays)
@@ -275,13 +283,15 @@ def run_streaming_crawl(
                 # after THIS drain and before the next one
                 blobs = pool.checkpoints()
                 if chunks:
+                    from itertools import chain
+
                     ts = np.concatenate([c[0] for c in chunks])
                     ranks = np.concatenate([c[1] for c in chunks])
-                    urls: list = sum((c[2] for c in chunks), [])
+                    urls = list(chain.from_iterable(c[2] for c in chunks))
                     uhs = np.concatenate([c[3] for c in chunks])
-                    hosts: list = sum((c[4] for c in chunks), [])
+                    hosts = list(chain.from_iterable(c[4] for c in chunks))
                     his = np.concatenate([c[5] for c in chunks])
-                    paths: list = sum((c[6] for c in chunks), [])
+                    paths = list(chain.from_iterable(c[6] for c in chunks))
                 else:
                     ts = ranks = his = np.array([], np.int64)
                     uhs = np.array([], np.uint64)

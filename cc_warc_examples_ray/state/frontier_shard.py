@@ -185,6 +185,9 @@ class FrontierShard:
                 q.extend(seg)
                 q.sort()  # timsort: linear when q was (nearly) sorted
             else:
+                # full TUPLE sort, not just rank order: duplicate ranks
+                # must pop in (rank, url, ...) order like heappush did
+                seg.sort()
                 self._queues[h] = seg
         return int(len(keep))
 
@@ -193,27 +196,15 @@ class FrontierShard:
         ``(next_fetch_time, seed_rank)``.  Each pop advances the host's
         next_fetch_time by its crawl delay and re-heaps the host —
         deterministic regardless of wall clock (virtual time).  Tuple
-        shape: ``(t, rank, url, url_hash, host, host_index, path)``."""
-        import heapq
-
-        if not hasattr(self, "_heap"):
+        shape: ``(t, rank, url, url_hash, host, host_index, path)``.
+        Thin row-tuple view over :meth:`next_batch_arrays` (ONE pop
+        loop owns the scheduler invariant)."""
+        r = self.next_batch_arrays(max_urls)
+        if r is None:
             return []
-        out = []
-        while self._heap and len(out) < max_urls:
-            t, h = heapq.heappop(self._heap)
-            q = self._queues.get(h)
-            if not q:
-                self._in_heap.discard(h)
-                continue
-            rank, url, uh, path = heapq.heappop(q)
-            st = self.hosts.setdefault(h, [0, self.default_delay_ms])
-            out.append((t, rank, url, uh, h, st[0], path))
-            st[0] += 1
-            if q:
-                heapq.heappush(self._heap, (t + st[1], h))
-            else:
-                self._in_heap.discard(h)
-        return out
+        ts, ranks, urls, uhs, hosts, his, paths = r
+        return list(zip(ts.tolist(), ranks.tolist(), urls, uhs.tolist(),
+                        hosts, his.tolist(), paths))
 
     def next_batch_arrays(self, max_urls: int = 256):
         """:meth:`next_batch` in COLUMN form: identical pop order, but

@@ -76,17 +76,28 @@ def test_write_ray_partitioned_never_deletes_committed(tmp_path, ray_session):
                    for f in t1.manifest()["fragments"] if f["file"]]
     assert first_files and all(os.path.exists(p) for p in first_files)
 
-    # orphan dir from a "crashed attempt": has a file, not in the manifest
+    # orphan dir from a "crashed attempt": has a file, not in the manifest,
+    # OLD enough to pass the live-writer age guard; plus a FRESH orphan
+    # that must survive (could be a live concurrent writer's in-flight dir)
     orphan = os.path.join(path, "data", "part-9-wdeadbeef")
     os.makedirs(orphan)
-    with open(os.path.join(orphan, "frag-garbage.parquet"), "w") as f:
+    gfile = os.path.join(orphan, "frag-garbage.parquet")
+    with open(gfile, "w") as f:
         f.write("junk")
+    old = 1_000_000_000
+    os.utime(orphan, (old, old))
+    os.utime(gfile, (old, old))
+    fresh = os.path.join(path, "data", "part-8-wlivewrtr")
+    os.makedirs(fresh)
+    with open(os.path.join(fresh, "frag-inflight.parquet"), "w") as f:
+        f.write("inflight")
 
     t2 = lancelite.write_ray_partitioned(
         rd.from_arrow(pa.table({"p": [1, 2], "v": [30, 4]})), path, "p")
     # committed files from writer 1 still exist and still read back
     assert all(os.path.exists(p) for p in first_files)
-    assert not os.path.exists(orphan)
+    assert not os.path.exists(orphan)  # aged-out crashed attempt reclaimed
+    assert os.path.exists(fresh)  # possible live writer: left alone
     got = sorted(t2.to_table().column("v").to_pylist())
     assert got == [1, 2, 3, 4]  # partition 1 kept writer 1's rows
     assert t2.completed_partitions() == {0, 1, 2}
