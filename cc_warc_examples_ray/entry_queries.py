@@ -1128,6 +1128,46 @@ SELECT epoch, CAST(host_index * delay AS BIGINT) AS fetch_time_ms, seed_rank,
 FROM sched ORDER BY epoch, fetch_time_ms, seed_rank
 """
 
+# continuous mode shares the flagship's schedule spec verbatim — only
+# the batch-specific epoch column drops (ONE oracle source of truth;
+# the asserts pin that both rewrites took effect)
+SQL_CRAWL_STREAMING = SQL_CRAWL_FLAGSHIP.replace(
+    "SELECT epoch, CAST(host_index * delay AS BIGINT) AS fetch_time_ms",
+    "SELECT CAST(host_index * delay AS BIGINT) AS fetch_time_ms",
+).replace(
+    "FROM sched ORDER BY epoch, fetch_time_ms, seed_rank",
+    "FROM sched ORDER BY fetch_time_ms, seed_rank",
+)
+assert "SELECT epoch" not in SQL_CRAWL_STREAMING
+assert "ORDER BY fetch_time_ms" in SQL_CRAWL_STREAMING
+
+
+def q_crawl_streaming(sf_dir: str) -> pd.DataFrame:
+    """North-rule CONTINUOUS mode over the same frontier fixture,
+    DuckDB-checked: the min-heap priority-queue scheduler
+    (`state/frontier_shard.py` enqueue/next_batch_arrays, drained by
+    `pipelines/streaming.py` with the round-pipelined committer) must
+    emit the SAME admission set and politeness schedule the flagship
+    oracle derives analytically — fetch_time_ms, host_index, and the
+    derived image_id all compare; only the batch pipeline's epoch
+    column is absent (streaming partitions by drain round)."""
+    import tempfile
+
+    from .pipelines.streaming import run_streaming_crawl
+
+    seeds = pq.read_table(_ensure_frontier_fixture())
+    store = _store()
+    robots = synth.robots_table(_FRONTIER_HOSTS)
+    out = tempfile.mkdtemp(prefix="crawlsq_")
+    run = run_streaming_crawl(
+        seeds, robots, store.fragment_paths(), out,
+        num_shards=4, store_size=_STORE_N, batch_urls=256,
+    )
+    df = run.crawl_order.to_table().to_pandas().sort_values(
+        ["fetch_time_ms", "seed_rank"])
+    return df[["fetch_time_ms", "seed_rank", "host", "host_index",
+               "url", "image_id"]].reset_index(drop=True)
+
 
 def _warc(sf_dir: str) -> rd.Dataset:
     """The WARC-records fixture as a Dataset (binary ``payload`` column —
@@ -2168,6 +2208,7 @@ QUERIES = {
     "text_prep": q_text_prep,
     # full pipelines / fixture-trained indexes (SQL-checked since round 2)
     "crawl_flagship": q_crawl_flagship,
+    "crawl_streaming": q_crawl_streaming,
     "discovery_crawl": q_discovery_crawl,
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
@@ -2218,6 +2259,7 @@ ORACLES = {
     "ivf_ann": SQL_IVF_ANN,
     "lsh_ann": SQL_LSH_ANN,
     "crawl_flagship": SQL_CRAWL_FLAGSHIP,
+    "crawl_streaming": SQL_CRAWL_STREAMING,
     "discovery_crawl": SQL_DISCOVERY_CRAWL,
     "media_classify": SQL_MEDIA_CLASSIFY,
 }
