@@ -287,7 +287,13 @@ def run_crawl(
             if broadcast_mode:
                 fetched = fetch_broadcast_store(store_paths, admitted, num_blocks=nblocks * 2)
             else:
-                fetched = fetch_scan_store(store_paths, admitted, num_blocks=nblocks)
+                # multi-epoch crawls re-scan the store every epoch:
+                # reuse_store materializes the scan once (object-store
+                # blocks) and later epochs map over it zero-copy
+                fetched = fetch_scan_store(
+                    store_paths, admitted, num_blocks=nblocks,
+                    reuse_store=(num_epochs - start_epoch) > 1,
+                )
             return fetched.map_batches(
                 decoder, batch_format="pyarrow", batch_size=256,
                 concurrency=decode_cap,

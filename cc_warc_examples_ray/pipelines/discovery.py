@@ -170,6 +170,9 @@ def _page_fetch_and_discover(
         fetched_ds = fetch_scan_keyed(
             pages_store_paths, sel, store_key="record_url", admitted_key="url",
             meta_cols=("url", "seed_rank"), num_blocks=nblocks,
+            # called once per level/sub-epoch over the SAME page store:
+            # scan it once, re-map the materialized blocks afterwards
+            reuse_store=True,
         )
         media_ds = fetched_ds.map_batches(discover_kernel, batch_format="pyarrow")
         mtabs = [t for t in ray.get(media_ds.to_arrow_refs()) if t.num_rows]

@@ -170,6 +170,18 @@ BROADCAST_STORE_MAX_BYTES = 2 << 30
 # crawl pays the column-pruned id scan ONCE, not once per epoch)
 _STORE_ID_CACHE: dict[tuple, "pa.ChunkedArray"] = {}
 
+# scan-mode store Dataset cache: with ``reuse_store`` a multi-epoch
+# crawl scans the store's parquet ONCE into the object store
+# (MaterializedDataset blocks — node-local shared memory, spillable)
+# and every later epoch re-maps over those blocks zero-copy instead of
+# re-reading parquet per epoch.  Keyed by job id (refs die with the
+# session) + file stats (fixture rewrites invalidate).  At real scale
+# this trades aggregate object-store capacity for per-epoch read I/O —
+# the right trade while the store fits memory+spill; beyond that,
+# partition-pruned reads (id-hash-partitioned store, lancelite
+# partition scans) replace the cache.
+_SCAN_STORE_DS_CACHE: dict = {}
+
 # Upper bound on admitted rows per fused fetch→decode task.  Task size
 # must track the unit of WORK, not epoch size: with a CPU-derived block
 # COUNT, a 2x epoch doubles rows/task, and measured per-row CPU inflates
@@ -200,8 +212,32 @@ def _store_id_column(store_paths: tuple, key: str):
     return got
 
 
+def _scan_store_dataset(
+    store_paths: list[str], num_blocks: int, reuse_store: bool
+) -> rd.Dataset:
+    """The scan path's store Dataset: a fresh lazy parquet read when the
+    store is consumed once, the cached materialized blocks when the
+    caller will re-scan it (multi-epoch crawl)."""
+    if not reuse_store:
+        return rd.read_parquet(store_paths, override_num_blocks=num_blocks)
+    import os
+
+    key = (ray.get_runtime_context().get_job_id(), tuple(store_paths), num_blocks,
+           tuple((os.path.getmtime(p), os.path.getsize(p)) for p in store_paths))
+    ds = _SCAN_STORE_DS_CACHE.get(key)
+    if ds is None:
+        if len(_SCAN_STORE_DS_CACHE) > 2:
+            _SCAN_STORE_DS_CACHE.clear()
+        ds = _SCAN_STORE_DS_CACHE.setdefault(
+            key,
+            rd.read_parquet(store_paths, override_num_blocks=num_blocks).materialize(),
+        )
+    return ds
+
+
 def fetch_scan_store(
-    store_paths: list[str], admitted: pa.Table, num_blocks: int | None = None
+    store_paths: list[str], admitted: pa.Table, num_blocks: int | None = None,
+    reuse_store: bool = False,
 ) -> rd.Dataset:
     """Store-driven fetch (the 100 TB path): stream the content store's
     parquet fragments and semi-join each batch against the broadcast
@@ -230,7 +266,7 @@ def fetch_scan_store(
             f = _FETCHER_CACHE.setdefault(key, StoreLookupFetcher(ref))
         return f(batch)
 
-    ds = rd.read_parquet(store_paths, override_num_blocks=num_blocks)
+    ds = _scan_store_dataset(store_paths, num_blocks, reuse_store)
     out = ds.map_batches(fetch, batch_format="pyarrow")
 
     if admitted.num_rows:
@@ -259,6 +295,7 @@ def fetch_scan_keyed(
     admitted_key: str,
     meta_cols: tuple,
     num_blocks: int | None = None,
+    reuse_store: bool = False,
 ) -> rd.Dataset:
     """Generic store-driven fetch for keyed stores (e.g. the discovery
     page store keyed on ``record_url`` vs admitted canonical ``url``):
@@ -283,7 +320,7 @@ def fetch_scan_keyed(
             )
         return f(batch)
 
-    ds = rd.read_parquet(store_paths, override_num_blocks=num_blocks)
+    ds = _scan_store_dataset(store_paths, num_blocks, reuse_store)
     return ds.map_batches(fetch, batch_format="pyarrow")
 
 

@@ -115,6 +115,55 @@ def test_scan_mode_keeps_fetch_misses(ray_session, store):
     assert (b["bytes"].isna() == s["bytes"].isna()).all()
 
 
+def test_scan_reuse_store_parity_and_cache(ray_session, store):
+    """reuse_store materializes the store scan once and re-maps the
+    cached blocks on later calls — results must be identical to the
+    fresh-read path, and the second call must hit the cache."""
+    adm = _admitted(n=20, miss=2)
+    fresh = fetch.fetch_scan_store(store.fragment_paths(), adm).to_pandas()
+    fetch._SCAN_STORE_DS_CACHE.clear()
+    r1 = fetch.fetch_scan_store(
+        store.fragment_paths(), adm, reuse_store=True
+    ).to_pandas()
+    assert len(fetch._SCAN_STORE_DS_CACHE) == 1
+    cached_ds = next(iter(fetch._SCAN_STORE_DS_CACHE.values()))
+    r2 = fetch.fetch_scan_store(
+        store.fragment_paths(), adm, reuse_store=True
+    ).to_pandas()
+    # same object survived — the store parquet was scanned once
+    assert next(iter(fetch._SCAN_STORE_DS_CACHE.values())) is cached_ds
+    for df in (fresh, r1, r2):
+        df.sort_values("seed_rank", inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert r1["image_id"].tolist() == fresh["image_id"].tolist()
+    assert r2["image_id"].tolist() == fresh["image_id"].tolist()
+    assert (r1["bytes"].isna() == fresh["bytes"].isna()).all()
+    assert (r1["bytes"].dropna() == fresh["bytes"].dropna()).all()
+
+
+def test_crawl_scan_mode_parity(ray_session, store, tmp_path):
+    """Multi-epoch crawl in forced scan mode (reuse_store engaged) must
+    produce the exact crawl-order table of broadcast mode — fetch mode
+    is an execution strategy, never a semantics knob."""
+    from cc_warc_examples_ray import synth
+    from cc_warc_examples_ray.pipelines.crawl import run_crawl
+
+    seeds = synth.frontier_seeds_table(300, n_hosts=10)
+    robots = synth.robots_table(10)
+    kw = dict(num_shards=2, num_epochs=3, store_size=50, concurrency=(1, 2))
+    rb = run_crawl(seeds, robots, store.fragment_paths(),
+                   str(tmp_path / "bcast"), **kw)
+    rs = run_crawl(seeds, robots, store.fragment_paths(),
+                   str(tmp_path / "scan"), force_scan=True, **kw)
+    tb, ts = rb.order_table(), rs.order_table()
+    assert tb.column("url_hash").to_pylist() == ts.column("url_hash").to_pylist()
+    assert tb.column("fetch_time_ms").to_pylist() == ts.column("fetch_time_ms").to_pylist()
+    ib = rb.images_out.to_table().sort_by("image_id")
+    is_ = rs.images_out.to_table().sort_by("image_id")
+    assert ib.column("image_id").to_pylist() == is_.column("image_id").to_pylist()
+    assert ib.column("valid").to_pylist() == is_.column("valid").to_pylist()
+
+
 def test_add_image_ids_matches_scalar_on_edge_keys():
     """The vectorized id derivation must agree with image_key_from_path
     on every shape: normal keys, >int64 digit runs (no ArrowInvalid),
