@@ -235,6 +235,67 @@ def _scan_store_dataset(
     return ds
 
 
+# per-(store, key) block refs + [min,max] key ranges of the cached
+# materialized scan — the prune index for _pruned_scan_dataset
+_SCAN_BLOCK_RANGE_CACHE: dict = {}
+# observability for tests/bench: last prune decision
+_SCAN_PRUNE_STATS = {"blocks_total": 0, "blocks_kept": 0}
+
+
+def _block_key_range(tbl: pa.Table, key: str):
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return None
+    mm = pc.min_max(tbl.column(key))
+    return (mm["min"].as_py(), mm["max"].as_py())
+
+
+def _pruned_scan_dataset(
+    store_paths: list[str], num_blocks: int, admitted_keys, key: str
+) -> rd.Dataset:
+    """Block-range pruning over the cached materialized store scan: skip
+    every block whose [min,max] key range contains NO admitted key.  The
+    100 TB read-pruning discipline at the block level — a store laid out
+    sorted/partitioned by key turns an epoch's fetch into a touch of the
+    few blocks it actually needs; an unsorted store degrades gracefully
+    to wide ranges (nothing pruned, ~num_blocks binary searches paid).
+    Exactness is unconditional: pruning only drops blocks with zero
+    matching keys, and fetch-miss rows are derived independently from
+    the column-pruned id scan."""
+    import os
+
+    mat = _scan_store_dataset(store_paths, num_blocks, True)
+    ck = (ray.get_runtime_context().get_job_id(), tuple(store_paths), num_blocks,
+          key, tuple((os.path.getmtime(p), os.path.getsize(p)) for p in store_paths))
+    entry = _SCAN_BLOCK_RANGE_CACHE.get(ck)
+    if entry is None:
+        if len(_SCAN_BLOCK_RANGE_CACHE) > 4:
+            _SCAN_BLOCK_RANGE_CACHE.clear()
+        refs = mat.to_arrow_refs()
+        rng = ray.remote(num_cpus=0)(_block_key_range)
+        ranges = ray.get([rng.remote(r, key) for r in refs])
+        entry = _SCAN_BLOCK_RANGE_CACHE.setdefault(ck, (refs, ranges))
+    refs, ranges = entry
+
+    adm = np.sort(np.asarray(admitted_keys.drop_null().to_pylist()))
+    keep = []
+    for ref, r in zip(refs, ranges):
+        if r is None:
+            continue
+        lo, hi = r
+        pos = int(np.searchsorted(adm, lo, side="left"))
+        if pos < len(adm) and adm[pos] <= hi:
+            keep.append(ref)
+    _SCAN_PRUNE_STATS["blocks_total"] = len(refs)
+    _SCAN_PRUNE_STATS["blocks_kept"] = len(keep)
+    if not keep:
+        import pyarrow.parquet as pq
+
+        return rd.from_arrow(pq.read_schema(store_paths[0]).empty_table())
+    return rd.from_arrow_refs(keep)
+
+
 def fetch_scan_store(
     store_paths: list[str], admitted: pa.Table, num_blocks: int | None = None,
     reuse_store: bool = False,
@@ -266,7 +327,12 @@ def fetch_scan_store(
             f = _FETCHER_CACHE.setdefault(key, StoreLookupFetcher(ref))
         return f(batch)
 
-    ds = _scan_store_dataset(store_paths, num_blocks, reuse_store)
+    if reuse_store and admitted.num_rows:
+        ds = _pruned_scan_dataset(
+            store_paths, num_blocks, admitted.column("image_id"), "image_id"
+        )
+    else:
+        ds = _scan_store_dataset(store_paths, num_blocks, reuse_store)
     out = ds.map_batches(fetch, batch_format="pyarrow")
 
     if admitted.num_rows:
@@ -320,7 +386,12 @@ def fetch_scan_keyed(
             )
         return f(batch)
 
-    ds = _scan_store_dataset(store_paths, num_blocks, reuse_store)
+    if reuse_store and admitted.num_rows:
+        ds = _pruned_scan_dataset(
+            store_paths, num_blocks, admitted.column(admitted_key), store_key
+        )
+    else:
+        ds = _scan_store_dataset(store_paths, num_blocks, reuse_store)
     return ds.map_batches(fetch, batch_format="pyarrow")
 
 

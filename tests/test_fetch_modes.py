@@ -141,6 +141,42 @@ def test_scan_reuse_store_parity_and_cache(ray_session, store):
     assert (r1["bytes"].dropna() == fresh["bytes"].dropna()).all()
 
 
+def test_scan_block_pruning(ray_session, store):
+    """With reuse_store, an epoch touching a narrow id range must map
+    over only the store blocks whose [min,max] range intersects it —
+    and produce exactly the unpruned result (misses included)."""
+    ids = [f"img-{i:010d}" for i in (2, 3, 4)] + ["img-9000000000"]
+    m = len(ids)
+    adm = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "fetch_time_ms": pa.array(np.arange(m, dtype=np.int64)),
+            "host_index": pa.array(np.zeros(m, dtype=np.int64)),
+            "seed_rank": pa.array(np.arange(m, dtype=np.int64)),
+            "url": pa.array([f"http://h/{i}" for i in range(m)]),
+            "url_hash": pa.array(np.arange(m, dtype=np.int64)),
+            "host": pa.array(["h"] * m),
+            "epoch": pa.array(np.zeros(m, dtype=np.int64)),
+        }
+    )
+    fetch._SCAN_STORE_DS_CACHE.clear()
+    fetch._SCAN_BLOCK_RANGE_CACHE.clear()
+    fresh = fetch.fetch_scan_store(
+        store.fragment_paths(), adm, num_blocks=8
+    ).to_pandas()
+    pruned = fetch.fetch_scan_store(
+        store.fragment_paths(), adm, num_blocks=8, reuse_store=True
+    ).to_pandas()
+    st = fetch._SCAN_PRUNE_STATS
+    assert st["blocks_total"] >= 4  # the 50-row store really split
+    assert 0 < st["blocks_kept"] < st["blocks_total"]
+    fresh = fresh.sort_values("seed_rank").reset_index(drop=True)
+    pruned = pruned.sort_values("seed_rank").reset_index(drop=True)
+    assert pruned["image_id"].tolist() == fresh["image_id"].tolist()
+    assert (pruned["bytes"].isna() == fresh["bytes"].isna()).all()
+    assert (pruned["bytes"].dropna() == fresh["bytes"].dropna()).all()
+
+
 def test_crawl_scan_mode_parity(ray_session, store, tmp_path):
     """Multi-epoch crawl in forced scan mode (reuse_store engaged) must
     produce the exact crawl-order table of broadcast mode — fetch mode
