@@ -877,6 +877,15 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
 
     from .relational import hash_join
 
+    # Bound the label table's block count for the whole loop.  Each round
+    # unions a 32-bucket join output with the current labels and groups —
+    # without a repartition the block count COMPOUNDS round over round
+    # (32 → 64 → …) and per-round task-launch overhead grows
+    # geometrically (measured: round 0 ≈ 1.6 s, round 3 ≈ 26 s on a
+    # 113-node graph).  Labels are (node,label) rows, so blocks sized for
+    # the node count keep every round O(1) tasks.
+    nblocks = max(2, min(64, edges.num_blocks()))
+
     prev = labsum(labels)
     converged = False
     for _ in range(max_iters):
@@ -887,10 +896,40 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
             lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
             batch_format="pyarrow",
         )
+        # materialize: the hop result feeds THREE consumers below
+        # (lab_l, lab_r, the union) — unmaterialized, each would
+        # re-execute the join lineage (hash_join also calls .schema()).
         labels = (
             prop.union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(nblocks)
+            .materialize()
+        )
+        # pointer doubling (shortcutting): every label IS a node id in
+        # the same component, so node→label→label-of-label is a valid
+        # (and monotonically smaller) label too.  One extra labels⋈labels
+        # join per round turns O(diameter) convergence into O(log d) —
+        # each round a node learns what its label learned, so reach
+        # doubles (a 64-hop chain converges in ~7 rounds, not 64).
+        lab_l = labels.map_batches(
+            lambda t: t.rename_columns(["node", "_lk"]), batch_format="pyarrow"
+        )
+        lab_r = labels.map_batches(
+            lambda t: pa.table({"_lk": t.column("node"), "_l2": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        doubled = hash_join(lab_l, lab_r, "_lk").map_batches(
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("_l2")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            doubled.union(labels.map_batches(
+                lambda t: t.select(["node", "label"]), batch_format="pyarrow"
+            ))
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(nblocks)
             .materialize()
         )
         cur = labsum(labels)
@@ -899,12 +938,12 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
             break
         prev = cur
     if not converged:
-        # one min-label hop per round: exhausting max_iters means some
-        # component's eccentricity exceeds it and the labels are WRONG
-        # (one component, several group_ids) — never return them silently
+        # one min-label hop + one doubling per round: exhausting
+        # max_iters means labels are WRONG (one component, several
+        # group_ids) — never return them silently
         raise RuntimeError(
             f"pair_components did not converge in {max_iters} rounds; "
-            "raise max_iters (graph diameter exceeds it)"
+            "raise max_iters (log2(graph diameter) exceeds it)"
         )
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "group_id"]), batch_format="pyarrow"

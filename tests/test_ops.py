@@ -87,9 +87,10 @@ def test_quality_scores_non_ascii():
 
 def test_pair_components_raises_when_unconverged(ray_session):
     """Exhausting max_iters must raise, never silently return wrong
-    labels (a chain longer than max_iters hops)."""
-    a = pa.array(range(0, 9), pa.int64())
-    b = pa.array(range(1, 10), pa.int64())
+    labels (a chain far longer than max_iters rounds can cover, even
+    with pointer doubling's exponential reach)."""
+    a = pa.array(range(0, 60), pa.int64())
+    b = pa.array(range(1, 61), pa.int64())
     pairs = rd.from_arrow(pa.table({"id_a": a, "id_b": b}))
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.pair_components(pairs, max_iters=2, finish_cutoff=0)
@@ -813,6 +814,10 @@ def test_pair_components_distributed_regime_on_fixture(ray_session):
     assert pairs.count() > 200  # real multi-component near-dup structure
     uf = dedup.pair_components(pairs).to_pandas().sort_values(
         "node").reset_index(drop=True)
-    dist = dedup.pair_components(pairs, finish_cutoff=0).to_pandas().sort_values(
-        "node").reset_index(drop=True)
+    # max_iters=5: pointer doubling must converge in O(log d) rounds on
+    # these multi-hop chains — plain one-hop-per-round propagation would
+    # exhaust this budget and raise
+    dist = dedup.pair_components(
+        pairs, max_iters=5, finish_cutoff=0
+    ).to_pandas().sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(uf, dist)
