@@ -882,9 +882,10 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
     # without a repartition the block count COMPOUNDS round over round
     # (32 → 64 → …) and per-round task-launch overhead grows
     # geometrically (measured: round 0 ≈ 1.6 s, round 3 ≈ 26 s on a
-    # 113-node graph).  Labels are (node,label) rows, so blocks sized for
-    # the node count keep every round O(1) tasks.
-    nblocks = max(2, min(64, edges.num_blocks()))
+    # 113-node graph).  Labels are (node,label) rows — 16 bytes each —
+    # so size blocks to ~4M rows (~64 MB): tiny graphs run O(1) tasks
+    # per round, 10^10-node graphs still get memory-safe blocks.
+    nblocks = max(2, (labels.count() + 4_000_000 - 1) // 4_000_000)
 
     prev = labsum(labels)
     converged = False
