@@ -136,21 +136,13 @@ def distinct_pairs(cand: rd.Dataset, extra_cols: tuple[str, ...] = ()) -> rd.Dat
     """Distinct (id_a, id_b) rows: per-batch grouped partial + ONE global
     grouped aggregate — the exact_dedup pattern.  Never one pandas group
     per pair (death by group overhead at corpus scale).  ``extra_cols``
-    are pair-constant payloads (hamming, cosine) carried via Min."""
-    from ray.data.aggregate import Count, Min
+    are pair-constant payloads (hamming, cosine) carried via Min.  The
+    global pass is :func:`relational.grouped_min` — pair keys are
+    high-cardinality at corpus scale, where Ray's sort-based aggregate
+    degrades (~50 s / 3.3M rows measured)."""
+    from .relational import grouped_min
 
-    keys = ["id_a", "id_b"]
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        return tbl.group_by(keys).aggregate(
-            [(c, "min") for c in extra_cols]
-        ).rename_columns(keys + list(extra_cols))
-
-    aggs = [Min(c, alias_name=c) for c in extra_cols] or [Count(alias_name="_c")]
-    out = cand.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
-    if not extra_cols:
-        out = out.map_batches(lambda t: t.drop_columns(["_c"]), batch_format="pyarrow")
-    return out
+    return grouped_min(cand, ["id_a", "id_b"], list(extra_cols))
 
 
 def _pairs_from_buckets(id_col: str):
@@ -803,8 +795,6 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
     Both return (node, group_id) with group_id = min node id of the
     component (deterministic, matches the SQL transitive-closure
     oracle)."""
-    from ray.data.aggregate import Min
-
     pairs = pairs.materialize()
     if pairs.count() <= finish_cutoff:
         from .relational import _arrow_types
@@ -843,15 +833,19 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
 
-    labels = (
+    from .relational import grouped_min
+
+    # grouped_min, not Ray groupby().aggregate(Min): the node key is the
+    # FULL vertex set (millions of groups) and Ray's sort-based aggregate
+    # measured ~50 s on 3.3M rows / 1.1M keys vs ~2 s for the
+    # hash-partitioned Arrow kernel — per round, twice per round.
+    labels = grouped_min(
         edges.map_batches(
             lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
             batch_format="pyarrow",
-        )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+        ),
+        "node", "label",
+    ).materialize()
 
     def labsum(ds: rd.Dataset) -> int:
         """Convergence checksum: per-block label sums folded mod 2^64.
@@ -901,9 +895,7 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
         # (lab_l, lab_r, the union) — unmaterialized, each would
         # re-execute the join lineage (hash_join also calls .schema()).
         labels = (
-            prop.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            grouped_min(prop.union(labels), "node", "label")
             .repartition(nblocks)
             .materialize()
         )
@@ -925,14 +917,21 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
             batch_format="pyarrow",
         )
         labels = (
-            doubled.union(labels.map_batches(
-                lambda t: t.select(["node", "label"]), batch_format="pyarrow"
-            ))
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            grouped_min(
+                doubled.union(labels.map_batches(
+                    lambda t: t.select(["node", "label"]), batch_format="pyarrow"
+                )),
+                "node", "label",
+            )
             .repartition(nblocks)
             .materialize()
         )
+        # reset lineage: MaterializedDataset keeps its stats PARENTS, so
+        # round over round the stats tree deepens and Ray's recursive
+        # StatsSummary walk hits Python's recursion limit (~10+ rounds
+        # of join+agg ops).  Rebuilding from the materialized block refs
+        # is zero-copy and starts the next round with a flat tree.
+        labels = rd.from_arrow_refs(labels.to_arrow_refs())
         cur = labsum(labels)
         if cur == prev:
             converged = True
@@ -959,8 +958,11 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
     """Exact content dedup: xxhash64(content) → per-batch min-id partials
     → one grouped Min (A3/O7 semantics, deterministic min-id winner).
     Fully vectorized — no per-hash python groups; the shuffle moves one
-    (hash, id) row per distinct content per batch."""
-    from ray.data.aggregate import Min
+    (hash, id) row per distinct content per batch.  The final grouped
+    Min is :func:`grouped_min` (hash-partitioned Arrow kernel), not
+    Ray's sort-based aggregate — distinct hashes ≈ distinct docs, a
+    high-cardinality key at corpus scale."""
+    from .relational import grouped_min
 
     def partial(tbl: pa.Table) -> pa.Table:
         h = xxh64_many(tbl.column(content_col)).view(np.int64)
@@ -969,10 +971,8 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
             ["_chash", id_col]
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("_chash")
-        .aggregate(Min(id_col, alias_name=id_col))
+    return grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow"), "_chash", id_col
     )
 
 

@@ -72,6 +72,39 @@ def grouped_sum(ds: rd.Dataset, keys: Sequence[str], col: str, alias: str) -> rd
     )
 
 
+def grouped_min(ds: rd.Dataset, key: str | Sequence[str], val: str | Sequence[str],
+                num_partitions: int = 32) -> rd.Dataset:
+    """Exact per-key min for HIGH-cardinality keys (millions of groups):
+    per-batch Arrow ``group_by(...).min`` partial, hash-partition on the
+    key(s), one Arrow ``group_by(...).min`` per partition.  Ray's native
+    ``groupby(key).aggregate(Min)`` range-sorts the whole dataset and
+    combines per group — measured 50 s on 3.3M rows / 1.1M keys where
+    this path takes ~2 s.  With ``val`` empty this is a grouped
+    DISTINCT.  Output columns: ``[*keys, *vals]``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    vals = [val] if isinstance(val, str) else list(val)
+    out_cols = keys + vals
+    add_part = make_part_assigner(keys, num_partitions)
+
+    def collapse(tbl: pa.Table) -> pa.Table:
+        aggs = [(v, "min") for v in vals] or [([], "count_all")]
+        g = tbl.group_by(keys).aggregate(aggs)
+        g = g.rename_columns(keys + (vals or ["_c"]))
+        if not vals:
+            g = g.drop_columns(["_c"])
+        return g.replace_schema_metadata(None)
+
+    def merge(gt: pa.Table) -> pa.Table:
+        return collapse(gt.drop_columns(["_part"])).select(out_cols)
+
+    return (
+        ds.map_batches(collapse, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def topk(ds: rd.Dataset, col: str, k: int, descending: bool = True) -> rd.Dataset:
     """sort + limit (O1/O2).  Ray Data's sort is a range-partitioned
     shuffle; for pure top-k over big data prefer per-batch pre-truncation."""
