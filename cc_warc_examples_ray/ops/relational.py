@@ -25,7 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _arrow_types(schema) -> dict:
@@ -42,67 +41,93 @@ def _arrow_types(schema) -> dict:
     return out
 
 
-def _partial_counts(keys: Sequence[str]):
-    """map_batches kernel: per-batch groupby(keys).count() partial."""
+def _null_safe_part_assigner(keys: Sequence[str], num_partitions: int):
+    """Like :func:`make_part_assigner` but null-key-safe: null ints hash
+    as 0 and null strings as a sentinel (a COLLISION into a shared
+    partition, never corruption — grouping inside the partition is exact
+    on the real values, matching SQL GROUP BY's null group)."""
+    from ..hashing import combine64, xxh64_many
 
-    def fn(tbl: pa.Table) -> pa.Table:
-        return tbl.group_by(list(keys)).aggregate([([], "count_all")]).rename_columns(
-            list(keys) + ["_partial"]
-        )
+    def add_part(tbl: pa.Table) -> pa.Table:
+        acc = None
+        for k in keys:
+            col = tbl.column(k)
+            if pa.types.is_integer(col.type):
+                if col.null_count:
+                    col = pc.fill_null(col, 0)
+                v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            else:
+                s = pc.fill_null(pc.cast(col.combine_chunks(), pa.string()), "\x00")
+                v = xxh64_many(s)
+            acc = v.astype(np.uint64, copy=True) if acc is None else combine64(acc, v)
+        part = (acc % np.uint64(num_partitions)).astype(np.int64)
+        return tbl.append_column("_part", pa.array(part)).replace_schema_metadata(None)
 
-    return fn
-
-
-def grouped_count(ds: rd.Dataset, keys: Sequence[str], alias: str = "cnt") -> rd.Dataset:
-    """groupby(keys).count() with per-batch partial pre-aggregation: the
-    shuffle moves one row per (key, batch) instead of one per input row."""
-    partials = ds.map_batches(_partial_counts(keys), batch_format="pyarrow")
-    out = partials.groupby(list(keys)).aggregate(Sum("_partial", alias_name=alias))
-    return out
-
-
-def grouped_sum(ds: rd.Dataset, keys: Sequence[str], col: str, alias: str) -> rd.Dataset:
-    def partial(tbl: pa.Table) -> pa.Table:
-        return tbl.group_by(list(keys)).aggregate([(col, "sum")]).rename_columns(
-            list(keys) + ["_p"]
-        )
-
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(list(keys)).aggregate(
-        Sum("_p", alias_name=alias)
-    )
+    return add_part
 
 
-def grouped_min(ds: rd.Dataset, key: str | Sequence[str], val: str | Sequence[str],
+def grouped_agg(ds: rd.Dataset, keys: Sequence[str],
+                aggs: Sequence[tuple[str | None, str, str]],
                 num_partitions: int = 32) -> rd.Dataset:
-    """Exact per-key min for HIGH-cardinality keys (millions of groups):
-    per-batch Arrow ``group_by(...).min`` partial, hash-partition on the
-    key(s), one Arrow ``group_by(...).min`` per partition.  Ray's native
-    ``groupby(key).aggregate(Min)`` range-sorts the whole dataset and
-    combines per group — measured 50 s on 3.3M rows / 1.1M keys where
-    this path takes ~2 s.  With ``val`` empty this is a grouped
-    DISTINCT.  Output columns: ``[*keys, *vals]``."""
-    keys = [key] if isinstance(key, str) else list(key)
-    vals = [val] if isinstance(val, str) else list(val)
-    out_cols = keys + vals
-    add_part = make_part_assigner(keys, num_partitions)
+    """Exact per-key aggregate built for HIGH-cardinality keys (words,
+    hashes, pair ids, vertex ids — millions+ of groups): per-batch Arrow
+    ``group_by`` partial, hash-partition on the key(s), one Arrow
+    ``group_by`` per partition.  Ray's native ``groupby().aggregate()``
+    range-sorts the whole dataset and combines per group in Python —
+    measured 50 s on 3.3M rows / 1.1M keys where this path takes ~2 s;
+    at low cardinality the difference is a small fixed cost.
 
-    def collapse(tbl: pa.Table) -> pa.Table:
-        aggs = [(v, "min") for v in vals] or [([], "count_all")]
-        g = tbl.group_by(keys).aggregate(aggs)
-        g = g.rename_columns(keys + (vals or ["_c"]))
-        if not vals:
+    ``aggs``: ``(col, fn, alias)`` with fn in {"sum", "min", "max",
+    "count"} (col ignored for count); all three re-associate, so the
+    partition merge re-applies them (counts merge by sum).  Empty
+    ``aggs`` = grouped DISTINCT.  Output columns: ``[*keys, *aliases]``
+    (Ray-aggregate order)."""
+    keys = list(keys)
+    aliases = [a for _, _, a in aggs]
+    out_cols = keys + aliases
+    add_part = _null_safe_part_assigner(keys, num_partitions)
+
+    def collapse(tbl: pa.Table, spec) -> pa.Table:
+        g = tbl.group_by(keys).aggregate(spec or [([], "count_all")])
+        g = g.rename_columns(keys + (aliases or ["_c"]))
+        if not aggs:
             g = g.drop_columns(["_c"])
         return g.replace_schema_metadata(None)
 
+    pspec = [([], "count_all") if fn == "count" else (c, fn) for c, fn, _ in aggs]
+    mspec = [(a, "sum") if fn in ("count", "sum") else (a, fn) for _, fn, a in aggs]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return collapse(tbl, pspec)
+
     def merge(gt: pa.Table) -> pa.Table:
-        return collapse(gt.drop_columns(["_part"])).select(out_cols)
+        return collapse(gt.drop_columns(["_part"]), mspec).select(out_cols)
 
     return (
-        ds.map_batches(collapse, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def grouped_count(ds: rd.Dataset, keys: Sequence[str], alias: str = "cnt") -> rd.Dataset:
+    """groupby(keys).count(), scale-safe for high-cardinality keys."""
+    return grouped_agg(ds, keys, [(None, "count", alias)])
+
+
+def grouped_sum(ds: rd.Dataset, keys: Sequence[str], col: str, alias: str) -> rd.Dataset:
+    """groupby(keys).sum(col), scale-safe for high-cardinality keys."""
+    return grouped_agg(ds, keys, [(col, "sum", alias)])
+
+
+def grouped_min(ds: rd.Dataset, key: str | Sequence[str], val: str | Sequence[str],
+                num_partitions: int = 32) -> rd.Dataset:
+    """groupby(key).min(val(s)); empty ``val`` = grouped DISTINCT.
+    Output columns ``[*keys, *vals]``.  See :func:`grouped_agg`."""
+    keys = [key] if isinstance(key, str) else list(key)
+    vals = [val] if isinstance(val, str) else list(val)
+    return grouped_agg(ds, keys, [(v, "min", v) for v in vals], num_partitions)
 
 
 def topk(ds: rd.Dataset, col: str, k: int, descending: bool = True) -> rd.Dataset:
@@ -294,14 +319,12 @@ def windowed_aggregate(
             "window_start": pa.array(ws),
             value_col: tbl.column(value_col),
         })
-        g = t.group_by([key, "window_start"]).aggregate(
-            [(value_col, "sum"), (value_col, "count")]
-        )
-        return g.rename_columns([key, "window_start", "_psum", "_pcnt"])
+        return t
 
-    partials = ds.map_batches(assign, batch_format="pyarrow")
-    return partials.groupby([key, "window_start"]).aggregate(
-        Sum("_psum", alias_name="value_sum"), Sum("_pcnt", alias_name="n_events")
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_agg(
+        assigned, [key, "window_start"],
+        [(value_col, "sum", "value_sum"), (None, "count", "n_events")],
     )
 
 

@@ -194,26 +194,25 @@ def ngram_class_scores(ds: rd.Dataset, text_col: str, cls_col: str,
     ONE grouped sum → vectorized score/filter.  No per-ngram python
     groups (a map_groups here would create one pandas group per distinct
     ngram — death by group overhead at corpus scale)."""
-    from ray.data.aggregate import Sum
+    from .relational import grouped_agg
 
-    def partial(tbl: pa.Table) -> pa.Table:
+    def explode(tbl: pa.Table) -> pa.Table:
         ex = ngram_explode(tbl, text_col=text_col, keep_cols=(cls_col,))
         is_pos = pa.compute.equal(ex.column(cls_col), pos_label)
-        t = pa.table(
+        return pa.table(
             {
                 "ngram": ex.column("ngram"),
                 "_pos": pa.compute.cast(is_pos, pa.int64()),
                 "_neg": pa.compute.cast(pa.compute.invert(is_pos), pa.int64()),
             }
         )
-        return t.group_by(["ngram"]).aggregate([("_pos", "sum"), ("_neg", "sum")]).rename_columns(
-            ["ngram", "_pos", "_neg"]
-        )
 
-    sums = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("ngram")
-        .aggregate(Sum("_pos", alias_name="pos_cnt"), Sum("_neg", alias_name="neg_cnt"))
+    # grouped_agg, not Ray groupby(Sum): the ngram vocabulary is a
+    # high-cardinality key at corpus scale (see relational.grouped_agg)
+    sums = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["ngram"],
+        [("_pos", "sum", "pos_cnt"), ("_neg", "sum", "neg_cnt")],
     )
 
     def score(tbl: pa.Table) -> pa.Table:
