@@ -66,6 +66,41 @@ def _null_safe_part_assigner(keys: Sequence[str], num_partitions: int):
     return add_part
 
 
+def arrow_group_by(tbl: pa.Table, keys: Sequence[str], spec) -> pa.Table:
+    """``pa.Table.group_by(keys).aggregate(spec)`` with a workaround for
+    a pyarrow 16.1 grouper bug: in MULTI-key grouping where a
+    (large_)string/binary key column contains nulls, the row encoder
+    splits the null group above ~1k rows (duplicate key rows come back
+    — reproduced: 3k rows / 287 true groups → 301-491 reported; single
+    key or null-free multi-key is exact).  Encode string-null-ness in a
+    companion int8 key, fill the string, group on the augmented keys,
+    then restore the nulls.  Output column order is unchanged:
+    ``[*keys, *aggs]``."""
+    keys = list(keys)
+    if len(keys) < 2:
+        return tbl.group_by(keys).aggregate(spec)
+    fix = []
+    for k in keys:
+        col = tbl.column(k)
+        if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+                or pa.types.is_binary(col.type)
+                or pa.types.is_large_binary(col.type)) and col.null_count:
+            flag = pc.cast(pc.is_null(col), pa.int8())
+            filler = b"" if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type) else ""
+            tbl = tbl.set_column(tbl.column_names.index(k), k, pc.fill_null(col, filler))
+            tbl = tbl.append_column(f"__null_{k}", flag)
+            fix.append(k)
+    if not fix:
+        return tbl.group_by(keys).aggregate(spec)
+    g = tbl.group_by(keys + [f"__null_{k}" for k in fix]).aggregate(spec)
+    for k in fix:
+        col = g.column(k)
+        isn = pc.equal(g.column(f"__null_{k}"), 1)
+        g = g.set_column(g.column_names.index(k), k,
+                         pc.if_else(isn, pa.scalar(None, col.type), col))
+    return g.drop_columns([f"__null_{k}" for k in fix])
+
+
 def grouped_agg(ds: rd.Dataset, keys: Sequence[str],
                 aggs: Sequence[tuple[str | None, str, str]],
                 num_partitions: int = 32) -> rd.Dataset:
@@ -88,7 +123,7 @@ def grouped_agg(ds: rd.Dataset, keys: Sequence[str],
     add_part = _null_safe_part_assigner(keys, num_partitions)
 
     def collapse(tbl: pa.Table, spec) -> pa.Table:
-        g = tbl.group_by(keys).aggregate(spec or [([], "count_all")])
+        g = arrow_group_by(tbl, keys, spec or [([], "count_all")])
         g = g.rename_columns(keys + (aliases or ["_c"]))
         if not aggs:
             g = g.drop_columns(["_c"])

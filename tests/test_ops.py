@@ -134,6 +134,64 @@ def test_hash_join(ray_session):
     assert out["b"].tolist() == [20, 30]
 
 
+def test_arrow_group_by_null_string_multikey():
+    """Pins the pyarrow 16.1 grouper bug workaround: multi-key group_by
+    with a nullable string key splits the null group above ~1k rows
+    (plain pa.Table.group_by returns DUPLICATE key rows).
+    relational.arrow_group_by must return exactly the true group count."""
+    rng = np.random.default_rng(0)
+    n = 10000
+    k1 = [None if rng.random() < 0.05 else f"k{rng.integers(0, 40)}" for _ in range(n)]
+    k2 = rng.integers(0, 7, n)
+    t = pa.table({
+        "k1": pa.array(k1, pa.string()),
+        "k2": pa.array(k2, pa.int64()),
+        "v": pa.array(rng.integers(0, 10, n), pa.int64()),
+    })
+    truth = len(set(zip(k1, k2.tolist())))
+    got = relational.arrow_group_by(t, ["k1", "k2"], [("v", "sum")])
+    assert got.num_rows == truth
+    # values match a python-side aggregation, null group included
+    exp = t.to_pandas().groupby(["k1", "k2"], dropna=False)["v"].sum().reset_index()
+    gp = got.to_pandas().sort_values(["k1", "k2"], na_position="last").reset_index(drop=True)
+    exp = exp.sort_values(["k1", "k2"], na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        gp.rename(columns={"v_sum": "v"}), exp, check_dtype=False)
+
+
+def test_grouped_agg_matches_pandas(ray_session):
+    """grouped_agg (hash-partitioned Arrow kernels) == pandas groupby on
+    a mixed workload: multi-key, all agg kinds, null keys (SQL null
+    group semantics), many partitions so partials really merge."""
+    rng = np.random.default_rng(3)
+    n = 5000
+    k1 = rng.integers(0, 40, n).astype(object)
+    k1[rng.random(n) < 0.05] = None  # null string keys
+    k1 = pa.array([None if v is None else f"k{v}" for v in k1], pa.string())
+    k2 = pa.array(rng.integers(0, 7, n), pa.int64())
+    v = pa.array(rng.integers(-100, 100, n), pa.int64())
+    t = pa.table({"k1": k1, "k2": k2, "v": v})
+    ds = rd.from_arrow(t).repartition(16)
+
+    got = relational.grouped_agg(
+        ds, ["k1", "k2"],
+        [("v", "sum", "s"), ("v", "min", "lo"), ("v", "max", "hi"),
+         (None, "count", "n")],
+        num_partitions=8,
+    ).to_pandas().sort_values(["k1", "k2"], na_position="last").reset_index(drop=True)
+
+    exp = (t.to_pandas().groupby(["k1", "k2"], dropna=False)["v"]
+           .agg(s="sum", lo="min", hi="max", n="count").reset_index()
+           .sort_values(["k1", "k2"], na_position="last").reset_index(drop=True))
+    assert got["k1"].isna().any()  # the null group survived
+    pd.testing.assert_frame_equal(
+        got[["k1", "k2", "s", "lo", "hi", "n"]], exp, check_dtype=False)
+
+    # empty aggs = grouped DISTINCT
+    dist = relational.grouped_agg(ds, ["k2"], []).to_pandas()
+    assert sorted(dist["k2"]) == sorted(t.to_pandas()["k2"].unique())
+
+
 def test_exact_dedup(ray_session, docs_ds):
     out = dedup.exact_dedup(docs_ds, "text", "doc_id").to_pandas()
     # doc 3 is an exact dup of doc 0 → survivor is 0
