@@ -2117,6 +2117,107 @@ def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+_PQ_FIXTURE = "/tmp/ccwarc_pq_codebook.parquet"
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8  # 64-d -> 8 subspaces x 16 centroids
+
+
+def _ensure_pq_fixture() -> str:
+    """PQ codebook (sub_id, cent_id, vec) trained ONCE on the fixed
+    sf0.001 embeddings — sf-independent, mirroring the reference's
+    offline-trained codebook files (`IndexingManage.java:74-76`).  The
+    oracle SQL reads the same parquet and independently re-derives
+    per-subspace assignment + ADC ranking."""
+    if not os.path.exists(_PQ_FIXTURE):
+        emb = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
+                            columns=["embedding"])
+        mat = np.asarray(emb.column("embedding").to_pylist()[:2000], dtype=np.float64)
+        cb = ann.pq_train_codebook(mat, m=_PQ_M, k=_PQ_K, iters=10, seed=7)
+        rows_sub, rows_cent, rows_vec = [], [], []
+        for j in range(cb.shape[0]):
+            for c in range(cb.shape[1]):
+                rows_sub.append(j)
+                rows_cent.append(c)
+                rows_vec.append(cb[j, c].tolist())
+        t = pa.table({
+            "sub_id": pa.array(rows_sub, pa.int64()),
+            "cent_id": pa.array(rows_cent, pa.int64()),
+            "vec": pa.array(rows_vec, pa.list_(pa.float64())),
+        })
+        tmp = f"{_PQ_FIXTURE}.{os.getpid()}.tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _PQ_FIXTURE)
+    return _PQ_FIXTURE
+
+
+def _pq_codebook() -> np.ndarray:
+    t = pq.read_table(_ensure_pq_fixture())
+    cb = np.zeros((_PQ_M, _PQ_K, _PQ_DSUB), dtype=np.float64)
+    subs = t.column("sub_id").to_numpy()
+    cents = t.column("cent_id").to_numpy()
+    for i, v in enumerate(t.column("vec").to_pylist()):
+        cb[subs[i], cents[i]] = v
+    return cb
+
+
+def q_pq_ann(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC top-k with a DuckDB oracle: the fixture
+    codebook is shared; the oracle independently re-encodes every vector
+    (per-subspace nearest centroid) and re-ranks by the same
+    qq - 2qc + cc ADC sum.  The Ray path scans only the m-byte codes —
+    the reference's IVFPQ memory layout (`IndexingManage.java:70-84`)."""
+    cb = _pq_codebook()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    codes = ann.pq_encode(ds, cb)
+    out = ann.pq_adc_topk(codes, cb, _query_vecs(sf_dir), k=5)
+    out["adc_r"] = _r5(out["adc"])
+    return out[["query_id", "vec_id", "adc_r", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+SQL_PQ_ANN = f"""
+WITH cb AS (SELECT sub_id, cent_id, vec FROM read_parquet('{_PQ_FIXTURE}')),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (SELECT DISTINCT sub_id FROM cb),
+esub AS (
+  SELECT e.vec_id, s.sub_id,
+         e.v[s.sub_id * {_PQ_DSUB} + 1 : s.sub_id * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+  FROM emb e CROSS JOIN subs s
+),
+code AS (
+  SELECT vec_id, sub_id, cvec FROM (
+    SELECT es.vec_id, es.sub_id, cb.vec AS cvec,
+           row_number() OVER (
+             PARTITION BY es.vec_id, es.sub_id
+             ORDER BY list_distance(es.sv, cb.vec) ASC, cb.cent_id
+           ) AS rn
+    FROM esub es JOIN cb ON cb.sub_id = es.sub_id
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v FROM emb WHERE vec_id < 3),
+qsub AS (
+  SELECT q.query_id, s.sub_id,
+         q.v[s.sub_id * {_PQ_DSUB} + 1 : s.sub_id * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+  FROM q CROSS JOIN subs s
+),
+adc AS (
+  SELECT qs.query_id, c.vec_id,
+         SUM(list_inner_product(qs.sv, qs.sv)
+             - 2 * list_inner_product(qs.sv, c.cvec)
+             + list_inner_product(c.cvec, c.cvec)) AS d
+  FROM qsub qs JOIN code c ON c.sub_id = qs.sub_id
+  GROUP BY qs.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, floor(d * 100000 + 0.5) / 100000 AS adc_r, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 SQL_IVF_ANN = f"""
 WITH cent AS (SELECT list_id, vec FROM read_parquet('{_IVF_FIXTURE}')),
 emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2212,6 +2313,7 @@ QUERIES = {
     "discovery_crawl": q_discovery_crawl,
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
+    "pq_ann": q_pq_ann,
     "media_classify": q_media_classify,
 }
 
@@ -2257,6 +2359,7 @@ ORACLES = {
     "ngram_scores": SQL_NGRAM_SCORES,
     "text_prep": SQL_TEXT_PREP,
     "ivf_ann": SQL_IVF_ANN,
+    "pq_ann": SQL_PQ_ANN,
     "lsh_ann": SQL_LSH_ANN,
     "crawl_flagship": SQL_CRAWL_FLAGSHIP,
     "crawl_streaming": SQL_CRAWL_STREAMING,

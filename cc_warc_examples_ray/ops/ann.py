@@ -460,3 +460,329 @@ def ivf_topk(assigned: rd.Dataset, centroids: np.ndarray, queries: dict, k: int 
     )
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / IVFPQ)
+#
+# Reference analog: `IndexingManage.java:70-84` — an IVFPQ index
+# (m2=64 subquantizers x k_c=256 centroids over 1024-d vectors, 8192
+# coarse lists, w=64 probed lists per query) whose codebooks are trained
+# OFFLINE and loaded from files.  Here the codebook is a deterministic
+# driver-side k-means over a corpus sample (training a PQ codebook on a
+# sample is the standard practice the reference's files encode), and
+# encode / scan are Ray map_batches stages:
+#   * pq_encode: vectors -> m uint8 codes (32x+ compression at the
+#     reference's geometry — the layout that makes a 100 TB embedding
+#     corpus scannable from memory),
+#   * pq_adc_topk: asymmetric-distance (ADC) top-k — per query ONE
+#     [m, k_c] lookup table, per batch m vectorized gathers, per-batch
+#     local top-k partials so the driver merge stays nq x k x #batches.
+# Public method: Jegou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011.
+# ---------------------------------------------------------------------------
+
+def kmeans_l2(mat: np.ndarray, n_centroids: int, iters: int = 10,
+              seed: int = 5) -> np.ndarray:
+    """Plain (non-spherical) Lloyd k-means — PQ quantizes raw subvectors,
+    so centroids must live in the data's own scale, not on the unit
+    sphere (contrast :func:`kmeans_centroids`).  Deterministic in
+    ``seed``; empty clusters keep their previous centroid."""
+    mat = np.asarray(mat, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2) if len(mat) * len(cent) < 2**22 else None
+        if d is None:
+            # blockwise |x-c|^2 = xx - 2xc + cc to bound memory
+            xx = (mat * mat).sum(axis=1)[:, None]
+            cc = (cent * cent).sum(axis=1)[None, :]
+            d = xx - 2.0 * (mat @ cent.T) + cc
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = mat[m].mean(axis=0)
+    return cent
+
+
+def pq_train_codebook(mat: np.ndarray, m: int, k: int, iters: int = 10,
+                      seed: int = 7) -> np.ndarray:
+    """Train a PQ codebook on a sample matrix: split the d columns into
+    ``m`` contiguous subspaces, run deterministic L2 k-means per
+    subspace.  Returns float64 [m, k, d//m].  (The reference trains
+    offline and ships CSV codebooks — `IndexingManage.java:74-76`; this
+    is that training step, seeded for reproducibility.)"""
+    mat = np.asarray(mat, dtype=np.float64)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([
+        kmeans_l2(mat[:, j * dsub:(j + 1) * dsub], k, iters=iters, seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def _pq_codes(mat: np.ndarray, codebook: np.ndarray) -> np.ndarray:
+    """Encode [n, d] rows against a [m, k, dsub] codebook → uint8 [n, m].
+    Ties break to the LOWEST centroid id (np.argmin), matching the SQL
+    oracle's (distance ASC, cent_id ASC) row_number."""
+    m, k, dsub = codebook.shape
+    n = mat.shape[0]
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        c = codebook[j]
+        d = ((sub * sub).sum(axis=1)[:, None]
+             - 2.0 * (sub @ c.T)
+             + (c * c).sum(axis=1)[None, :])
+        codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds: rd.Dataset, codebook: np.ndarray, id_col: str = "vec_id",
+              emb_col: str = "embedding") -> rd.Dataset:
+    """Corpus → (id, pq_code fixed_size_list<uint8, m>).  The broadcast
+    codebook rides the object store once; encode is one matmul per
+    subspace per batch.  Null embeddings are unindexable and dropped
+    (same policy as ivf_assign)."""
+    ref = ray.put(np.asarray(codebook, dtype=np.float64))
+    m = codebook.shape[0]
+
+    class Encode:
+        def __init__(self):
+            self.cb = ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(pc.is_valid(tbl.column(emb_col)))
+            if tbl.num_rows == 0:
+                return pa.table({
+                    id_col: pa.array([], tbl.schema.field(id_col).type),
+                    "pq_code": pa.array([], pa.list_(pa.uint8(), m)),
+                })
+            mat = _as_matrix(tbl.column(emb_col))
+            codes = _pq_codes(mat, self.cb)
+            flat = pa.array(codes.reshape(-1), pa.uint8())
+            return pa.table({
+                id_col: tbl.column(id_col),
+                "pq_code": pa.FixedSizeListArray.from_arrays(flat, m),
+            })
+
+    return ds.map_batches(Encode, batch_format="pyarrow", concurrency=(1, 8))
+
+
+class PQADCScorer:
+    """map_batches callable: ADC distance of every code row to every
+    query via the per-query [m, k] lookup table; emits per-batch local
+    top-k (query_id, id, adc) partials.  Distance basis is squared L2
+    accumulated per subspace as qq - 2*qc + cc — term-for-term the shape
+    the DuckDB oracle computes with list_inner_product, so the two
+    engines agree to fp-rounding."""
+
+    def __init__(self, lut_ref, qids: np.ndarray, k: int, id_col: str):
+        self.lut = ray.get(lut_ref)      # float64 [nq, m, k_c]
+        self.qids = qids
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                self.id_col: pa.array([], tbl.schema.field(self.id_col).type),
+                "adc": pa.array([], pa.float64()),
+            })
+        ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
+        code_col = tbl.column("pq_code").combine_chunks()
+        m = code_col.type.list_size
+        codes = code_col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), m)
+        nq = self.lut.shape[0]
+        adc = np.zeros((nq, len(ids)), dtype=np.float64)
+        for j in range(m):
+            adc += self.lut[:, j, codes[:, j]]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            sel = _local_topk(-adc[qi], ids, self.k)  # adc ASC == -adc DESC
+            out_q.append(np.full(len(sel), self.qids[qi]))
+            out_v.append(ids[sel])
+            out_s.append(adc[qi, sel])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else []),
+            self.id_col: pa.array(np.concatenate(out_v) if out_v else [],
+                                  tbl.schema.field(self.id_col).type),
+            "adc": pa.array(np.concatenate(out_s) if out_s else [], pa.float64()),
+        })
+
+
+def pq_lut(queries: dict, codebook: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(qids, LUT [nq, m, k]) — LUT[q, j, c] = ||q_j - C[j, c]||^2
+    expanded as qq - 2*qc + cc (the oracle-matching term order)."""
+    qids = np.array(sorted(queries))
+    m, k, dsub = codebook.shape
+    lut = np.empty((len(qids), m, k), dtype=np.float64)
+    for i, qid in enumerate(qids):
+        qv = np.asarray(queries[qid], dtype=np.float64)
+        for j in range(m):
+            qs = qv[j * dsub:(j + 1) * dsub]
+            c = codebook[j]
+            lut[i, j] = (qs @ qs) - 2.0 * (c @ qs) + (c * c).sum(axis=1)
+    return qids, lut
+
+
+def pq_adc_topk(codes: rd.Dataset, codebook: np.ndarray, queries: dict,
+                k: int = 10, id_col: str = "vec_id") -> pd.DataFrame:
+    """ADC top-k over a PQ-encoded corpus: smallest approximate squared
+    L2 per query, ties to the lower id.  Returns (query_id, id, adc,
+    rank).  The scan touches ONLY the m-byte codes — the full vectors
+    never leave the encode stage."""
+    qids, lut = pq_lut(queries, np.asarray(codebook, dtype=np.float64))
+    partials = codes.map_batches(
+        PQADCScorer,
+        fn_constructor_args=(ray.put(lut), qids, k),
+        fn_constructor_kwargs=dict(id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=(1, 8),
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "adc": pd.Series([], dtype="float64"),
+                             "rank": pd.Series([], dtype="int64")})
+    out = (
+        partials.sort_values(["query_id", "adc", id_col],
+                             ascending=[True, True, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+def ivfpq_encode(ds: rd.Dataset, coarse: np.ndarray, codebook: np.ndarray,
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> rd.Dataset:
+    """IVFPQ build: coarse-assign (spherical, same quantizer as ivf_assign)
+    then PQ-encode the RESIDUAL v - coarse_centroid — the reference's
+    index layout (`IndexingManage.java:78`: coarse quantizer + product
+    quantizer files).  Output: (id, ivf_list, pq_code)."""
+    cref = ray.put(np.asarray(coarse, dtype=np.float64))
+    bref = ray.put(np.asarray(codebook, dtype=np.float64))
+    m = codebook.shape[0]
+
+    class Encode:
+        def __init__(self):
+            self.coarse = ray.get(cref)
+            self.cb = ray.get(bref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(pc.is_valid(tbl.column(emb_col)))
+            if tbl.num_rows == 0:
+                return pa.table({
+                    id_col: pa.array([], tbl.schema.field(id_col).type),
+                    "ivf_list": pa.array([], pa.int64()),
+                    "pq_code": pa.array([], pa.list_(pa.uint8(), m)),
+                })
+            mat = _as_matrix(tbl.column(emb_col))
+            lst = np.argmax(_unit(mat) @ _unit(self.coarse).T, axis=1).astype(np.int64)
+            resid = mat - self.coarse[lst]
+            codes = _pq_codes(resid, self.cb)
+            flat = pa.array(codes.reshape(-1), pa.uint8())
+            return pa.table({
+                id_col: tbl.column(id_col),
+                "ivf_list": pa.array(lst),
+                "pq_code": pa.FixedSizeListArray.from_arrays(flat, m),
+            })
+
+    return ds.map_batches(Encode, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def ivfpq_topk(encoded: rd.Dataset, coarse: np.ndarray, codebook: np.ndarray,
+               queries: dict, k: int = 10, nprobe: int = 4,
+               id_col: str = "vec_id") -> pd.DataFrame:
+    """IVFPQ search: per query probe the ``nprobe`` nearest coarse lists
+    (same spherical probe order as ivf_topk), build ONE residual LUT per
+    (query, probed list) — LUT[j, c] = ||(q - coarse_l)_j - C[j, c]||^2
+    — and ADC-scan only rows of probed lists.  w-lists-per-query
+    semantics per the reference (`IndexingManage.java:82-84`)."""
+    coarse = np.asarray(coarse, dtype=np.float64)
+    codebook = np.asarray(codebook, dtype=np.float64)
+    qids = np.array(sorted(queries))
+    qmat = np.asarray([queries[i] for i in qids], dtype=np.float64)
+    probes = np.argsort(-(_unit(qmat) @ _unit(coarse).T), axis=1, kind="stable")[:, :nprobe]
+    lists_needed = sorted({int(x) for row in probes for x in row})
+    # per-(query, list) residual LUTs, keyed small and broadcast once
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    for i, qid in enumerate(qids):
+        for l in probes[i]:
+            rq = {int(qid): qmat[i] - coarse[int(l)]}
+            _, lut = pq_lut(rq, codebook)
+            luts[(int(qid), int(l))] = lut[0]
+    sub = encoded.filter(expr=f"ivf_list in {lists_needed}")
+    lut_ref = ray.put(luts)
+    kk = k
+
+    class Scorer:
+        def __init__(self):
+            self.luts = ray.get(lut_ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return pa.table({
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], tbl.schema.field(id_col).type),
+                    "adc": pa.array([], pa.float64()),
+                })
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            lsts = tbl.column("ivf_list").to_numpy(zero_copy_only=False).astype(np.int64)
+            code_col = tbl.column("pq_code").combine_chunks()
+            m = code_col.type.list_size
+            codes = code_col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), m)
+            out_q, out_v, out_s = [], [], []
+            for (qid, l), lut in self.luts.items():
+                rows = np.flatnonzero(lsts == l)
+                if not len(rows):
+                    continue
+                adc = np.zeros(len(rows), dtype=np.float64)
+                cr = codes[rows]
+                for j in range(m):
+                    adc += lut[j, cr[:, j]]
+                sel = _local_topk(-adc, ids[rows], kk)
+                out_q.append(np.full(len(sel), qid))
+                out_v.append(ids[rows][sel])
+                out_s.append(adc[sel])
+            if not out_q:
+                return pa.table({
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], tbl.schema.field(id_col).type),
+                    "adc": pa.array([], pa.float64()),
+                })
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                id_col: pa.array(np.concatenate(out_v),
+                                 tbl.schema.field(id_col).type),
+                "adc": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    partials = sub.map_batches(
+        Scorer, batch_format="pyarrow", batch_size=65536, concurrency=(1, 8)
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "adc": pd.Series([], dtype="float64"),
+                             "rank": pd.Series([], dtype="int64")})
+    out = (
+        partials.sort_values(["query_id", "adc", id_col],
+                             ascending=[True, True, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out

@@ -462,6 +462,110 @@ def test_embedding_neardup_and_ann(ray_session):
     assert ivf["vec_id"].iloc[0] == 3
 
 
+def test_pq_adc_matches_reference_numpy(ray_session):
+    """PQ encode + ADC scan == an INDEPENDENT driver-side numpy
+    reference (codes via explicit per-row argmin loops, ADC via explicit
+    per-pair sums) — pins the vectorized kernels' semantics; and the
+    distributed result is identical across block splits."""
+    rng = np.random.default_rng(41)
+    n, d, m, kc = 300, 16, 4, 8
+    mat = rng.standard_normal((n, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    }))
+    cb = ann.pq_train_codebook(mat[:150], m=m, k=kc, iters=5, seed=3)
+    queries = {0: list(map(float, mat[0])), 7: list(map(float, mat[7]))}
+
+    # independent reference: per-row python loops, no shared kernels
+    dsub = d // m
+    ref_codes = np.zeros((n, m), dtype=np.int64)
+    for i in range(n):
+        for j in range(m):
+            sub = mat[i, j * dsub:(j + 1) * dsub]
+            dists = [float(((sub - cb[j, c]) ** 2).sum()) for c in range(kc)]
+            ref_codes[i, j] = int(np.argmin(dists))
+    rows = []
+    for qid, qv in queries.items():
+        qv = np.asarray(qv)
+        adcs = []
+        for i in range(n):
+            tot = 0.0
+            for j in range(m):
+                qs = qv[j * dsub:(j + 1) * dsub]
+                c = cb[j, ref_codes[i, j]]
+                tot += float(qs @ qs) - 2.0 * float(c @ qs) + float(c @ c)
+            adcs.append(tot)
+        order = sorted(range(n), key=lambda i: (adcs[i], i))[:5]
+        rows += [(qid, i, adcs[i], r + 1) for r, i in enumerate(order)]
+    ref = pd.DataFrame(rows, columns=["query_id", "vec_id", "adc", "rank"])
+
+    for nblocks in (1, 7):
+        codes = ann.pq_encode(ds.repartition(nblocks), cb)
+        got = ann.pq_adc_topk(codes, cb, queries, k=5)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), ref.reset_index(drop=True),
+            check_dtype=False, atol=1e-9)
+
+
+def test_ivfpq_topk_probed_lists(ray_session):
+    """IVFPQ: residual encoding + per-query probed lists.  With
+    nprobe == n_lists the result must equal a full residual-ADC
+    reference; with nprobe=1 every hit must come from the query's own
+    nearest coarse list."""
+    rng = np.random.default_rng(5)
+    n, d, m, kc = 400, 16, 4, 8
+    mat = rng.standard_normal((n, d)) + np.repeat(
+        rng.standard_normal((4, d)) * 3.0, n // 4, axis=0)  # 4 clear clusters
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    })).repartition(5)
+    coarse = ann.kmeans_centroids(mat[:200], n_centroids=4, iters=8, seed=9)
+    cb = ann.pq_train_codebook(mat[:200], m=m, k=kc, iters=5, seed=3)
+    queries = {1: list(map(float, mat[1])), 250: list(map(float, mat[250]))}
+
+    enc = ann.ivfpq_encode(ds, coarse, cb).materialize()
+    full = ann.ivfpq_topk(enc, coarse, cb, queries, k=5, nprobe=4)
+    # reference: same ADC over ALL lists via driver numpy on the encoded table
+    et = enc.to_pandas()
+    lists = et["ivf_list"].to_numpy()
+    codes = np.stack(et["pq_code"].to_numpy())
+    ids = et["vec_id"].to_numpy()
+    rows = []
+    for qid, qv in queries.items():
+        qv = np.asarray(qv)
+        adc = np.zeros(len(ids))
+        for li in range(4):
+            sel = lists == li
+            if not sel.any():
+                continue
+            rq = qv - coarse[li]
+            _, lut = ann.pq_lut({0: rq}, cb)
+            a = np.zeros(sel.sum())
+            for j in range(m):
+                a += lut[0, j, codes[sel, j]]
+            adc[sel] = a
+        order = np.lexsort((ids, adc))[:5]
+        rows += [(qid, int(ids[i]), float(adc[i]), r + 1)
+                 for r, i in enumerate(order)]
+    ref = pd.DataFrame(rows, columns=["query_id", "vec_id", "adc", "rank"])
+    pd.testing.assert_frame_equal(full.reset_index(drop=True), ref,
+                                  check_dtype=False, atol=1e-9)
+
+    # nprobe=1: results restricted to each query's nearest coarse list
+    one = ann.ivfpq_topk(enc, coarse, cb, queries, k=5, nprobe=1)
+    qmat = np.asarray([queries[i] for i in sorted(queries)])
+    near = np.argmax((qmat / np.linalg.norm(qmat, axis=1, keepdims=True))
+                     @ (coarse / np.linalg.norm(coarse, axis=1, keepdims=True)).T, axis=1)
+    lst_of = dict(zip(ids.tolist(), lists.tolist()))
+    for (qid, nl) in zip(sorted(queries), near):
+        hits = one[one["query_id"] == qid]["vec_id"]
+        assert all(lst_of[v] == nl for v in hits)
+
+
 def test_phash_neardup_groups(ray_session):
     ph = np.array([0x1111, 0x1111, 0x1110, 0x7FFF00000000, 0x42], dtype=np.int64)
     ds = rd.from_arrow(
