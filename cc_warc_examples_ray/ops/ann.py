@@ -574,6 +574,22 @@ def pq_encode(ds: rd.Dataset, codebook: np.ndarray, id_col: str = "vec_id",
     return ds.map_batches(Encode, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def _codes_matrix(code_col) -> np.ndarray:
+    """pq_code column → uint8 [n, m].  Handles both fixed_size_list
+    (the live encode output) and plain list (the parquet round-trip of a
+    persisted index — parquet has no fixed-size list type)."""
+    arr = code_col.combine_chunks() if isinstance(code_col, pa.ChunkedArray) else code_col
+    if pa.types.is_fixed_size_list(arr.type):
+        m = arr.type.list_size
+    else:
+        offs = arr.offsets.to_numpy()
+        widths = np.diff(offs)
+        m = int(widths[0])
+        if not (widths == m).all():
+            raise ValueError("ragged pq_code column")
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(len(arr), m)
+
+
 class PQADCScorer:
     """map_batches callable: ADC distance of every code row to every
     query via the per-query [m, k] lookup table; emits per-batch local
@@ -596,9 +612,8 @@ class PQADCScorer:
                 "adc": pa.array([], pa.float64()),
             })
         ids = tbl.column(self.id_col).to_numpy(zero_copy_only=False)
-        code_col = tbl.column("pq_code").combine_chunks()
-        m = code_col.type.list_size
-        codes = code_col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), m)
+        codes = _codes_matrix(tbl.column("pq_code"))
+        m = codes.shape[1]
         nq = self.lut.shape[0]
         adc = np.zeros((nq, len(ids)), dtype=np.float64)
         for j in range(m):
@@ -740,9 +755,8 @@ def ivfpq_topk(encoded: rd.Dataset, coarse: np.ndarray, codebook: np.ndarray,
                 })
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             lsts = tbl.column("ivf_list").to_numpy(zero_copy_only=False).astype(np.int64)
-            code_col = tbl.column("pq_code").combine_chunks()
-            m = code_col.type.list_size
-            codes = code_col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), m)
+            codes = _codes_matrix(tbl.column("pq_code"))
+            m = codes.shape[1]
             out_q, out_v, out_s = [], [], []
             for (qid, l), lut in self.luts.items():
                 rows = np.flatnonzero(lsts == l)
@@ -786,3 +800,21 @@ def ivfpq_topk(encoded: rd.Dataset, coarse: np.ndarray, codebook: np.ndarray,
     )
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out
+
+
+def ivfpq_topk_indexed(path: str, coarse: np.ndarray, codebook: np.ndarray,
+                       queries: dict, k: int = 10, nprobe: int = 4,
+                       id_col: str = "vec_id") -> pd.DataFrame:
+    """IVFPQ top-k over a persisted index (``build_index`` of
+    ``ivfpq_encode`` output keyed by ``ivf_list``): identical results to
+    :func:`ivfpq_topk` on the live encoding, but the read opens ONLY the
+    probed lists' fragment files — at the reference's geometry (w=64 of
+    8192 lists) the scan touches <1% of the code table's files."""
+    qids = sorted(queries)
+    qmat = _unit(np.asarray([queries[i] for i in qids], dtype=np.float64))
+    probes = np.argsort(-(qmat @ _unit(np.asarray(coarse, dtype=np.float64)).T),
+                        axis=1, kind="stable")[:, :nprobe]
+    lists_needed = sorted({int(x) for row in probes for x in row})
+    sub = query_index(path, lists_needed)
+    return ivfpq_topk(sub, coarse, codebook, queries, k=k, nprobe=nprobe,
+                      id_col=id_col)

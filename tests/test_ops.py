@@ -633,6 +633,24 @@ def test_ann_persisted_index(ray_session, tmp_path):
     assert 0 < len(pruned) <= len(union)
     assert len(pruned) < len(t.fragment_paths())
 
+    # IVFPQ persisted: indexed == live, and the read opens only the
+    # probed lists' fragments
+    cb = ann.pq_train_codebook(mat[:200], m=4, k=8, iters=5, seed=3)
+    enc = ann.ivfpq_encode(ds, cent, cb)
+    ppath = str(tmp_path / "ivfpq_idx")
+    ann.build_index(enc, ppath, "ivf_list")
+    live = ann.ivfpq_topk(ann.ivfpq_encode(ds, cent, cb), cent, cb,
+                          queries, k=5, nprobe=2)
+    idx = ann.ivfpq_topk_indexed(ppath, cent, cb, queries, k=5, nprobe=2)
+    pd.testing.assert_frame_equal(live.reset_index(drop=True),
+                                  idx.reset_index(drop=True))
+    pt = lancelite.LanceLiteTable(ppath)
+    probed = sorted({int(x) for row in np.argsort(
+        -(ann._unit(np.asarray([queries[0], queries[5]], dtype=np.float64))
+          @ ann._unit(cent).T), axis=1, kind="stable")[:, :2] for x in row})
+    ppruned = pt.partition_fragment_paths(probed)
+    assert 0 < len(ppruned) < len(pt.fragment_paths())
+
     # build is resumable/idempotent: a second build commits nothing new
     ann.build_index(ann.lsh_assign(ds, planes), lpath, "lsh_bucket")
     assert lancelite.LanceLiteTable(lpath).count_rows() == 400
