@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "jaccard_pairs",
     "lsh_ann",
+    "pq_ann",
     "events_asof_orders",
     "event_bursts",
     "text_prep",
