@@ -85,3 +85,38 @@ def test_fjpg_psnr_bound(w, h, seed):
     img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
     dec = imagecodec.fjpg_decode(imagecodec.fjpg_encode(img))
     assert imagecodec.psnr(dec, img) >= 40.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=6000),
+    null_p=st.floats(min_value=0.0, max_value=0.3),
+    nkeys=st.integers(min_value=1, max_value=50),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_arrow_group_by_always_exact(n, null_p, nkeys, seed):
+    """relational.arrow_group_by returns EXACTLY the true group count
+    and sums for any size / null density / key cardinality — the
+    pyarrow 16.1 grouper bug this guards against is data-dependent
+    (splits null string groups only above ~1k rows)."""
+    from cc_warc_examples_ray.ops.relational import arrow_group_by
+
+    rng = np.random.default_rng(seed)
+    k1 = [None if rng.random() < null_p else f"k{rng.integers(0, nkeys)}"
+          for _ in range(n)]
+    k2 = rng.integers(0, 5, n)
+    v = rng.integers(-50, 50, n)
+    t = pa.table({
+        "k1": pa.array(k1, pa.string()),
+        "k2": pa.array(k2, pa.int64()),
+        "v": pa.array(v, pa.int64()),
+    })
+    got = arrow_group_by(t, ["k1", "k2"], [("v", "sum")])
+    truth = {}
+    for a, b, x in zip(k1, k2.tolist(), v.tolist()):
+        truth[(a, b)] = truth.get((a, b), 0) + x
+    assert got.num_rows == len(truth)
+    for a, b, s in zip(got.column("k1").to_pylist(),
+                       got.column("k2").to_pylist(),
+                       got.column("v_sum").to_pylist()):
+        assert truth[(a, b)] == s
