@@ -2117,6 +2117,40 @@ def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT discrete quantiles of o_totalprice (integer cents) via a
+    distributed value histogram — no global sort; the shuffle moves one
+    (value, count) row per distinct value per batch (DuckDB
+    quantile_disc semantics: rank = max(1, ceil(q*n)))."""
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": pa.array(_cents(tbl.column("o_totalprice").to_numpy(
+                zero_copy_only=False)))
+        })
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    out = relational.quantiles_disc(
+        orders.map_batches(cents, batch_format="pyarrow"), "c", qs)
+    out = out.rename(columns={"value": "totalprice_c"})
+    out["totalprice_c"] = out["totalprice_c"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_PRICE_QUANTILES = """
+WITH t AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+),
+agg AS (
+  SELECT quantile_disc(c, [0.25, 0.5, 0.75, 0.9, 0.99]) AS l FROM t
+)
+SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+       unnest(l) AS totalprice_c
+FROM agg
+"""
+
+
 _PQ_FIXTURE = "/tmp/ccwarc_pq_codebook.parquet"
 _PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8  # 64-d -> 8 subspaces x 16 centroids
 
@@ -2314,6 +2348,7 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "lsh_ann": q_lsh_ann,
     "pq_ann": q_pq_ann,
+    "price_quantiles": q_price_quantiles,
     "media_classify": q_media_classify,
 }
 
@@ -2360,6 +2395,7 @@ ORACLES = {
     "text_prep": SQL_TEXT_PREP,
     "ivf_ann": SQL_IVF_ANN,
     "pq_ann": SQL_PQ_ANN,
+    "price_quantiles": SQL_PRICE_QUANTILES,
     "lsh_ann": SQL_LSH_ANN,
     "crawl_flagship": SQL_CRAWL_FLAGSHIP,
     "crawl_streaming": SQL_CRAWL_STREAMING,

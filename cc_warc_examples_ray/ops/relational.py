@@ -165,6 +165,48 @@ def grouped_min(ds: rd.Dataset, key: str | Sequence[str], val: str | Sequence[st
     return grouped_agg(ds, keys, [(v, "min", v) for v in vals], num_partitions)
 
 
+def quantiles_disc(ds: rd.Dataset, col: str, qs: Sequence[float]) -> pd.DataFrame:
+    """EXACT discrete quantiles without a global sort: build a
+    distributed value histogram (per-batch Arrow value-counts →
+    :func:`grouped_agg` merge), collect it, and pick rank
+    ``max(1, ceil(q·n))`` per quantile — DuckDB ``quantile_disc``
+    semantics (verified empirically: q·n at an exact integer keeps that
+    rank; fractional rounds UP).  The shuffle moves one (value, count)
+    row per distinct value per batch; the driver holds only the merged
+    histogram — exact for integer/fixed-precision columns whose distinct
+    count is bounded (cents, sizes, ranks); quantize continuous data
+    first.  Returns a pandas frame (q, value)."""
+    import math
+
+    def vc(tbl: pa.Table) -> pa.Table:
+        t = tbl.select([col])
+        kcol = t.column(col)
+        if kcol.null_count:  # SQL aggregate semantics: nulls don't rank
+            t = t.filter(pc.is_valid(kcol))
+        g = t.group_by([col]).aggregate([([], "count_all")])
+        return g.rename_columns([col, "_c"]).replace_schema_metadata(None)
+
+    hist = grouped_agg(ds.map_batches(vc, batch_format="pyarrow"),
+                       [col], [("_c", "sum", "_c")]).to_pandas()
+    if hist.empty:  # empty-dataset to_pandas may drop the columns too
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "value": pd.Series([], dtype="float64")})
+    hist = hist.sort_values(col, kind="mergesort").reset_index(drop=True)
+    cum = hist["_c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist[col].to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        rank = max(1, math.ceil(q * n - 1e-9))
+        idx = int(np.searchsorted(cum, rank))
+        out_q.append(float(q))
+        out_v.append(vals[idx])
+    return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
+                         "value": pd.Series(out_v, dtype=hist[col].dtype if len(hist) else "float64")})
+
+
 def topk(ds: rd.Dataset, col: str, k: int, descending: bool = True) -> rd.Dataset:
     """sort + limit (O1/O2).  Ray Data's sort is a range-partitioned
     shuffle; for pure top-k over big data prefer per-batch pre-truncation."""

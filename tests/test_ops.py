@@ -134,6 +134,34 @@ def test_hash_join(ray_session):
     assert out["b"].tolist() == [20, 30]
 
 
+def test_quantiles_disc_exact(ray_session):
+    """quantiles_disc == duckdb quantile_disc rank rule
+    (rank = max(1, ceil(q*n)), nulls ignored) on a multi-block column
+    with duplicates and nulls."""
+    import duckdb
+    rng = np.random.default_rng(2)
+    v = rng.integers(0, 500, 20000).astype("float64")
+    mask = rng.random(20000) < 0.03
+    col = pd.Series(v).where(~mask, None)
+    ds = rd.from_arrow(pa.table({"x": pa.array(col, pa.int64())})).repartition(16)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.624, 0.625, 0.75, 0.99, 1.0]
+    got = relational.quantiles_disc(ds, "x", qs)
+    exp = duckdb.sql(
+        f"SELECT unnest({qs}) AS q, unnest(quantile_disc(x, {qs})) AS value "
+        "FROM df", params=None
+    ) if False else duckdb.query_df(
+        pd.DataFrame({"x": col}).dropna().astype({"x": "int64"}), "df",
+        f"SELECT unnest({qs}) AS q, unnest(quantile_disc(x, {qs})) AS value FROM df"
+    ).to_df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True),
+        check_dtype=False)
+
+    # empty input → empty frame, no crash
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert len(relational.quantiles_disc(empty, "x", [0.5])) == 0
+
+
 def test_arrow_group_by_null_string_multikey():
     """Pins the pyarrow 16.1 grouper bug workaround: multi-key group_by
     with a nullable string key splits the null group above ~1k rows
