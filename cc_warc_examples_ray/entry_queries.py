@@ -2117,6 +2117,33 @@ def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_top_docs_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Top-3 documents per language by n_chars (tie → doc_id ASC) via
+    relational.topk_per_key — per-batch top-k combiner, then one
+    hash-partitioned rank kernel; shuffle moves ≤ k rows per (key,
+    batch)."""
+    docs = _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+    out = relational.topk_per_key(
+        docs, key="lang", order_col="n_chars", k=3, descending=True,
+        tiebreak="doc_id",
+    ).to_pandas()
+    return out[["lang", "doc_id", "n_chars"]].sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+ORDER BY lang, n_chars DESC, doc_id
+"""
+
+
 def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
     """EXACT discrete quantiles of o_totalprice (integer cents) via a
     distributed value histogram — no global sort; the shuffle moves one
@@ -2349,6 +2376,7 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,
     "pq_ann": q_pq_ann,
     "price_quantiles": q_price_quantiles,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "media_classify": q_media_classify,
 }
 
@@ -2396,6 +2424,7 @@ ORACLES = {
     "ivf_ann": SQL_IVF_ANN,
     "pq_ann": SQL_PQ_ANN,
     "price_quantiles": SQL_PRICE_QUANTILES,
+    "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "lsh_ann": SQL_LSH_ANN,
     "crawl_flagship": SQL_CRAWL_FLAGSHIP,
     "crawl_streaming": SQL_CRAWL_STREAMING,

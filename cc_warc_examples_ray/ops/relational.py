@@ -165,6 +165,55 @@ def grouped_min(ds: rd.Dataset, key: str | Sequence[str], val: str | Sequence[st
     return grouped_agg(ds, keys, [(v, "min", v) for v in vals], num_partitions)
 
 
+def topk_per_key(ds: rd.Dataset, key: str, order_col: str, k: int,
+                 descending: bool = True, tiebreak: str | None = None,
+                 num_partitions: int = 32) -> rd.Dataset:
+    """Top-``k`` rows PER KEY (the per-group sibling of :func:`topk`,
+    e.g. top-k documents per domain in a training-data curation pass):
+    a per-batch combiner first prunes every key to its local top-k —
+    the shuffle then moves at most k rows per (key, batch) — and one
+    hash-partitioned kernel ranks whole key groups.  Deterministic:
+    ties on ``order_col`` break by ``tiebreak`` ASC (required when
+    ``order_col`` is not unique per key, same contract as
+    :func:`first_per_key`).  Fully vectorized — one lexsort + one
+    group-boundary scan per batch, no per-key loops."""
+    tb = tiebreak
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        kcol = tbl.column(key)
+        if kcol.null_count:  # SQL PARTITION BY: null keys form a group;
+            pass             # keep them — lexsort handles them via codes
+        kv = kcol.to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(kv, use_na_sentinel=False)
+        ov = tbl.column(order_col).to_numpy(zero_copy_only=False)
+        sort_keys = [codes, -ov if descending else ov]
+        if tb is not None:
+            sort_keys.append(tbl.column(tb).to_numpy(zero_copy_only=False))
+        order = np.lexsort(tuple(reversed(sort_keys)))
+        sc = codes[order]
+        starts = np.concatenate([[0], np.flatnonzero(sc[1:] != sc[:-1]) + 1])
+        rank = np.arange(len(sc)) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [len(sc)]])))
+        keep = order[rank < k]
+        keep.sort()  # preserve input order within the batch
+        return tbl.take(pa.array(keep, pa.int64()))
+
+    add_part = _null_safe_part_assigner([key], num_partitions)
+
+    def rank_partition(gt: pa.Table) -> pa.Table:
+        t = gt.drop_columns(["_part"])
+        return prune(t)
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(rank_partition, batch_format="pyarrow")
+    )
+
+
 def quantiles_disc(ds: rd.Dataset, col: str, qs: Sequence[float]) -> pd.DataFrame:
     """EXACT discrete quantiles without a global sort: build a
     distributed value histogram (per-batch Arrow value-counts →

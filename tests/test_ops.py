@@ -134,6 +134,36 @@ def test_hash_join(ray_session):
     assert out["b"].tolist() == [20, 30]
 
 
+def test_topk_per_key_matches_window(ray_session):
+    """topk_per_key == pandas rank-per-group (order DESC, tiebreak ASC):
+    duplicate order values across block boundaries, a null key group,
+    k larger than some groups, and block-split invariance."""
+    rng = np.random.default_rng(9)
+    n = 4000
+    keys = pd.Series(rng.integers(0, 25, n).astype(object)).map(
+        lambda i: f"g{i}")
+    keys[rng.random(n) < 0.04] = None
+    t = pa.table({
+        "k": pa.array(keys, pa.string()),
+        "v": pa.array(rng.integers(0, 30, n), pa.int64()),  # heavy ties
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    df = t.to_pandas()
+    df["rn"] = df.sort_values(["v", "id"], ascending=[False, True]) \
+        .groupby("k", dropna=False).cumcount()
+    exp = df[df["rn"] < 4].drop(columns="rn").sort_values(
+        ["k", "v", "id"], ascending=[True, False, True],
+        na_position="last").reset_index(drop=True)
+    for nblocks in (1, 13):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        got = relational.topk_per_key(
+            ds, "k", "v", k=4, descending=True, tiebreak="id"
+        ).to_pandas().sort_values(
+            ["k", "v", "id"], ascending=[True, False, True],
+            na_position="last").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_quantiles_disc_exact(ray_session):
     """quantiles_disc == duckdb quantile_disc rank rule
     (rank = max(1, ceil(q*n)), nulls ignored) on a multi-block column
