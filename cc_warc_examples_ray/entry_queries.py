@@ -2144,6 +2144,26 @@ ORDER BY lang, n_chars DESC, doc_id
 """
 
 
+def q_lang_char_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-language n_chars quantiles via the grouped discrete-quantile
+    operator (one (key,value)-histogram shuffle, per-key rank pick)."""
+    docs = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = relational.grouped_quantiles_disc(
+        docs, key="lang", col="n_chars", qs=[0.25, 0.5, 0.9]
+    ).to_pandas()
+    out = out.rename(columns={"value": "n_chars_q"})
+    return out.sort_values(["lang", "q"]).reset_index(drop=True)
+
+
+SQL_LANG_CHAR_QUANTILES = """
+SELECT lang,
+       unnest([0.25, 0.5, 0.9]) AS q,
+       unnest(quantile_disc(n_chars, [0.25, 0.5, 0.9])) AS n_chars_q
+FROM documents GROUP BY lang
+ORDER BY lang, q
+"""
+
+
 def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
     """EXACT discrete quantiles of o_totalprice (integer cents) via a
     distributed value histogram — no global sort; the shuffle moves one
@@ -2377,6 +2397,7 @@ QUERIES = {
     "pq_ann": q_pq_ann,
     "price_quantiles": q_price_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "lang_char_quantiles": q_lang_char_quantiles,
     "media_classify": q_media_classify,
 }
 
@@ -2425,6 +2446,7 @@ ORACLES = {
     "pq_ann": SQL_PQ_ANN,
     "price_quantiles": SQL_PRICE_QUANTILES,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+    "lang_char_quantiles": SQL_LANG_CHAR_QUANTILES,
     "lsh_ann": SQL_LSH_ANN,
     "crawl_flagship": SQL_CRAWL_FLAGSHIP,
     "crawl_streaming": SQL_CRAWL_STREAMING,

@@ -165,6 +165,70 @@ def grouped_min(ds: rd.Dataset, key: str | Sequence[str], val: str | Sequence[st
     return grouped_agg(ds, keys, [(v, "min", v) for v in vals], num_partitions)
 
 
+def grouped_quantiles_disc(ds: rd.Dataset, key: str, col: str,
+                           qs: Sequence[float],
+                           num_partitions: int = 32) -> rd.Dataset:
+    """Discrete quantiles PER KEY (per-domain length percentiles, per-host
+    size distribution) — the grouped sibling of :func:`quantiles_disc`:
+    one distributed (key, value) histogram via :func:`grouped_agg`
+    (shuffle moves one row per distinct (key, value) per batch), then a
+    hash-partitioned kernel walks each key's cumulative counts and picks
+    rank ``max(1, ceil(q*n))`` (DuckDB ``quantile_disc``).  Null values
+    don't rank (SQL aggregate semantics); null KEYS form their own group.
+    Output rows: (key, q, value)."""
+    import math
+
+    qarr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def vc(tbl: pa.Table) -> pa.Table:
+        t = tbl.select([key, col])
+        vcol = t.column(col)
+        if vcol.null_count:
+            t = t.filter(pc.is_valid(vcol))
+        g = arrow_group_by(t, [key, col], [([], "count_all")])
+        return g.rename_columns([key, col, "_c"]).replace_schema_metadata(None)
+
+    # partition by KEY (not (key, value)) so each key's full histogram
+    # lands in one kernel call; per-batch partials above already
+    # collapsed duplicate (key, value) rows within a batch
+    parts = (
+        ds.map_batches(vc, batch_format="pyarrow")
+        .map_batches(_null_safe_part_assigner([key], num_partitions),
+                     batch_format="pyarrow")
+    )
+
+    def kern(gt: pa.Table) -> pa.Table:
+        t = gt.drop_columns(["_part"])
+        # merge duplicate (key, value) partials from different batches
+        t = arrow_group_by(t, [key, col], [("_c", "sum")])
+        t = t.rename_columns([key, col, "_c"])
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(kv, use_na_sentinel=False)
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        cnts = t.column("_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, codes))
+        codes, vals, cnts = codes[order], vals[order], cnts[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [len(codes)]])
+        out_k, out_q, out_v = [], [], []
+        for gi in range(len(starts) - 1):
+            a, b = starts[gi], starts[gi + 1]
+            cum = cnts[a:b].cumsum()
+            n = int(cum[-1])
+            ranks = np.maximum(1, np.ceil(qarr * n - 1e-9)).astype(np.int64)
+            idx = np.searchsorted(cum, ranks)
+            out_k.extend([kv[order[a]]] * len(qarr))
+            out_q.extend(qarr.tolist())
+            out_v.extend(vals[a + idx].tolist())
+        return pa.table({
+            key: pa.array(out_k, t.schema.field(key).type),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, t.schema.field(col).type),
+        })
+
+    return parts.groupby("_part").map_groups(kern, batch_format="pyarrow")
+
+
 def topk_per_key(ds: rd.Dataset, key: str, order_col: str, k: int,
                  descending: bool = True, tiebreak: str | None = None,
                  num_partitions: int = 32) -> rd.Dataset:

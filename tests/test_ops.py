@@ -134,6 +134,32 @@ def test_hash_join(ray_session):
     assert out["b"].tolist() == [20, 30]
 
 
+def test_grouped_quantiles_disc_matches_duckdb(ray_session):
+    """grouped_quantiles_disc == duckdb quantile_disc GROUP BY, with a
+    null key group, null values (ignored), heavy duplicates, and
+    block-split invariance."""
+    import duckdb
+    rng = np.random.default_rng(17)
+    n = 6000
+    keys = pd.Series(rng.integers(0, 12, n).astype(object)).map(lambda i: f"g{i}")
+    keys[rng.random(n) < 0.05] = None
+    vals = pd.Series(rng.integers(0, 40, n).astype("float64"))
+    vals[rng.random(n) < 0.03] = None
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.int64())})
+    qs = [0.25, 0.5, 0.9]
+    exp = duckdb.query_df(
+        t.to_pandas(), "df",
+        f"SELECT k, unnest({qs}) AS q, unnest(quantile_disc(v, {qs})) AS value "
+        "FROM df WHERE v IS NOT NULL GROUP BY k ORDER BY k NULLS LAST, q"
+    ).to_df()
+    for nblocks in (1, 11):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        got = relational.grouped_quantiles_disc(ds, "k", "v", qs).to_pandas()
+        got = got.sort_values(["k", "q"], na_position="last").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_topk_per_key_matches_window(ray_session):
     """topk_per_key == pandas rank-per-group (order DESC, tiebreak ASC):
     duplicate order values across block boundaries, a null key group,
