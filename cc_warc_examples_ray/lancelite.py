@@ -159,6 +159,73 @@ class LanceLiteTable:
             frags = [{"file": "", "rows": 0, "partition": partition}]
         return frags
 
+    def write_partition_files_multi(
+        self, ds, partition_col: str, partitions: list
+    ) -> dict:
+        """Write MANY partitions' fragment files from ONE ray Dataset in a
+        single streaming pass, routing each row by ``partition_col``
+        (int64).  The one-pass crawl fetch uses this: one store scan
+        serves every epoch's admits, and the output still lands in
+        per-epoch partition dirs so commits (and resume) stay per-epoch.
+
+        Workers write a parquet file per (block, partition-present-in-
+        block); only tiny fragment RECORDS flow back to the driver.
+        Nothing is committed here — call :meth:`commit_fragments` per
+        partition, in order, afterwards.  Partitions already committed
+        are excluded from the write (their rows are dropped) and absent
+        from the result.  Returns ``{partition: [frag records]}`` with an
+        empty-sentinel record for requested partitions that got no rows."""
+        import shutil
+
+        man = self.manifest()
+        have = {f["partition"] for f in man["fragments"]}
+        want = [p for p in partitions if p not in have]
+        if not want:
+            return {}
+        for p in want:  # stale files from a crashed attempt
+            sub = os.path.join(self._data, f"part-{p}")
+            if os.path.exists(sub):
+                shutil.rmtree(sub)
+        os.makedirs(self._data, exist_ok=True)
+        data_dir, want_set = self._data, set(want)
+
+        def write_blocks(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            parts = batch.column(partition_col).to_numpy(zero_copy_only=False)
+            recs: list[tuple] = []
+            for p in np.unique(parts):
+                p = int(p)
+                if p not in want_set:
+                    continue
+                sub = batch.filter(pc.equal(batch.column(partition_col), p))
+                d = os.path.join(data_dir, f"part-{p}")
+                os.makedirs(d, exist_ok=True)
+                name = f"frag-{uuid.uuid4().hex}.parquet"
+                pq.write_table(sub, os.path.join(d, name))
+                recs.append((p, os.path.join("data", f"part-{p}", name), sub.num_rows))
+            return pa.table(
+                {
+                    "partition": pa.array([r[0] for r in recs], pa.int64()),
+                    "file": pa.array([r[1] for r in recs], pa.string()),
+                    "rows": pa.array([r[2] for r in recs], pa.int64()),
+                }
+            )
+
+        rec_rows = ds.map_batches(
+            write_blocks, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        out: dict = {p: [] for p in want}
+        for r in rec_rows:
+            out[int(r["partition"])].append(
+                {"file": r["file"], "rows": int(r["rows"]), "partition": int(r["partition"])}
+            )
+        for p in want:
+            if not out[p]:  # empty partition: committed-marker sentinel
+                out[p] = [{"file": "", "rows": 0, "partition": p}]
+        return out
+
     def commit_fragments(self, frags: list[dict], metadata: dict | None = None) -> int:
         """Atomically add fragment records to the manifest (no-op when
         their partitions are already present)."""

@@ -217,6 +217,7 @@ def run_crawl(
     fail_after_epoch: int | None = None,
     concurrency: int | tuple | None = None,
     force_scan: bool | None = None,
+    one_pass: bool | None = None,
 ) -> CrawlRun:
     """Run (or resume) the crawl.  ``seeds``/``robots`` follow the
     FRONTIER_SEEDS / ROBOTS schemas; ``store_paths`` are the content
@@ -232,7 +233,22 @@ def run_crawl(
     ``force_scan`` forces the store-SCAN fetch path even for small
     stores (None = read ``$CRAWL_FORCE_SCAN``): the 100 TB dispatch
     branch, benchmarkable at fixture scale (mode parity is separately
-    pinned by tests)."""
+    pinned by tests).
+
+    ``one_pass`` (scan mode only; None = ``$CRAWL_ONE_PASS`` != "0"):
+    the flagship's frontier is STATIC — admission has no fetch→admit
+    feedback (unlike discovery) — so every epoch's admits are
+    computable up front and ONE store scan can serve them all.
+    Admission still runs per epoch in order (the seen-set defines
+    epoch order, shard checkpoints are captured per epoch), then a
+    single fetch→decode wave writes per-epoch partition files routed
+    by the ``epoch`` column, and commits apply per epoch in order —
+    the resume invariant (contiguous committed epoch prefix) is
+    unchanged.  Driver-memory bound: one-pass holds the remaining
+    epochs' admitted METADATA (~100 B/URL, no payloads); at 10^10
+    frontier scale cap the pass by splitting the run into super-passes
+    (call run_crawl per epoch range) — the per-epoch scan path below
+    remains the fallback (`one_pass=False`)."""
     import pyarrow.parquet as pq
 
     if shard_capacity is None:
@@ -251,6 +267,10 @@ def run_crawl(
     if force_scan is None:
         force_scan = os.environ.get("CRAWL_FORCE_SCAN") == "1"
     broadcast_mode = store_bytes <= BROADCAST_STORE_MAX_BYTES and not force_scan
+    if broadcast_mode:
+        one_pass = False
+    elif one_pass is None:
+        one_pass = os.environ.get("CRAWL_ONE_PASS", "1") != "0"
     decoder = DecodeValidate(min_dim=min_dim)
     nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     pool = FrontierPool(num_shards, capacity_per_shard=shard_capacity)
@@ -308,17 +328,7 @@ def run_crawl(
         executor = ThreadPoolExecutor(max_workers=2)
         inflight: list[tuple] = []
 
-        def commit_oldest():
-            # peek, pop only AFTER the commit applies: the epoch being
-            # committed must stay visible to the main loop's in-flight
-            # backpressure count (pop-first made it invisible and let a
-            # third epoch's write start)
-            epoch_, admitted_, blobs_, nums_, fut_ = inflight[0]
-            _ct = time.time()
-            frags = fut_.result()
-            if _dbg:
-                print(f"[crawl-timing] epoch {epoch_} commit: frags_wait {time.time()-_ct:.2f}s", flush=True)
-            _ct = time.time()
+        def apply_commit(epoch_, admitted_, blobs_, nums_, frags):
             run.images_out.commit_fragments(frags)
             if not frags:
                 # EMPTY epoch: register the partition explicitly (an
@@ -359,6 +369,19 @@ def run_crawl(
                 ),
                 epoch_,
             )
+
+        def commit_oldest():
+            # peek, pop only AFTER the commit applies: the epoch being
+            # committed must stay visible to the main loop's in-flight
+            # backpressure count (pop-first made it invisible and let a
+            # third epoch's write start)
+            epoch_, admitted_, blobs_, nums_, fut_ = inflight[0]
+            _ct = time.time()
+            frags = fut_.result()
+            if _dbg:
+                print(f"[crawl-timing] epoch {epoch_} commit: frags_wait {time.time()-_ct:.2f}s", flush=True)
+            _ct = time.time()
+            apply_commit(epoch_, admitted_, blobs_, nums_, frags)
             inflight.pop(0)
             if _dbg:
                 print(f"[crawl-timing] epoch {epoch_} commit: apply {time.time()-_ct:.2f}s", flush=True)
@@ -413,6 +436,78 @@ def run_crawl(
 
         _dbg = _os.environ.get("CRAWL_TIMING") == "1"
 
+        def admit_one_epoch(epoch: int) -> tuple:
+            """Sequential per-epoch admission (shared by the batch and
+            one-pass modes): canonicalized metadata → shard admit →
+            ordered admitted table with ``epoch`` + ``image_id``.
+            Returns ``(admitted, blobs, nums)``."""
+            lo, hi = bounds[epoch], bounds[epoch + 1]
+            stats_before = pool.stats()
+            cdf = canon_futs.pop(epoch).result()
+            prefetch_from(epoch + 1)
+            admitted = admit_epoch(cdf)
+            stats_after = pool.stats()
+            d_admit = sum(s["admitted"] for s in stats_after) - sum(
+                s["admitted"] for s in stats_before
+            )
+            d_dup = sum(s["rejected_dup"] for s in stats_after) - sum(
+                s["rejected_dup"] for s in stats_before
+            )
+            blobs = pool.checkpoints()  # exactly epochs <= this one
+            admitted = admitted.append_column(
+                "epoch", pa.array(np.full(admitted.num_rows, epoch, dtype=np.int64))
+            )
+            admitted = add_image_ids(admitted, store_size)
+            admitted = admitted.sort_by(
+                [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
+            ).select(list(ORDER_COLS) + ["image_id"])
+            return admitted, blobs, (hi - lo, d_admit, d_dup)
+
+        def run_one_pass():
+            """Scan-mode one-pass fetch: admit every remaining epoch in
+            order (driver holds only admitted METADATA), then ONE
+            store-scan fetch→decode wave writes all epochs' partition
+            files (routed by the ``epoch`` column), then commits apply
+            per epoch in order — same resume invariant, 1/num_epochs
+            the store-read I/O of the per-epoch scan path."""
+            end_epoch = num_epochs
+            if fail_after_epoch is not None:
+                # batch-mode parity: at least one epoch is processed
+                # before the injected failure fires
+                end_epoch = min(num_epochs, max(fail_after_epoch, start_epoch) + 1)
+            pending: list[tuple] = []
+            for epoch in range(start_epoch, end_epoch):
+                lo, hi = bounds[epoch], bounds[epoch + 1]
+                if hi <= lo:
+                    pending.append((epoch, pa.table({}), pool.checkpoints(), (0, 0, 0)))
+                    continue
+                _t = time.time()
+                admitted, blobs, nums = admit_one_epoch(epoch)
+                if _dbg:
+                    print(f"[crawl-timing] epoch {epoch} admit(one-pass) {time.time()-_t:.2f}s", flush=True)
+                pending.append((epoch, admitted, blobs, nums))
+            union = [t for (_, t, _, _) in pending if t.num_rows]
+            frags_by: dict = {}
+            if union:
+                u = pa.concat_tables(union).combine_chunks()
+                _t = time.time()
+                vds = fetch_scan_store(
+                    store_paths, u, num_blocks=nblocks
+                ).map_batches(
+                    decoder, batch_format="pyarrow", batch_size=256,
+                    concurrency=decode_cap,
+                )
+                frags_by = run.images_out.write_partition_files_multi(
+                    vds, "epoch", [e for (e, _, _, _) in pending]
+                )
+                if _dbg:
+                    print(f"[crawl-timing] one-pass fetch+decode+write {time.time()-_t:.2f}s", flush=True)
+            for (epoch_, admitted_, blobs_, nums_) in pending:
+                apply_commit(epoch_, admitted_, blobs_, nums_, frags_by.get(epoch_, []))
+            if (fail_after_epoch is not None and end_epoch > start_epoch
+                    and end_epoch - 1 >= fail_after_epoch):
+                raise RuntimeError(f"injected failure after epoch {end_epoch - 1}")
+
         prefetch_from(start_epoch)
         # shard-state restore + robots install run WHILE the first epoch
         # canonicalizes on the prefetch thread (the cold wave used to
@@ -427,7 +522,9 @@ def run_crawl(
         # a 10^5-host robots table)
         pool.set_robots(delays, dict(zip(hs, (int(v) for v in xxh64_many(hs)))) if hs else {})
         try:
-            for epoch in range(start_epoch, num_epochs):
+            if one_pass:
+                run_one_pass()
+            for epoch in range(start_epoch, num_epochs) if not one_pass else ():
                 lo, hi = bounds[epoch], bounds[epoch + 1]
                 if hi <= lo:
                     # empty epochs still commit (state marker + empty
@@ -443,35 +540,10 @@ def run_crawl(
                     if commit_err:
                         raise commit_err[0]
                     continue
-                stats_before = pool.stats()
                 _t = time.time()
-                cdf = canon_futs.pop(epoch).result()
+                admitted, blobs, (_, d_admit, d_dup) = admit_one_epoch(epoch)
                 if _dbg:
-                    print(f"[crawl-timing] epoch {epoch} canon_wait {time.time()-_t:.2f}s", flush=True)
-                prefetch_from(epoch + 1)
-                _t = time.time()
-                admitted = admit_epoch(cdf)
-                if _dbg:
-                    print(f"[crawl-timing] epoch {epoch} admit {time.time()-_t:.2f}s", flush=True)
-                stats_after = pool.stats()
-                d_admit = sum(s["admitted"] for s in stats_after) - sum(
-                    s["admitted"] for s in stats_before
-                )
-                d_dup = sum(s["rejected_dup"] for s in stats_after) - sum(
-                    s["rejected_dup"] for s in stats_before
-                )
-                blobs = pool.checkpoints()  # exactly epochs <= this one
-
-                _t = time.time()
-                admitted = admitted.append_column(
-                    "epoch", pa.array(np.full(admitted.num_rows, epoch, dtype=np.int64))
-                )
-                admitted = add_image_ids(admitted, store_size)
-                admitted = admitted.sort_by(
-                    [("fetch_time_ms", "ascending"), ("seed_rank", "ascending")]
-                ).select(list(ORDER_COLS) + ["image_id"])
-                if _dbg:
-                    print(f"[crawl-timing] epoch {epoch} order_prep {time.time()-_t:.2f}s", flush=True)
+                    print(f"[crawl-timing] epoch {epoch} admit+order_prep {time.time()-_t:.2f}s", flush=True)
 
                 _t = time.time()
                 vds = build_validated_ds(admitted)

@@ -296,6 +296,24 @@ def _pruned_scan_dataset(
     return rd.from_arrow_refs(keep)
 
 
+def _fanout_batch_size(n_admitted: int, n_store_rows: int) -> int | None:
+    """Task-granularity bound for the scan-mode fetch: Ray bundles map
+    inputs by BYTES and cannot see the semi-join fan-out, so a frontier
+    much larger than the store (fixture scale: 155k admits over a 500-row
+    store) collapses the whole fetch→decode wave onto 1-2 tasks, each
+    expanding and decoding ~80k rows serially (measured 85 s).  Returning
+    a ``batch_size`` (= min rows per task bundle) of
+    ``MAX_FETCH_ROWS_PER_BLOCK / fan-out`` store rows keeps each task's
+    OUTPUT near the measured-flat 4096-row regime.  In the store-driven
+    regime (fan-out ≤ 1 — the 100 TB shape, store ≫ frontier) return
+    None: byte-based bundling already tracks payload size there, and a
+    row floor could fuse several payload-heavy blocks into one task."""
+    if n_store_rows <= 0 or n_admitted <= n_store_rows:
+        return None
+    fanout = n_admitted / n_store_rows
+    return max(16, min(4096, int(MAX_FETCH_ROWS_PER_BLOCK / fanout)))
+
+
 def fetch_scan_store(
     store_paths: list[str], admitted: pa.Table, num_blocks: int | None = None,
     reuse_store: bool = False,
@@ -333,7 +351,16 @@ def fetch_scan_store(
         )
     else:
         ds = _scan_store_dataset(store_paths, num_blocks, reuse_store)
-    out = ds.map_batches(fetch, batch_format="pyarrow")
+    bs = _fanout_batch_size(
+        admitted.num_rows, len(_store_id_column(tuple(store_paths), "image_id"))
+    )
+    # In the fan-out regime, also BLOCK operator fusion with the
+    # downstream decode: fusion takes max(min_rows_per_bundle) across the
+    # chain, so decode's batch_size (expanded-row units) would override
+    # the store-row bundle bound right back to 1-2 tasks.  An (empty)
+    # ray_remote_args_fn is the public no-fusion knob.
+    kw = dict(ray_remote_args_fn=dict) if bs is not None else {}
+    out = ds.map_batches(fetch, batch_format="pyarrow", batch_size=bs, **kw)
 
     if admitted.num_rows:
         store_ids = _store_id_column(tuple(store_paths), "image_id")
@@ -392,7 +419,11 @@ def fetch_scan_keyed(
         )
     else:
         ds = _scan_store_dataset(store_paths, num_blocks, reuse_store)
-    return ds.map_batches(fetch, batch_format="pyarrow")
+    bs = _fanout_batch_size(
+        admitted.num_rows, len(_store_id_column(tuple(store_paths), store_key))
+    )
+    kw = dict(ray_remote_args_fn=dict) if bs is not None else {}  # see fetch_scan_store
+    return ds.map_batches(fetch, batch_format="pyarrow", batch_size=bs, **kw)
 
 
 # driver-side cache of the broadcast store's object ref, keyed by

@@ -176,3 +176,35 @@ def test_epoch_loop_failure_drains_committer(ray_session, tmp_path, monkeypatch)
     # epoch 0 was in flight when the loop raised; the finally-drain must
     # have committed it (images + state), so a resume starts at epoch 1
     assert cp.CrawlRun(out).resume_epoch() == 1
+
+
+def test_crawl_one_pass_scan_kill_resume(ray_session, store, fixtures, tmp_path):
+    """Scan-mode ONE-PASS fetch (one store scan serves every epoch):
+    kill after epoch 1 commits exactly epochs 0-1; the resumed run's
+    tables are bit-identical to broadcast mode's; and the per-epoch
+    scan path (one_pass=False) agrees too — fetch strategy is an
+    execution knob, never semantics."""
+    from cc_warc_examples_ray.pipelines.crawl import CrawlRun
+
+    seeds, robots = fixtures
+    kw = dict(num_shards=2, num_epochs=4, store_size=N_IMAGES, concurrency=(1, 2))
+    ref = run_crawl(seeds, robots, store.fragment_paths(), str(tmp_path / "ref"), **kw)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_crawl(seeds, robots, store.fragment_paths(), str(tmp_path / "op"),
+                  force_scan=True, fail_after_epoch=1, **kw)
+    assert CrawlRun(str(tmp_path / "op")).resume_epoch() == 2  # epochs 0-1 committed
+    resumed = run_crawl(seeds, robots, store.fragment_paths(), str(tmp_path / "op"),
+                        force_scan=True, **kw)
+    assert resumed.resume_epoch() == 4
+    per_epoch = run_crawl(seeds, robots, store.fragment_paths(), str(tmp_path / "pe"),
+                          force_scan=True, one_pass=False, **kw)
+
+    ia = ref.images_out.to_table().sort_by("image_id")
+    for other in (resumed, per_epoch):
+        a, b = ref.order_table(), other.order_table()
+        assert a.column("url_hash").to_pylist() == b.column("url_hash").to_pylist()
+        assert a.column("fetch_time_ms").to_pylist() == b.column("fetch_time_ms").to_pylist()
+        ib = other.images_out.to_table().sort_by("image_id")
+        assert ia.column("image_id").to_pylist() == ib.column("image_id").to_pylist()
+        assert ia.column("valid").to_pylist() == ib.column("valid").to_pylist()

@@ -101,3 +101,36 @@ def test_write_ray_partitioned_never_deletes_committed(tmp_path, ray_session):
     got = sorted(t2.to_table().column("v").to_pylist())
     assert got == [1, 2, 3, 4]  # partition 1 kept writer 1's rows
     assert t2.completed_partitions() == {0, 1, 2}
+
+
+def test_write_partition_files_multi(tmp_path, ray_session):
+    """One streaming pass routes rows to per-partition fragment dirs;
+    already-committed partitions are excluded; empty requested
+    partitions get a committed-marker sentinel."""
+    import ray.data as rd
+
+    from cc_warc_examples_ray import lancelite
+
+    t = lancelite.LanceLiteTable(str(tmp_path / "t"))
+    pre = pa.table({"epoch": pa.array([1, 1], pa.int64()),
+                    "v": pa.array([100, 101], pa.int64())})
+    t.append_partition(pre, 1)  # partition 1 already committed
+
+    src = pa.table({
+        "epoch": pa.array([0, 0, 2, 1, 0], pa.int64()),
+        "v": pa.array([10, 11, 20, 999, 12], pa.int64()),
+    })
+    ds = rd.from_arrow([src.slice(0, 3), src.slice(3, 2)])
+    frags_by = t.write_partition_files_multi(ds, "epoch", [0, 1, 2, 3])
+    # committed partition 1 excluded; its rows dropped, not rewritten
+    assert set(frags_by) == {0, 2, 3}
+    for p in (0, 2):
+        t.commit_fragments(frags_by[p])
+    t.commit_fragments(frags_by[3])
+    assert t.completed_partitions() == {0, 1, 2, 3}
+    assert sorted(t.partition_table(0).column("v").to_pylist()) == [10, 11, 12]
+    assert t.partition_table(2).column("v").to_pylist() == [20]
+    assert t.partition_table(1).column("v").to_pylist() == [100, 101]  # untouched
+    assert t.partition_table(3).num_rows == 0  # empty sentinel
+    # a second multi-write over everything is a full no-op
+    assert t.write_partition_files_multi(ds, "epoch", [0, 1, 2, 3]) == {}
