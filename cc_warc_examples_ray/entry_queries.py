@@ -1660,6 +1660,71 @@ FROM r ORDER BY doc_id
 """.replace("{en_stop}", ", ".join(f"'{w}'" for w in sorted(text.LANG_PROFILES["en"])))
 
 
+def q_repetition_scores(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        lambda t: text.repetition_scores(t), batch_format="pyarrow"
+    ).to_pandas()
+    for c in ("dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac"):
+        out[c] = _r5(out[c])
+    return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
+
+
+# Mirrors ops/text.py repetition_scores: non-empty-line duplicate
+# fractions (exact integer counts, one double division each) and the
+# most-frequent word bigram's character coverage (ties: smallest bigram,
+# both sides codepoint-ascending on ASCII \w+ words).
+SQL_REPETITION_SCORES = """
+WITH nel AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+ne AS (SELECT doc_id, line FROM nel WHERE length(line) > 0),
+lstats AS (
+  SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct,
+         sum(length(line))::BIGINT AS chars_all
+  FROM ne GROUP BY 1
+),
+dstats AS (
+  SELECT doc_id, sum(length(line))::BIGINT AS chars_first
+  FROM (SELECT DISTINCT doc_id, line FROM ne) GROUP BY 1
+),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\w+')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(text), '\\w+'), 1) AS i
+  FROM documents
+),
+wchars AS (
+  SELECT doc_id, count(*) AS nw, sum(length(tok))::BIGINT AS total_chars
+  FROM toks GROUP BY 1
+),
+bigrams AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+  FROM toks
+),
+btop AS (
+  SELECT doc_id, bg, count(*) AS c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, bg ASC) AS rn
+  FROM bigrams WHERE bg IS NOT NULL GROUP BY doc_id, bg
+)
+SELECT d.doc_id,
+  floor(coalesce((l.n_lines - l.n_distinct)::DOUBLE / l.n_lines, 0.0)
+        * 100000 + 0.5) / 100000 AS dup_line_frac,
+  floor(coalesce((l.chars_all - ds.chars_first)::DOUBLE / nullif(l.chars_all, 0), 0.0)
+        * 100000 + 0.5) / 100000 AS dup_line_char_frac,
+  floor(CASE WHEN w.nw >= 2 AND w.total_chars > 0
+             THEN b.c * (length(b.bg) - 1)::DOUBLE / w.total_chars
+             ELSE 0.0 END * 100000 + 0.5) / 100000 AS top_bigram_char_frac
+FROM documents d
+LEFT JOIN lstats l ON l.doc_id = d.doc_id
+LEFT JOIN dstats ds ON ds.doc_id = d.doc_id
+LEFT JOIN wchars w ON w.doc_id = d.doc_id
+LEFT JOIN btop b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+"""
+
+
 def q_text_prep(sf_dir: str) -> pd.DataFrame:
     """End-to-end training-data prep as ONE streaming pipeline —
     language ID → quality gate (en AND raw quality >= 0.5; margin to
@@ -2385,6 +2450,7 @@ QUERIES = {
     "phash_groups": q_phash_groups,
     "langid": q_langid,
     "quality_scores": q_quality_scores,
+    "repetition_scores": q_repetition_scores,
     "fingerprint": q_fingerprint,
     "ngram_scores": q_ngram_scores,
     "text_prep": q_text_prep,
@@ -2439,6 +2505,7 @@ ORACLES = {
     "phash_groups": SQL_PHASH_GROUPS,
     "langid": SQL_LANGID,
     "quality_scores": SQL_QUALITY_SCORES,
+    "repetition_scores": SQL_REPETITION_SCORES,
     "fingerprint": SQL_FINGERPRINT,
     "ngram_scores": SQL_NGRAM_SCORES,
     "text_prep": SQL_TEXT_PREP,

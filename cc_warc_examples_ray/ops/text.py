@@ -159,6 +159,71 @@ def fingerprint(tbl: pa.Table, text_col: str = "text", window: int = 8,
     )
 
 
+def repetition_scores(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    "Scaling Language Models", table A1 family — public):
+
+    - ``dup_line_frac``: fraction of non-empty lines that are duplicates
+      of another occurrence of the same line;
+    - ``dup_line_char_frac``: fraction of non-empty-line characters that
+      sit in those duplicate occurrences;
+    - ``top_bigram_char_frac``: fraction of word characters covered by
+      occurrences of the most frequent word bigram (count ties broken by
+      lexicographically smallest bigram).
+
+    The line metrics are one vectorized kernel over the whole batch:
+    Arrow ``split_pattern`` → flattened values + parent indices →
+    ``xxh64`` per line → one lexsort by (doc, hash) → run-head masks +
+    ``bincount`` folds.  No per-line python, no per-doc split loop."""
+    # single Array: list_parent_indices must index one offsets base
+    text_arr = pc.fill_null(tbl.column(text_col), "").combine_chunks()
+    lines = pc.split_pattern(text_arr, pattern="\n")
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    vals = pc.list_flatten(lines)
+    lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = lens > 0  # empty lines (blank separators) carry no signal
+    n = tbl.num_rows
+    parents, lens = parents[keep], lens[keep]
+    dup_line_frac = np.zeros(n, np.float64)
+    dup_line_char_frac = np.zeros(n, np.float64)
+    if len(parents):
+        h = xxh64_many(vals.filter(pa.array(keep)))
+        order = np.lexsort((h, parents))
+        p, hh, ll = parents[order], h[order], lens[order]
+        first = np.concatenate([[True], (p[1:] != p[:-1]) | (hh[1:] != hh[:-1])])
+        n_lines = np.bincount(p, minlength=n)
+        n_distinct = np.bincount(p[first], minlength=n)
+        chars_all = np.bincount(p, weights=ll, minlength=n)
+        chars_first = np.bincount(p[first], weights=ll[first], minlength=n)
+        nz = n_lines > 0
+        dup_line_frac[nz] = (n_lines[nz] - n_distinct[nz]) / n_lines[nz]
+        cz = chars_all > 0
+        dup_line_char_frac[cz] = (chars_all[cz] - chars_first[cz]) / chars_all[cz]
+    # word bigrams are inherently per-doc sequences; counting is numpy
+    # (np.unique sorts, so argmax lands on the smallest bigram among ties)
+    texts = tbl.column(text_col).to_pylist()
+    top_bigram_char_frac = np.zeros(n, np.float64)
+    for i, t in enumerate(texts):
+        words = _WORD_RE.findall((t or "").lower())
+        total_chars = sum(map(len, words))
+        if len(words) < 2 or not total_chars:
+            continue
+        grams = np.array([f"{words[j]} {words[j + 1]}" for j in range(len(words) - 1)])
+        uniq, cnt = np.unique(grams, return_counts=True)
+        k = int(np.argmax(cnt))
+        # chars covered = occurrences x chars of the two words (the
+        # joining space is presentation, not document characters)
+        top_bigram_char_frac[i] = cnt[k] * (len(uniq[k]) - 1) / total_chars
+    out = tbl
+    for name, arr in [
+        ("dup_line_frac", dup_line_frac),
+        ("dup_line_char_frac", dup_line_char_frac),
+        ("top_bigram_char_frac", top_bigram_char_frac),
+    ]:
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
 def char_ngrams(text: str, lo: int = 3, hi: int = 5) -> list[str]:
     """Char n-grams of a cleaned string (sizes lo..hi) — the Lucene
     ``NGramTokenizer`` semantics of `NGramAnalyzer.java:105-122` with the

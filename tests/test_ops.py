@@ -85,6 +85,30 @@ def test_quality_scores_non_ascii():
     assert out.loc[0, "n_chars_text"] == len("naïve café prose située ailleurs")
 
 
+def test_repetition_scores_handcrafted():
+    """Gopher-style repetition metrics against hand-computed values,
+    chunk-boundary stable (the line kernel folds flattened list values
+    by parent index — a wrong offset base would shift every doc)."""
+    t = pa.table({"doc_id": ["a", "b", "c", "d"], "text": [
+        "hello world\nhello world\nbye",   # 1 dup line of 3
+        "x y x y x y x y",                 # bigram 'x y' covers all chars
+        "",                                # degenerate
+        "one\n\ntwo\nthree",               # blank line must not count
+    ]})
+    for tab in (t, pa.Table.from_batches(t.to_batches(max_chunksize=2))):
+        out = text.repetition_scores(tab).to_pandas().set_index("doc_id")
+        assert out.loc["a", "dup_line_frac"] == pytest.approx(1 / 3)
+        assert out.loc["a", "dup_line_char_frac"] == pytest.approx(11 / 25)
+        # 'hello world' x2 occurrences x 10 chars over 23 word chars
+        assert out.loc["a", "top_bigram_char_frac"] == pytest.approx(20 / 23)
+        assert out.loc["b", "top_bigram_char_frac"] == 1.0
+        metrics = ["dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac"]
+        assert (out.loc["c", metrics] == 0.0).all()
+        assert out.loc["d", "dup_line_frac"] == 0.0
+        # tie between 'one two' and 'two three' -> smallest bigram wins
+        assert out.loc["d", "top_bigram_char_frac"] == pytest.approx(6 / 11)
+
+
 def test_pair_components_raises_when_unconverged(ray_session):
     """Exhausting max_iters must raise, never silently return wrong
     labels (a chain far longer than max_iters rounds can cover, even
