@@ -1725,6 +1725,51 @@ ORDER BY d.doc_id
 """
 
 
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (n-gram overlap): the 'benchmark' side
+    is a deterministic 10% slice of the corpus (doc_id % 20 < 2) so the
+    oracle can re-derive it; n=3 keeps overlap non-degenerate on the
+    synthetic vocabulary.  Index built distributed (per-batch distinct
+    hash partials), broadcast once, probed per batch."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 < 2))
+
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    out = text.decontaminate(docs, bench, n=3).to_pandas()
+    return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
+
+
+# Mirrors ops/text.py decontaminate at n=3: per-doc DISTINCT word
+# 3-grams (lowercased \w+ words, space-joined), membership against the
+# union of the benchmark slice's grams (string equality here; the Ray
+# side probes xxh64 hashes — collision-free at fixture scale).
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 20 < 2),
+stats AS (
+  SELECT dg.doc_id, count(*) AS n_ngrams, count(b.g) AS n_hits
+  FROM dg LEFT JOIN bench b ON b.g = dg.g GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_ngrams, 0) AS n_ngrams,
+       coalesce(s.n_hits, 0) AS n_hits,
+       coalesce(s.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_text_prep(sf_dir: str) -> pd.DataFrame:
     """End-to-end training-data prep as ONE streaming pipeline —
     language ID → quality gate (en AND raw quality >= 0.5; margin to
@@ -2451,6 +2496,7 @@ QUERIES = {
     "langid": q_langid,
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
+    "decontaminate": q_decontaminate,
     "fingerprint": q_fingerprint,
     "ngram_scores": q_ngram_scores,
     "text_prep": q_text_prep,
@@ -2506,6 +2552,7 @@ ORACLES = {
     "langid": SQL_LANGID,
     "quality_scores": SQL_QUALITY_SCORES,
     "repetition_scores": SQL_REPETITION_SCORES,
+    "decontaminate": SQL_DECONTAMINATE,
     "fingerprint": SQL_FINGERPRINT,
     "ngram_scores": SQL_NGRAM_SCORES,
     "text_prep": SQL_TEXT_PREP,

@@ -224,6 +224,114 @@ def repetition_scores(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def _word_ngram_flat(texts: list, n: int) -> tuple[list[str], np.ndarray]:
+    """Flatten every doc's word ``n``-grams (space-joined, lowercased
+    ``\\w+`` words) into ONE list + parent-doc index array, so hashing is
+    a single vectorized :func:`xxh64_many` call per batch."""
+    grams: list[str] = []
+    parents: list[int] = []
+    for i, t in enumerate(texts):
+        words = _WORD_RE.findall((t or "").lower())
+        m = len(words) - n + 1
+        if m <= 0:
+            continue
+        grams.extend(" ".join(words[j : j + n]) for j in range(m))
+        parents.extend([i] * m)
+    return grams, np.asarray(parents, dtype=np.int64)
+
+
+def contamination_hash_partials(tbl: pa.Table, n: int = 8,
+                                text_col: str = "text") -> pa.Table:
+    """Per-batch DISTINCT word-n-gram hashes of the benchmark side —
+    the combiner half of building a decontamination index.  Output is a
+    one-column table ``h`` (int64 view of xxh64) whose union across
+    batches the driver folds with ``np.unique``.  Shuffle/driver traffic
+    is hashes only, never benchmark text."""
+    grams, _ = _word_ngram_flat(tbl.column(text_col).to_pylist(), n)
+    h = np.unique(xxh64_many(grams).view(np.int64)) if grams else np.array([], np.int64)
+    return pa.table({"h": pa.array(h, pa.int64())})
+
+
+def contamination_index(bench: rd.Dataset, n: int = 8,
+                        text_col: str = "text") -> np.ndarray:
+    """Build the benchmark n-gram index: distributed per-batch distinct
+    hash partials, one driver ``np.unique`` fold → SORTED int64 array.
+    The benchmark side is small by definition (a test/eval set), so the
+    index is the classic broadcast small side: ``ray.put`` it once and
+    probe it inside every :func:`contamination_scores` batch — no
+    shuffle join against the 100 TB corpus."""
+    parts = bench.map_batches(
+        lambda t: contamination_hash_partials(t, n=n, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    chunks = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in parts.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not chunks:
+        return np.array([], np.int64)
+    return np.unique(np.concatenate(chunks))
+
+
+def contamination_scores(tbl: pa.Table, bench_sorted: np.ndarray, n: int = 8,
+                         text_col: str = "text") -> pa.Table:
+    """Benchmark-decontamination scores (the GPT-3/Gopher n-gram overlap
+    rule — Brown et al. 2020 appx C family, public): per document, the
+    number of DISTINCT word n-grams, how many of them appear in the
+    benchmark index, and a ``contaminated`` flag (any hit).
+
+    ``bench_sorted`` is the sorted int64 hash array from
+    :func:`contamination_index` (pass the ``ray.get`` of a broadcast
+    ref).  Vectorized: one hash call over the whole batch's grams, one
+    lexsort for per-doc distinct, one ``np.searchsorted`` membership
+    probe, two ``bincount`` folds.  Hash membership (not string) — an
+    xxh64 collision against the index is ~1e-13 per distinct gram at a
+    10M-ngram benchmark; acceptable for a removal filter."""
+    texts = tbl.column(text_col).to_pylist()
+    nrows = tbl.num_rows
+    n_ngrams = np.zeros(nrows, np.int64)
+    n_hits = np.zeros(nrows, np.int64)
+    grams, parents = _word_ngram_flat(texts, n)
+    if grams:
+        h = xxh64_many(grams).view(np.int64)
+        order = np.lexsort((h, parents))
+        p, hh = parents[order], h[order]
+        first = np.concatenate([[True], (p[1:] != p[:-1]) | (hh[1:] != hh[:-1])])
+        pu, hu = p[first], hh[first]
+        n_ngrams = np.bincount(pu, minlength=nrows)
+        if len(bench_sorted):
+            pos = np.searchsorted(bench_sorted, hu)
+            pos[pos == len(bench_sorted)] = 0
+            hit = bench_sorted[pos] == hu
+            n_hits = np.bincount(pu[hit], minlength=nrows)
+    return (
+        tbl.append_column("n_ngrams", pa.array(n_ngrams, pa.int64()))
+        .append_column("n_hits", pa.array(n_hits, pa.int64()))
+        .append_column("contaminated", pa.array(n_hits > 0))
+    )
+
+
+def decontaminate(docs: rd.Dataset, bench: rd.Dataset, n: int = 8,
+                  text_col: str = "text", drop: bool = False) -> rd.Dataset:
+    """End-to-end benchmark decontamination over a corpus Dataset:
+    build the benchmark index (small side), broadcast it once, score
+    every document; ``drop=True`` filters contaminated rows out instead
+    of annotating.  The corpus streams — only hashes and the per-row
+    score columns are added."""
+    import ray
+
+    idx_ref = ray.put(contamination_index(bench, n=n, text_col=text_col))
+
+    def score(t: pa.Table) -> pa.Table:
+        out = contamination_scores(t, ray.get(idx_ref), n=n, text_col=text_col)
+        if drop:
+            out = out.filter(pc.invert(out.column("contaminated").combine_chunks()))
+        return out
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def char_ngrams(text: str, lo: int = 3, hi: int = 5) -> list[str]:
     """Char n-grams of a cleaned string (sizes lo..hi) — the Lucene
     ``NGramTokenizer`` semantics of `NGramAnalyzer.java:105-122` with the

@@ -109,6 +109,36 @@ def test_repetition_scores_handcrafted():
         assert out.loc["d", "top_bigram_char_frac"] == pytest.approx(6 / 11)
 
 
+def test_decontaminate_handcrafted(ray_session):
+    """Benchmark n-gram decontamination: hand-computed hit counts, drop
+    mode, and the no-benchmark edge (empty index ⇒ nothing flagged)."""
+    import ray.data as rd
+
+    docs = pa.table({"doc_id": [0, 1, 2, 3], "text": [
+        "the quick brown fox jumps",    # shares 'the quick brown' w/ bench
+        "a totally different sentence here",
+        "quick brown fox",              # exactly one bench 3-gram
+        "xy",                           # < 3 words -> zero ngrams
+    ]})
+    bench = pa.table({"doc_id": [100], "text": ["the quick brown fox"]})
+    out = text.decontaminate(
+        rd.from_arrow(docs), rd.from_arrow(bench), n=3
+    ).to_pandas().set_index("doc_id").sort_index()
+    # bench grams: {'the quick brown', 'quick brown fox'}
+    assert out["n_ngrams"].tolist() == [3, 3, 1, 0]
+    assert out["n_hits"].tolist() == [2, 0, 1, 0]
+    assert out["contaminated"].tolist() == [True, False, True, False]
+    kept = text.decontaminate(
+        rd.from_arrow(docs), rd.from_arrow(bench), n=3, drop=True
+    ).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [1, 3]
+    # empty benchmark: index is empty, nothing contaminated
+    none = text.decontaminate(
+        rd.from_arrow(docs), rd.from_arrow(bench.slice(0, 0)), n=3
+    ).to_pandas()
+    assert not none["contaminated"].any()
+
+
 def test_pair_components_raises_when_unconverged(ray_session):
     """Exhausting max_iters must raise, never silently return wrong
     labels (a chain far longer than max_iters rounds can cover, even
