@@ -2254,6 +2254,106 @@ ORDER BY lang, n_chars DESC, doc_id
 """
 
 
+_KMEANS_FIXTURE = "/tmp/ccwarc_kmeans_centroids.parquet"
+
+
+def _ensure_kmeans_fixture() -> str:
+    """L2 (non-spherical) k-means centroids (cluster_id, vec) trained
+    ONCE on the fixed sf0.001 embeddings — the init point both sides of
+    the kmeans_refine oracle share.  Race-safe pure function."""
+    if not os.path.exists(_KMEANS_FIXTURE):
+        emb = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
+                            columns=["embedding"])
+        mat = np.asarray(emb.column("embedding").to_pylist()[:2000], dtype=np.float64)
+        cent = ann.kmeans_l2(mat, n_centroids=8, iters=5, seed=13)
+        t = pa.table({
+            "cluster_id": pa.array(np.arange(len(cent), dtype=np.int64)),
+            "vec": pa.array([row.tolist() for row in cent], pa.list_(pa.float64())),
+        })
+        tmp = f"{_KMEANS_FIXTURE}.{os.getpid()}.tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _KMEANS_FIXTURE)
+    return _KMEANS_FIXTURE
+
+
+def q_kmeans_refine(sf_dir: str) -> pd.DataFrame:
+    """One distributed Lloyd refinement step over the whole embeddings
+    table (ann.kmeans_lloyd): squared-L2 assignment to the fixture
+    centroids, exact per-cluster mean update via per-batch (cluster,
+    count, sum) partials — the oracle re-derives assignment and means in
+    SQL.  Long-form output (cluster_id, dim, n_members, c_r)."""
+    cent = np.asarray(
+        pq.read_table(_ensure_kmeans_fixture()).column("vec").to_pylist(),
+        dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    new, counts = ann.kmeans_lloyd(ds, cent, iters=1, return_counts=True)
+    rows = []
+    for c in np.flatnonzero(counts > 0):
+        for d in range(new.shape[1]):
+            rows.append((int(c), d + 1, int(counts[c]), new[c, d]))
+    out = pd.DataFrame(rows, columns=["cluster_id", "dim", "n_members", "c_r"])
+    out["c_r"] = _r5(out["c_r"])
+    return out.sort_values(["cluster_id", "dim"]).reset_index(drop=True)
+
+
+SQL_KMEANS_REFINE = f"""
+WITH cent AS (SELECT cluster_id, vec FROM read_parquet('{_KMEANS_FIXTURE}')),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+assign AS (
+  SELECT vec_id, cluster_id, v FROM (
+    SELECT e.vec_id, c.cluster_id, e.v,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.vec) ASC, c.cluster_id
+           ) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+un AS (SELECT cluster_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+       FROM assign)
+SELECT cluster_id, dim::BIGINT AS dim, count(*)::BIGINT AS n_members,
+       floor(avg(x) * 100000 + 0.5) / 100000 AS c_r
+FROM un GROUP BY cluster_id, dim
+ORDER BY cluster_id, dim
+"""
+
+
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDedup keep/drop decisions over the embeddings table: spherical
+    assignment to the IVF fixture centroids, within-cluster keep-first
+    pruning at cosine >= 0.35 (dedup.semdedup_keep)."""
+    cent_t = pq.read_table(_ensure_ivf_fixture())
+    cent = np.asarray(cent_t.column("vec").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = dedup.semdedup_keep(ds, cent, threshold=0.35).to_pandas()
+    return out[["vec_id", "cluster", "kept"]].sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_SEMDEDUP = f"""
+WITH cent AS (SELECT list_id, vec FROM read_parquet('{_IVF_FIXTURE}')),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+assign AS (
+  SELECT vec_id, list_id AS cluster, v FROM (
+    SELECT e.vec_id, c.list_id, e.v,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.vec) DESC, c.list_id
+           ) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.cluster,
+       NOT EXISTS (
+         SELECT 1 FROM assign b
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND list_cosine_similarity(a.v, b.v) >= 0.35
+       ) AS kept
+FROM assign a ORDER BY a.vec_id
+"""
+
+
 def q_lang_char_quantiles(sf_dir: str) -> pd.DataFrame:
     """Per-language n_chars quantiles via the grouped discrete-quantile
     operator (one (key,value)-histogram shuffle, per-key rank pick)."""
@@ -2505,6 +2605,8 @@ QUERIES = {
     "crawl_streaming": q_crawl_streaming,
     "discovery_crawl": q_discovery_crawl,
     "ivf_ann": q_ivf_ann,
+    "kmeans_refine": q_kmeans_refine,
+    "semdedup": q_semdedup,
     "lsh_ann": q_lsh_ann,
     "pq_ann": q_pq_ann,
     "price_quantiles": q_price_quantiles,
@@ -2557,6 +2659,8 @@ ORACLES = {
     "ngram_scores": SQL_NGRAM_SCORES,
     "text_prep": SQL_TEXT_PREP,
     "ivf_ann": SQL_IVF_ANN,
+    "kmeans_refine": SQL_KMEANS_REFINE,
+    "semdedup": SQL_SEMDEDUP,
     "pq_ann": SQL_PQ_ANN,
     "price_quantiles": SQL_PRICE_QUANTILES,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
@@ -2576,6 +2680,7 @@ def oracles_impl() -> dict[str, str]:
     _ensure_warc_fixture()
     _ensure_phash_fixture()
     _ensure_ivf_fixture()
+    _ensure_kmeans_fixture()
     _ensure_lsh_fixture()
     _ensure_frontier_fixture()
     _ensure_weights_fixture()

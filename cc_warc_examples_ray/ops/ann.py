@@ -205,6 +205,67 @@ def train_centroids(ds: rd.Dataset, n_centroids: int, emb_col: str = "embedding"
                             n_centroids, iters=iters, seed=seed)
 
 
+def kmeans_lloyd(ds: rd.Dataset, init: np.ndarray, iters: int = 1,
+                 emb_col: str = "embedding", return_counts: bool = False):
+    """Distributed EXACT Lloyd k-means over the whole Dataset (contrast
+    :func:`train_centroids`, which trains on a driver-side sample).
+    Each iteration is ONE streaming pass: every batch assigns rows to
+    the broadcast centroids (squared-L2 argmin, ties to the lowest
+    cluster id — :func:`kmeans_l2` semantics) and emits at most k
+    partial rows ``(cluster, cnt, per-dim sum)``; the driver folds
+    k×blocks partial rows, never the corpus.  Empty clusters keep their
+    previous centroid.  Determinism: partials are folded in block order,
+    so a fixed block split reproduces bit-identical centroids; across
+    different splits float64 summation order may differ by ulps (pinned
+    against the single-process :func:`kmeans_l2` loop in pytest)."""
+    cent = np.asarray(init, dtype=np.float64).copy()
+    k, d = cent.shape
+    counts = np.zeros(k, dtype=np.int64)
+    empty = pa.table({
+        "cluster": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()),
+        "s": pa.array([], pa.list_(pa.float64())),
+    })
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(pc.is_valid(tbl.column(emb_col)))
+            if tbl.num_rows == 0:
+                return empty
+            c = ray.get(ref)
+            mat = _as_matrix(tbl.column(emb_col)).astype(np.float64)
+            xx = (mat * mat).sum(axis=1)[:, None]
+            cc = (c * c).sum(axis=1)[None, :]
+            a = np.argmin(xx - 2.0 * (mat @ c.T) + cc, axis=1)
+            order = np.argsort(a, kind="stable")
+            asort = a[order]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(asort)) + 1])
+            sums = np.add.reduceat(mat[order], starts, axis=0)
+            cnts = np.diff(np.concatenate([starts, [len(asort)]]))
+            return pa.table({
+                "cluster": pa.array(asort[starts], pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+        tot = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if not b.num_rows:
+                continue
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            np.add.at(counts, cl, b.column("cnt").to_numpy(zero_copy_only=False))
+            np.add.at(tot, cl, np.asarray(b.column("s").to_pylist(), dtype=np.float64))
+        nz = counts > 0
+        cent[nz] = tot[nz] / counts[nz, None]
+    return (cent, counts) if return_counts else cent
+
+
 def ivf_assign(ds: rd.Dataset, centroids: np.ndarray, id_col: str = "vec_id",
                emb_col: str = "embedding") -> rd.Dataset:
     """Bucket the corpus by nearest centroid (one shuffle, reusable as a

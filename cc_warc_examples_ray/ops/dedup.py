@@ -1274,6 +1274,48 @@ def brute_force_pairs(ds: rd.Dataset, threshold: float, id_col: str = "vec_id",
     return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]).sort_values(["id_a", "id_b"])
 
 
+def semdedup_keep(ds: rd.Dataset, centroids: np.ndarray, threshold: float,
+                  id_col: str = "vec_id", emb_col: str = "embedding") -> rd.Dataset:
+    """SemDedup-style semantic dedup (Abbas et al. 2023, public):
+    cluster the embedding space (spherical assignment against broadcast
+    k-means centroids — :func:`..ops.ann.ivf_assign`), then within each
+    cluster DROP any vector whose cosine to a lower-id vector of the
+    same cluster is >= ``threshold`` (the deterministic keep-first
+    variant of the paper's per-cluster pruning; rows with null
+    embeddings are dropped by assignment).  Cross-cluster near-dups are
+    out of scope by design — that recall trade is the point of the
+    method (no all-pairs pass).
+
+    Partitioning assumption: per-cluster size stays bounded — pick
+    k ∝ corpus size (the paper uses n/1e4-ish) so each cluster's dense
+    cosine matrix fits one ``map_groups`` task; the shuffle is one
+    groupby on the cluster id.  Output: (id_col, cluster, kept)."""
+    from .ann import ivf_assign
+
+    assigned = ivf_assign(ds.select_columns([id_col, emb_col]), centroids,
+                          id_col=id_col, emb_col=emb_col)
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.asarray(list(g[emb_col].to_numpy()[order]), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(nrm == 0, 1.0, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        dup = np.zeros(len(ids), dtype=bool)
+        hit = (mat @ mat.T)[ia, ib] >= threshold
+        if hit.any():
+            dup[np.unique(ib[hit])] = True  # ib > ia: a lower-id witness exists
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": np.full(len(ids), g["ivf_list"].iloc[0], dtype=np.int64),
+            "kept": ~dup,
+        })
+
+    return assigned.groupby("ivf_list").map_groups(prune, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # pHash near-dup groups (O9) with host salting
 # ---------------------------------------------------------------------------

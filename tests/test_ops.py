@@ -139,6 +139,68 @@ def test_decontaminate_handcrafted(ray_session):
     assert not none["contaminated"].any()
 
 
+def test_kmeans_lloyd_matches_single_process(ray_session):
+    """Distributed Lloyd == the numpy kmeans_l2 loop from the same init
+    (same assignment rule, same empty-cluster rule), across block splits."""
+    rng = np.random.default_rng(42)
+    mat = rng.normal(size=(300, 16))
+    init = mat[:5].copy()
+    # single-process reference: 3 exact Lloyd iterations from init
+    want = init.copy()
+    for _ in range(3):
+        d = ((mat[:, None, :] - want[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for c in range(len(want)):
+            m = a == c
+            if m.any():
+                want[c] = mat[m].mean(axis=0)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+    }))
+    for nblocks in (1, 7):
+        got, counts = ann.kmeans_lloyd(
+            ds.repartition(nblocks), init, iters=3, return_counts=True)
+        assert np.allclose(got, want, atol=1e-9)
+        assert counts.sum() == 300
+    # null embeddings are dropped, not crashed on
+    with_null = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([None, mat[0].tolist()], pa.list_(pa.float64())),
+    })
+    got1, c1 = ann.kmeans_lloyd(rd.from_arrow(with_null), init, iters=1,
+                                return_counts=True)
+    assert c1.sum() == 1
+
+
+def test_semdedup_keep_first(ray_session):
+    """Within-cluster keep-first pruning: a vector drops iff a LOWER-id
+    same-cluster vector is cosine-similar above the threshold."""
+    # two well-separated clusters on axes; c0 has 3 near-identical
+    # vectors + 1 orthogonal-ish, c1 has 2 distinct vectors
+    e = np.eye(8)
+    vecs = {
+        0: e[0], 1: e[0] * 0.99 + e[1] * 0.01, 2: e[1],
+        3: e[0] * 0.98 + e[1] * 0.02,
+        10: e[4], 11: e[4] * 0.5 + e[5] * 0.5,  # cluster 1; cos(10,11)=.707
+    }
+    cent = np.stack([e[0], e[4]])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[k].tolist() for k in sorted(vecs)],
+                              pa.list_(pa.float64())),
+    }))
+    out = dedup.semdedup_keep(ds, cent, threshold=0.95).to_pandas()
+    out = out.sort_values("vec_id").set_index("vec_id")
+    # ids 1 and 3 are near-dups of 0 (cos ~0.9999); id 2 is orthogonal
+    # to 0 but assigned to cluster 0? e[1]: cos to e[0]-centroid = 0,
+    # to e[4]-centroid = 0 -> tie breaks to cluster 0 (lowest id).
+    assert out.loc[0, "kept"] and out.loc[2, "kept"]
+    assert not out.loc[1, "kept"] and not out.loc[3, "kept"]
+    assert out.loc[10, "kept"] and out.loc[11, "kept"]
+    assert out.loc[10, "cluster"] == 1 and out.loc[11, "cluster"] == 1
+
+
 def test_pair_components_raises_when_unconverged(ray_session):
     """Exhausting max_iters must raise, never silently return wrong
     labels (a chain far longer than max_iters rounds can cover, even
