@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "events_asof_orders",
     "event_bursts",
     "text_prep",
+    "repetition_scores",
+    "decontaminate",
+    "semdedup",
 ]
 
 

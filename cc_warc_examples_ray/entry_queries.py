@@ -31,7 +31,7 @@ import ray
 import ray.data as rd
 
 from . import lancelite, synth
-from .ops import ann, dedup, relational, text
+from .ops import ann, dedup, relational, sampling, text
 from .pipelines import classics, crawl as crawl_pipeline
 
 # EXACTLY RE2's \s class ([\t\n\f\r ]) as DuckDB regexes see it — python
@@ -1725,6 +1725,50 @@ ORDER BY d.doc_id
 """
 
 
+_MIX_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 0.125
+
+
+def q_mix_sources(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted source mixing (up/down-sampling by
+    per-source rate): hash-Bernoulli per row + copy replication —
+    reproducible under any partitioning, no RNG state.  md5 variant so
+    the oracle recomputes the identical keep/copy decisions."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = sampling.weighted_mix(
+        docs, _MIX_RATES, default=_MIX_DEFAULT, seed=7, hash_fn="md5"
+    ).to_pandas()
+    return out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+
+
+def _sql_mix_sources() -> str:
+    """Oracle sharing weighted_mix's COMPILED integer (base, threshold)
+    pairs — no float arithmetic on either side at row time."""
+    t = sampling.mix_rates_table(_MIX_RATES, _MIX_DEFAULT)
+    db, dt = t.pop(None)
+    values = ", ".join(f"('{k}', {b}, {thr})" for k, (b, thr) in sorted(t.items()))
+    return f"""
+WITH w(wsource, base, thr) AS (SELECT * FROM (VALUES {values})),
+d AS (
+  SELECT doc_id, documents.source AS source,
+         coalesce(w.base, {db}) AS base,
+         coalesce(w.thr, {dt}) AS thr,
+         md5_number_lower(doc_id::VARCHAR || ':7') % 1048576 AS h
+  FROM documents LEFT JOIN w ON w.wsource = documents.source
+),
+c AS (
+  SELECT doc_id, source,
+         base + CASE WHEN h < thr THEN 1 ELSE 0 END AS n
+  FROM d
+)
+SELECT doc_id, source, unnest(range(n)) AS copy_idx
+FROM c WHERE n > 0 ORDER BY doc_id, copy_idx
+"""
+
+
+SQL_MIX_SOURCES = _sql_mix_sources()
+
+
 def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination (n-gram overlap): the 'benchmark' side
     is a deterministic 10% slice of the corpus (doc_id % 20 < 2) so the
@@ -2597,6 +2641,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
     "decontaminate": q_decontaminate,
+    "mix_sources": q_mix_sources,
     "fingerprint": q_fingerprint,
     "ngram_scores": q_ngram_scores,
     "text_prep": q_text_prep,
@@ -2655,6 +2700,7 @@ ORACLES = {
     "quality_scores": SQL_QUALITY_SCORES,
     "repetition_scores": SQL_REPETITION_SCORES,
     "decontaminate": SQL_DECONTAMINATE,
+    "mix_sources": SQL_MIX_SOURCES,
     "fingerprint": SQL_FINGERPRINT,
     "ngram_scores": SQL_NGRAM_SCORES,
     "text_prep": SQL_TEXT_PREP,

@@ -40,6 +40,64 @@ def stratified_sample(ds: rd.Dataset, cls_col: str, order_col: str,
     return ds.groupby(cls_col).map_groups(head_k, batch_format="pandas")
 
 
+def mix_rates_table(rates: dict, default: float, bits: int = 20) -> dict:
+    """Compile per-key sampling rates into integer (base_copies,
+    fraction_threshold) pairs at ``2**bits`` resolution — computed ONCE
+    here so the Ray kernel and a SQL oracle embed the SAME integers and
+    no float arithmetic happens at row time."""
+    scale = 1 << bits
+    def compile_one(r: float) -> tuple[int, int]:
+        base = int(r)
+        return base, int(round((r - base) * scale))
+    out = {k: compile_one(v) for k, v in rates.items()}
+    out[None] = compile_one(default)
+    return out
+
+
+def weighted_mix(ds: rd.Dataset, rates: dict, key_col: str = "source",
+                 id_col: str = "doc_id", default: float = 1.0, seed: int = 0,
+                 bits: int = 20, hash_fn: str = "xxh64") -> rd.Dataset:
+    """Deterministic weighted source mixing — the 'data mixing' step of
+    an LLM training pipeline (per-source up/down-sampling weights, e.g.
+    the sampling ratios of GPT-3 table 2.2 / The Pile; public): each row
+    is emitted ``floor(rate)`` times plus one more iff
+    ``hash(f"{id}:{seed}") mod 2**bits < round(frac(rate) * 2**bits)``.
+
+    Stateless and shuffle-free: the decision is a pure function of the
+    row id, so it reproduces under ANY partitioning, resume, or
+    re-execution — no RNG state to checkpoint (contrast
+    ``Dataset.random_sample``).  Rows are replicated by ``take`` with a
+    repeat index (zero-copy until write); ``copy_idx`` numbers the
+    copies so downstream shuffles can keep them distinguishable.
+    ``hash_fn="md5"`` switches to DuckDB-replicable
+    ``md5_number_lower`` semantics for the SQL oracle."""
+    import numpy as np
+
+    from ..hashing import md5_64_many, xxh64_many
+
+    scale = np.uint64(1 << bits)
+    table = mix_rates_table(rates, default, bits=bits)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column("copy_idx", pa.array([], pa.int64()))
+        keys = tbl.column(key_col).to_pylist()
+        ids = [f"{i}:{seed}" for i in tbl.column(id_col).to_pylist()]
+        h = (md5_64_many(ids) if hash_fn == "md5" else xxh64_many(ids)) % scale
+        dflt = table[None]
+        pairs = [table.get(k, dflt) for k in keys]
+        base = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+        thr = np.fromiter((p[1] for p in pairs), np.uint64, len(pairs))
+        n = base + (h < thr)
+        idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        starts = np.cumsum(n) - n
+        copy = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, n)
+        return tbl.take(pa.array(idx, pa.int64())).append_column(
+            "copy_idx", pa.array(copy, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def substring_any_join(ds: rd.Dataset, col: str, needles_ref) -> rd.Dataset:
     """Semi-join on substring containment vs a broadcast needle list."""
 

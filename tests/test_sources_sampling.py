@@ -56,6 +56,46 @@ def test_substring_any_join(ray_session):
     assert len(out) == 2
 
 
+def test_weighted_mix_deterministic(ray_session):
+    """Per-source rate semantics: base copies + hash-Bernoulli fraction,
+    identical output under any block split, copy_idx dense per row."""
+    import numpy as np
+
+    from cc_warc_examples_ray.hashing import xxh64_many
+
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array((["a", "b", "c", "d"] * (n // 4))),
+    })
+    rates = {"a": 2.0, "b": 0.5, "c": 1.25}  # d falls to default 0.0
+    outs = []
+    for nblocks in (1, 5):
+        out = sampling.weighted_mix(
+            rd.from_arrow(t).repartition(nblocks), rates,
+            default=0.0, seed=3,
+        ).to_pandas().sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+    got = out.groupby("source")["doc_id"].nunique().to_dict()
+    # a: rate 2.0 -> exactly 2 copies of every row; d: rate 0 -> gone
+    assert got["a"] == 100
+    assert (out[out["source"] == "a"].groupby("doc_id").size() == 2).all()
+    assert "d" not in got
+    # b: Bernoulli(0.5) — the EXACT expected rows from the hash rule
+    h = xxh64_many([f"{i}:3" for i in range(n)]) % np.uint64(1 << 20)
+    exp_b = {i for i in range(n) if i % 4 == 1 and h[i] < (1 << 19)}
+    assert set(out[out["source"] == "b"]["doc_id"]) == exp_b
+    assert 20 <= len(exp_b) <= 80  # sanity: the draw is not degenerate
+    # c: 1 or 2 copies, expected ~1.25 mean
+    cc = out[out["source"] == "c"].groupby("doc_id").size()
+    assert set(cc.unique()) <= {1, 2} and len(cc) == 100
+    # copy_idx dense 0..k-1
+    assert (out.groupby("doc_id")["copy_idx"].max() + 1
+            == out.groupby("doc_id").size()).all()
+
+
 def test_substring_containment_dedup():
     kept = sampling.substring_containment_dedup(["photo", "photos", "pho", "icon"])
     assert kept == ["icon", "photos"]
