@@ -120,3 +120,71 @@ def test_arrow_group_by_always_exact(n, null_p, nkeys, seed):
                        got.column("k2").to_pylist(),
                        got.column("v_sum").to_pylist()):
         assert truth[(a, b)] == s
+
+
+_DOC = st.text(
+    alphabet=st.sampled_from(list("ab c\nd.!")), min_size=0, max_size=120
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=12))
+def test_repetition_scores_matches_reference(texts):
+    """The vectorized line kernel == a per-doc python reference for any
+    doc mix (empty docs, blank lines, unicode-free small alphabet keeps
+    the search space dense in edge shapes)."""
+    import re
+
+    from cc_warc_examples_ray.ops.text import repetition_scores
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = repetition_scores(t)
+    for i, txt in enumerate(texts):
+        lines = [ln for ln in (txt or "").split("\n") if len(ln)]
+        n, d = len(lines), len(set(lines))
+        exp_dlf = (n - d) / n if n else 0.0
+        chars_all = sum(map(len, lines))
+        chars_first = sum(len(ln) for ln in set(lines))
+        exp_dlcf = (chars_all - chars_first) / chars_all if chars_all else 0.0
+        assert abs(out.column("dup_line_frac")[i].as_py() - exp_dlf) < 1e-12
+        assert abs(out.column("dup_line_char_frac")[i].as_py() - exp_dlcf) < 1e-12
+        words = re.findall(r"\w+", (txt or "").lower())
+        tc = sum(map(len, words))
+        if len(words) >= 2 and tc:
+            grams = [f"{words[j]} {words[j+1]}" for j in range(len(words) - 1)]
+            best = min(sorted(set(grams)), key=lambda g: (-grams.count(g), g))
+            exp_tb = grams.count(best) * (len(best) - 1) / tc
+        else:
+            exp_tb = 0.0
+        assert abs(out.column("top_bigram_char_frac")[i].as_py() - exp_tb) < 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=10),
+       st.lists(_DOC, min_size=0, max_size=4),
+       st.integers(min_value=1, max_value=3))
+def test_contamination_scores_matches_reference(texts, bench, n):
+    """contamination_scores == a string-set python reference for any
+    corpus/benchmark/n (xxh64 collisions impossible at this scale)."""
+    import re
+
+    import numpy as np
+
+    from cc_warc_examples_ray.hashing import xxh64_many
+    from cc_warc_examples_ray.ops.text import contamination_scores
+
+    def grams(txt):
+        ws = re.findall(r"\w+", (txt or "").lower())
+        return {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+
+    bench_grams = set().union(*(grams(b) for b in bench)) if bench else set()
+    bench_sorted = (np.unique(xxh64_many(sorted(bench_grams)).view(np.int64))
+                    if bench_grams else np.array([], np.int64))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = contamination_scores(t, bench_sorted, n=n)
+    for i, txt in enumerate(texts):
+        g = grams(txt)
+        assert out.column("n_ngrams")[i].as_py() == len(g)
+        assert out.column("n_hits")[i].as_py() == len(g & bench_grams)
