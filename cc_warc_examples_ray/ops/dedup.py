@@ -1275,7 +1275,8 @@ def brute_force_pairs(ds: rd.Dataset, threshold: float, id_col: str = "vec_id",
 
 
 def semdedup_keep(ds: rd.Dataset, centroids: np.ndarray, threshold: float,
-                  id_col: str = "vec_id", emb_col: str = "embedding") -> rd.Dataset:
+                  id_col: str = "vec_id", emb_col: str = "embedding",
+                  num_partitions: int = 32) -> rd.Dataset:
     """SemDedup-style semantic dedup (Abbas et al. 2023, public):
     cluster the embedding space (spherical assignment against broadcast
     k-means centroids — :func:`..ops.ann.ivf_assign`), then within each
@@ -1286,34 +1287,53 @@ def semdedup_keep(ds: rd.Dataset, centroids: np.ndarray, threshold: float,
     out of scope by design — that recall trade is the point of the
     method (no all-pairs pass).
 
-    Partitioning assumption: per-cluster size stays bounded — pick
-    k ∝ corpus size (the paper uses n/1e4-ish) so each cluster's dense
-    cosine matrix fits one ``map_groups`` task; the shuffle is one
-    groupby on the cluster id.  Output: (id_col, cluster, kept)."""
+    Shuffle shape: clusters are HASH-PARTITIONED into a bounded number
+    of groups (the grouped_bucket_pairs pattern — one shuffle, 32 Ray
+    groups regardless of k) and each partition's kernel walks its
+    cluster boundaries with numpy; a group-per-cluster ``map_groups``
+    would pay per-group overhead k times at the paper's k ∝ corpus
+    size.  Per-cluster size stays bounded by that k choice, so each
+    cluster's dense cosine matrix fits in one task.  Output:
+    (id_col, cluster, kept)."""
     from .ann import ivf_assign
+    from .relational import _arrow_types, make_part_assigner
 
     assigned = ivf_assign(ds.select_columns([id_col, emb_col]), centroids,
                           id_col=id_col, emb_col=emb_col)
+    add_part = make_part_assigner(["ivf_list"], num_partitions)
+    idt = _arrow_types(ds.schema()).get(id_col, pa.int64())
+    out_schema = pa.schema(
+        [(id_col, idt), ("cluster", pa.int64()), ("kept", pa.bool_())])
 
-    def prune(g: pd.DataFrame) -> pd.DataFrame:
+    def kern(gt: pa.Table) -> pa.Table:
+        if gt.num_rows == 0:
+            return out_schema.empty_table()
+        g = gt.to_pandas().sort_values(["ivf_list", id_col], kind="mergesort")
+        clusters = g["ivf_list"].to_numpy().astype(np.int64)
         ids = g[id_col].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        mat = np.asarray(list(g[emb_col].to_numpy()[order]), dtype=np.float64)
-        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.where(nrm == 0, 1.0, nrm)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        dup = np.zeros(len(ids), dtype=bool)
-        hit = (mat @ mat.T)[ia, ib] >= threshold
-        if hit.any():
-            dup[np.unique(ib[hit])] = True  # ib > ia: a lower-id witness exists
-        return pd.DataFrame({
-            id_col: ids,
-            "cluster": np.full(len(ids), g["ivf_list"].iloc[0], dtype=np.int64),
-            "kept": ~dup,
+        emb = g[emb_col].to_numpy()
+        kept = np.ones(len(g), dtype=bool)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(clusters[1:] != clusters[:-1]) + 1, [len(g)]])
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            if s1 - s0 < 2:
+                continue
+            mat = np.asarray(list(emb[s0:s1]), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(nrm == 0, 1.0, nrm)
+            ia, ib = np.triu_indices(s1 - s0, k=1)
+            hit = (mat @ mat.T)[ia, ib] >= threshold
+            if hit.any():
+                kept[s0 + np.unique(ib[hit])] = False  # ib > ia: lower-id witness
+        return pa.table({
+            id_col: pa.array(ids).cast(idt),
+            "cluster": pa.array(clusters, pa.int64()),
+            "kept": pa.array(kept),
         })
 
-    return assigned.groupby("ivf_list").map_groups(prune, batch_format="pandas")
+    return assigned.map_batches(add_part, batch_format="pyarrow").groupby(
+        "_part"
+    ).map_groups(kern, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
