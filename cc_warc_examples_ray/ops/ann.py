@@ -226,6 +226,11 @@ def kmeans_lloyd(ds: rd.Dataset, init: np.ndarray, iters: int = 1,
         "cnt": pa.array([], pa.int64()),
         "s": pa.array([], pa.list_(pa.float64())),
     })
+    # prune to the one needed column: every iteration re-executes the
+    # input (an unmaterialized source re-reads per pass — the standard
+    # streaming-EM shape at corpus scale; materialize upstream if the
+    # embeddings fit the object store and iters is large)
+    ds = ds.select_columns([emb_col])
     for _ in range(iters):
         ref = ray.put(cent)
 
