@@ -745,29 +745,34 @@ _WARC_N = 1000
 _PHASH_FIXTURE = "/tmp/ccwarc_phash_fixture.parquet"
 
 
+def _fixture_once(path: str, build) -> str:
+    """Write-once /tmp parquet fixture shared by a Ray query and its
+    (static) oracle SQL: ``build() -> pa.Table`` runs only when the file
+    is absent.  Every fixture is a pure function of the global seed /
+    on-disk data, so racing writers produce the same content — each
+    writes a pid-unique tmp file and ``os.replace``s it atomically."""
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        pq.write_table(build(), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def _ensure_warc_fixture() -> str:
-    """Write the WARC-records fixture (plus a ``payload_text`` column =
-    payload decoded utf-8/replace, the form SQL string functions can
-    process) if absent.  Content is a pure function of the global seed —
-    safe to race, safe to cache."""
-    if not os.path.exists(_WARC_FIXTURE):
+    """WARC-records fixture (plus a ``payload_text`` column = payload
+    decoded utf-8/replace, the form SQL string functions can process)."""
+    def build() -> pa.Table:
         t = synth.warc_records_table(_WARC_N)
         txt = [p.decode("utf-8", errors="replace") for p in t.column("payload").to_pylist()]
-        t = t.append_column("payload_text", pa.array(txt, pa.string()))
-        tmp = f"{_WARC_FIXTURE}.{os.getpid()}.tmp"  # unique per writer: racing
-        pq.write_table(t, tmp)                      # processes each replace
-        os.replace(tmp, _WARC_FIXTURE)              # atomically, same content
-    return _WARC_FIXTURE
+        return t.append_column("payload_text", pa.array(txt, pa.string()))
+
+    return _fixture_once(_WARC_FIXTURE, build)
 
 
 def _ensure_phash_fixture() -> str:
     """(image_id, phash) of the content store, for the pHash SQL oracle."""
-    if not os.path.exists(_PHASH_FIXTURE):
-        t = _store().to_table().select(["image_id", "phash"])
-        tmp = f"{_PHASH_FIXTURE}.{os.getpid()}.tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, _PHASH_FIXTURE)
-    return _PHASH_FIXTURE
+    return _fixture_once(
+        _PHASH_FIXTURE, lambda: _store().to_table().select(["image_id", "phash"]))
 
 
 _WEIGHTS_FIXTURE = "/tmp/ccwarc_trained_weights.parquet"
@@ -783,19 +788,17 @@ def _ensure_weights_fixture() -> str:
     corpus (synth.media_training_table — offline, sf-independent, like
     the IVF centroid fixture).  Pure function of the global seed; the
     no-Ray trainer path keeps oracle_sql() Ray-free."""
-    if not os.path.exists(_WEIGHTS_FIXTURE):
+    def build() -> pa.Table:
         from .ops import features
 
         t = synth.media_training_table(4000)
         w, b = features.train_feature_weights(t, list(_TRAIN_FEATURES))
-        out = pa.table({
+        return pa.table({
             "feature": pa.array(list(_TRAIN_FEATURES) + ["__bias__"], pa.string()),
             "weight": pa.array([w[c] for c in _TRAIN_FEATURES] + [b], pa.float64()),
         })
-        tmp = f"{_WEIGHTS_FIXTURE}.{os.getpid()}.tmp"
-        pq.write_table(out, tmp)
-        os.replace(tmp, _WEIGHTS_FIXTURE)
-    return _WEIGHTS_FIXTURE
+
+    return _fixture_once(_WEIGHTS_FIXTURE, build)
 
 
 def _trained_weights() -> tuple[dict, float]:
@@ -819,12 +822,9 @@ def _ensure_frontier_fixture() -> str:
     function of the global seed; the SQL oracle re-derives canonical
     URLs, first-seen dedup, the robots gate, per-host politeness times
     and epoch assignment from these raw strings independently."""
-    if not os.path.exists(_FRONTIER_FIXTURE):
-        t = synth.frontier_seeds_table(_FRONTIER_N, n_hosts=_FRONTIER_HOSTS)
-        tmp = f"{_FRONTIER_FIXTURE}.{os.getpid()}.tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, _FRONTIER_FIXTURE)
-    return _FRONTIER_FIXTURE
+    return _fixture_once(
+        _FRONTIER_FIXTURE,
+        lambda: synth.frontier_seeds_table(_FRONTIER_N, n_hosts=_FRONTIER_HOSTS))
 
 
 _IVF_FIXTURE = "/tmp/ccwarc_ivf_centroids.parquet"
@@ -838,20 +838,24 @@ def _ensure_ivf_fixture() -> str:
     on a fixed sample corpus is standard IVF practice; the per-query
     probe/assignment/ranking semantics are what the oracle verifies
     independently).  Pure function of on-disk data — race-safe."""
-    if not os.path.exists(_IVF_FIXTURE):
-        emb = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
-                            columns=["embedding"])
-        mat = np.asarray(emb.column("embedding").to_pylist()[:2000], dtype=np.float64)
-        cent = ann.kmeans_centroids(mat, n_centroids=16, iters=10, seed=5)
-        t = pa.table({
+    def build() -> pa.Table:
+        cent = ann.kmeans_centroids(_train_embeddings(), n_centroids=16,
+                                    iters=10, seed=5)
+        return pa.table({
             "list_id": pa.array(np.arange(len(cent), dtype=np.int64)),
             "vec": pa.array([row.tolist() for row in cent],
                             pa.list_(pa.float64())),
         })
-        tmp = f"{_IVF_FIXTURE}.{os.getpid()}.tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, _IVF_FIXTURE)
-    return _IVF_FIXTURE
+
+    return _fixture_once(_IVF_FIXTURE, build)
+
+
+def _train_embeddings() -> np.ndarray:
+    """The fixed sf0.001 embedding sample every centroid/codebook
+    fixture trains on (sf-independent content)."""
+    emb = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
+                        columns=["embedding"])
+    return np.asarray(emb.column("embedding").to_pylist()[:2000], dtype=np.float64)
 
 
 _LSH_FIXTURE = "/tmp/ccwarc_lsh_planes.parquet"
@@ -863,20 +867,16 @@ def _ensure_lsh_fixture() -> str:
     pure function of the seed + the (fixed) embedding dim, written once
     so the static oracle SQL can recompute every vector's sign sketch
     independently.  Race-safe tmp+rename like the IVF fixture."""
-    if not os.path.exists(_LSH_FIXTURE):
-        emb = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
-                            columns=["embedding"])
-        dim = len(emb.column("embedding")[0])
+    def build() -> pa.Table:
+        dim = _train_embeddings().shape[1]
         planes = ann.lsh_planes(dim, bits=_LSH_BITS, seed=11)  # [dim, bits]
-        t = pa.table({
+        return pa.table({
             "bit_id": pa.array(np.arange(_LSH_BITS, dtype=np.int64)),
             "vec": pa.array([planes[:, b].tolist() for b in range(_LSH_BITS)],
                             pa.list_(pa.float64())),
         })
-        tmp = f"{_LSH_FIXTURE}.{os.getpid()}.tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, _LSH_FIXTURE)
-    return _LSH_FIXTURE
+
+    return _fixture_once(_LSH_FIXTURE, build)
 
 
 def q_lsh_ann(sf_dir: str) -> pd.DataFrame:
@@ -1559,7 +1559,9 @@ FROM reach GROUP BY a ORDER BY image_id
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    out = docs.map_batches(text.LangIdentifier(), batch_format="pyarrow").to_pandas()
+    out = docs.map_batches(text.LangIdentifier(), batch_format="pyarrow").map_batches(
+        lambda t: t.drop_columns(["text"]), batch_format="pyarrow"
+    ).to_pandas()  # text never leaves the workers
     out["lang_conf"] = _r5(out["lang_conf"])
     return out[["doc_id", "lang", "lang_pred", "lang_conf"]].sort_values("doc_id").reset_index(drop=True)
 
@@ -1607,10 +1609,13 @@ ORDER BY d.doc_id
 
 def q_quality_scores(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(lambda t: text.quality_scores(t), batch_format="pyarrow").to_pandas()
+    out = docs.map_batches(
+        lambda t: text.quality_scores(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # text never leaves the workers
     for c in ("mean_word_len", "punct_ratio", "digit_ratio", "stopword_ratio", "upper_ratio", "quality"):
         out[c] = _r5(out[c])
-    return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # Mirrors ops/text.py quality_scores byte-class ratios (corpus is ASCII,
@@ -1663,11 +1668,12 @@ FROM r ORDER BY doc_id
 def q_repetition_scores(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(
-        lambda t: text.repetition_scores(t), batch_format="pyarrow"
-    ).to_pandas()
+        lambda t: text.repetition_scores(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # text never leaves the workers
     for c in ("dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac"):
         out[c] = _r5(out[c])
-    return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # Mirrors ops/text.py repetition_scores: non-empty-line duplicate
@@ -1782,8 +1788,10 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
         return t.filter(pa.array(ids % 20 < 2))
 
     bench = docs.map_batches(bench_slice, batch_format="pyarrow")
-    out = text.decontaminate(docs, bench, n=3).to_pandas()
-    return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
+    out = text.decontaminate(docs, bench, n=3).map_batches(
+        lambda t: t.drop_columns(["text"]), batch_format="pyarrow"
+    ).to_pandas()  # text never leaves the workers
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # Mirrors ops/text.py decontaminate at n=3: per-doc DISTINCT word
@@ -1917,8 +1925,9 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     md5_number_lower on both sides)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(
-        lambda t: text.fingerprint(t, hash_fn="md5"), batch_format="pyarrow"
-    ).to_pandas()
+        lambda t: text.fingerprint(t, hash_fn="md5").drop_columns(["text"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # text never leaves the workers
     return out[["doc_id", "text_hash", "min_fingerprint"]].sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2305,19 +2314,14 @@ def _ensure_kmeans_fixture() -> str:
     """L2 (non-spherical) k-means centroids (cluster_id, vec) trained
     ONCE on the fixed sf0.001 embeddings — the init point both sides of
     the kmeans_refine oracle share.  Race-safe pure function."""
-    if not os.path.exists(_KMEANS_FIXTURE):
-        emb = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
-                            columns=["embedding"])
-        mat = np.asarray(emb.column("embedding").to_pylist()[:2000], dtype=np.float64)
-        cent = ann.kmeans_l2(mat, n_centroids=8, iters=5, seed=13)
-        t = pa.table({
+    def build() -> pa.Table:
+        cent = ann.kmeans_l2(_train_embeddings(), n_centroids=8, iters=5, seed=13)
+        return pa.table({
             "cluster_id": pa.array(np.arange(len(cent), dtype=np.int64)),
             "vec": pa.array([row.tolist() for row in cent], pa.list_(pa.float64())),
         })
-        tmp = f"{_KMEANS_FIXTURE}.{os.getpid()}.tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, _KMEANS_FIXTURE)
-    return _KMEANS_FIXTURE
+
+    return _fixture_once(_KMEANS_FIXTURE, build)
 
 
 def q_kmeans_refine(sf_dir: str) -> pd.DataFrame:
@@ -2462,26 +2466,22 @@ def _ensure_pq_fixture() -> str:
     offline-trained codebook files (`IndexingManage.java:74-76`).  The
     oracle SQL reads the same parquet and independently re-derives
     per-subspace assignment + ADC ranking."""
-    if not os.path.exists(_PQ_FIXTURE):
-        emb = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
-                            columns=["embedding"])
-        mat = np.asarray(emb.column("embedding").to_pylist()[:2000], dtype=np.float64)
-        cb = ann.pq_train_codebook(mat, m=_PQ_M, k=_PQ_K, iters=10, seed=7)
+    def build() -> pa.Table:
+        cb = ann.pq_train_codebook(_train_embeddings(), m=_PQ_M, k=_PQ_K,
+                                   iters=10, seed=7)
         rows_sub, rows_cent, rows_vec = [], [], []
         for j in range(cb.shape[0]):
             for c in range(cb.shape[1]):
                 rows_sub.append(j)
                 rows_cent.append(c)
                 rows_vec.append(cb[j, c].tolist())
-        t = pa.table({
+        return pa.table({
             "sub_id": pa.array(rows_sub, pa.int64()),
             "cent_id": pa.array(rows_cent, pa.int64()),
             "vec": pa.array(rows_vec, pa.list_(pa.float64())),
         })
-        tmp = f"{_PQ_FIXTURE}.{os.getpid()}.tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, _PQ_FIXTURE)
-    return _PQ_FIXTURE
+
+    return _fixture_once(_PQ_FIXTURE, build)
 
 
 def _pq_codebook() -> np.ndarray:

@@ -214,10 +214,13 @@ def kmeans_lloyd(ds: rd.Dataset, init: np.ndarray, iters: int = 1,
     cluster id — :func:`kmeans_l2` semantics) and emits at most k
     partial rows ``(cluster, cnt, per-dim sum)``; the driver folds
     k×blocks partial rows, never the corpus.  Empty clusters keep their
-    previous centroid.  Determinism: partials are folded in block order,
-    so a fixed block split reproduces bit-identical centroids; across
-    different splits float64 summation order may differ by ulps (pinned
-    against the single-process :func:`kmeans_l2` loop in pytest)."""
+    previous centroid.  Determinism: partial rows are SORTED BY VALUE
+    before the driver fold (``iter_batches`` arrival order is not
+    deterministic under Ray's default ``preserve_order=False``), so a
+    fixed block split reproduces bit-identical centroids on every run;
+    across different splits float64 summation order may still differ by
+    ulps (pinned against the single-process :func:`kmeans_l2` loop in
+    pytest)."""
     cent = np.asarray(init, dtype=np.float64).copy()
     k, d = cent.shape
     counts = np.zeros(k, dtype=np.int64)
@@ -258,14 +261,26 @@ def kmeans_lloyd(ds: rd.Dataset, init: np.ndarray, iters: int = 1,
 
         tot = np.zeros((k, d), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
+        cls, cns, sms = [], [], []
         for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
         ):
             if not b.num_rows:
                 continue
-            cl = b.column("cluster").to_numpy(zero_copy_only=False)
-            np.add.at(counts, cl, b.column("cnt").to_numpy(zero_copy_only=False))
-            np.add.at(tot, cl, np.asarray(b.column("s").to_pylist(), dtype=np.float64))
+            cls.append(b.column("cluster").to_numpy(zero_copy_only=False))
+            cns.append(b.column("cnt").to_numpy(zero_copy_only=False))
+            sms.append(np.asarray(b.column("s").to_pylist(), dtype=np.float64))
+        if cls:
+            cl = np.concatenate(cls)
+            cn = np.concatenate(cns)
+            sm = np.vstack(sms)
+            # fold in an order that is a pure function of the partial
+            # VALUES (identical rows are interchangeable under +), not
+            # of batch arrival order
+            order = np.lexsort((*sm.T[::-1], cn, cl))
+            cl, cn, sm = cl[order], cn[order], sm[order]
+            np.add.at(counts, cl, cn)
+            np.add.at(tot, cl, sm)
         nz = counts > 0
         cent[nz] = tot[nz] / counts[nz, None]
     return (cent, counts) if return_counts else cent

@@ -199,21 +199,30 @@ def repetition_scores(tbl: pa.Table, text_col: str = "text") -> pa.Table:
         dup_line_frac[nz] = (n_lines[nz] - n_distinct[nz]) / n_lines[nz]
         cz = chars_all > 0
         dup_line_char_frac[cz] = (chars_all[cz] - chars_first[cz]) / chars_all[cz]
-    # word bigrams are inherently per-doc sequences; counting is numpy
-    # (np.unique sorts, so argmax lands on the smallest bigram among ties)
+    # word bigrams via the shared flat-ngram helper: ONE batch-wide
+    # lexsort groups (doc, bigram) runs; a stable count-desc reorder
+    # picks each doc's most frequent bigram with ties to the smallest
+    # string (what the per-doc np.unique argmax did, without a python
+    # sort per doc)
     texts = tbl.column(text_col).to_pylist()
     top_bigram_char_frac = np.zeros(n, np.float64)
-    for i, t in enumerate(texts):
-        words = _WORD_RE.findall((t or "").lower())
-        total_chars = sum(map(len, words))
-        if len(words) < 2 or not total_chars:
-            continue
-        grams = np.array([f"{words[j]} {words[j + 1]}" for j in range(len(words) - 1)])
-        uniq, cnt = np.unique(grams, return_counts=True)
-        k = int(np.argmax(cnt))
+    grams, gp, _nw, wchars = _word_ngram_flat(texts, 2, word_stats=True)
+    if grams:
+        ga = np.asarray(grams)  # U dtype: C-level compares (pads to batch max)
+        order = np.lexsort((ga, gp))
+        gs, ps = ga[order], gp[order]
+        head = np.concatenate([[True], (ps[1:] != ps[:-1]) | (gs[1:] != gs[:-1])])
+        starts = np.flatnonzero(head)
+        run_parent, run_gram = ps[starts], gs[starts]
+        run_cnt = np.diff(np.append(starts, len(gs)))
+        o2 = np.argsort(-run_cnt, kind="stable")  # count desc, gram asc kept
+        o3 = o2[np.argsort(run_parent[o2], kind="stable")]  # regroup by doc
+        win = np.concatenate([[True], run_parent[o3][1:] != run_parent[o3][:-1]])
+        wp, wg, wc = run_parent[o3][win], run_gram[o3][win], run_cnt[o3][win]
         # chars covered = occurrences x chars of the two words (the
-        # joining space is presentation, not document characters)
-        top_bigram_char_frac[i] = cnt[k] * (len(uniq[k]) - 1) / total_chars
+        # joining space is presentation, not document characters); a doc
+        # with any bigram has >= 2 words and > 0 word chars
+        top_bigram_char_frac[wp] = wc * (np.char.str_len(wg) - 1) / wchars[wp]
     out = tbl
     for name, arr in [
         ("dup_line_frac", dup_line_frac),
@@ -224,20 +233,30 @@ def repetition_scores(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
-def _word_ngram_flat(texts: list, n: int) -> tuple[list[str], np.ndarray]:
+def _word_ngram_flat(texts: list, n: int, word_stats: bool = False):
     """Flatten every doc's word ``n``-grams (space-joined, lowercased
-    ``\\w+`` words) into ONE list + parent-doc index array, so hashing is
-    a single vectorized :func:`xxh64_many` call per batch."""
+    ``\\w+`` words) into ONE list + parent-doc index array, so hashing /
+    sorting is a single vectorized call per batch.  ``word_stats=True``
+    also returns per-doc (word count, word char total) arrays — computed
+    in the same pass so callers never re-tokenize."""
     grams: list[str] = []
     parents: list[int] = []
+    nw = np.zeros(len(texts), dtype=np.int64)
+    wchars = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         words = _WORD_RE.findall((t or "").lower())
+        if word_stats:
+            nw[i] = len(words)
+            wchars[i] = sum(map(len, words))
         m = len(words) - n + 1
         if m <= 0:
             continue
         grams.extend(" ".join(words[j : j + n]) for j in range(m))
         parents.extend([i] * m)
-    return grams, np.asarray(parents, dtype=np.int64)
+    parr = np.asarray(parents, dtype=np.int64)
+    if word_stats:
+        return grams, parr, nw, wchars
+    return grams, parr
 
 
 def contamination_hash_partials(tbl: pa.Table, n: int = 8,
