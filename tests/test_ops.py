@@ -163,6 +163,12 @@ def test_kmeans_lloyd_matches_single_process(ray_session):
             ds.repartition(nblocks), init, iters=3, return_counts=True)
         assert np.allclose(got, want, atol=1e-9)
         assert counts.sum() == 300
+    # run-to-run BITWISE determinism on a fixed split: the driver fold
+    # sorts partial rows by value, so batch arrival order cannot leak
+    ds7 = ds.repartition(7).materialize()
+    g1 = ann.kmeans_lloyd(ds7, init, iters=3)
+    g2 = ann.kmeans_lloyd(ds7, init, iters=3)
+    assert np.array_equal(g1, g2)
     # null embeddings are dropped, not crashed on
     with_null = pa.table({
         "vec_id": pa.array([0, 1], pa.int64()),
