@@ -207,6 +207,33 @@ def test_semdedup_keep_first(ray_session):
     assert out.loc[10, "cluster"] == 1 and out.loc[11, "cluster"] == 1
 
 
+def test_semdedup_composes_with_kmeans_lloyd(ray_session):
+    """The real-world composition: distributed-Lloyd-trained centroids
+    feed semdedup; near-identical vectors land in one cluster and only
+    the lowest id survives."""
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(6, 12))
+    rows, ids = [], []
+    vid = 0
+    for b in base:
+        for _ in range(5):  # 5 near-copies of each base vector
+            rows.append(b + 1e-4 * rng.normal(size=12))
+            ids.append(vid)
+            vid += 1
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float64())),
+    }))
+    cent = ann.kmeans_lloyd(ds, np.stack(rows[::5]), iters=3)
+    out = dedup.semdedup_keep(ds, cent, threshold=0.999).to_pandas()
+    kept = sorted(out[out["kept"]]["vec_id"])
+    assert kept == [0, 5, 10, 15, 20, 25]  # first of each 5-copy family
+    # no family is ever SPLIT across clusters (two families may merge:
+    # Lloyd trains on L2 while semdedup assigns spherically)
+    fam = out.assign(family=out["vec_id"] // 5)
+    assert (fam.groupby("family")["cluster"].nunique() == 1).all()
+
+
 def test_pair_components_raises_when_unconverged(ray_session):
     """Exhausting max_iters must raise, never silently return wrong
     labels (a chain far longer than max_iters rounds can cover, even

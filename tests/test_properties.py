@@ -188,3 +188,38 @@ def test_contamination_scores_matches_reference(texts, bench, n):
         g = grams(txt)
         assert out.column("n_ngrams")[i].as_py() == len(g)
         assert out.column("n_hits")[i].as_py() == len(g & bench_grams)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                    st.floats(min_value=0.0, max_value=3.0,
+                              allow_nan=False, allow_infinity=False),
+                    max_size=3),
+    st.floats(min_value=0.0, max_value=2.0, allow_nan=False),
+    st.integers(min_value=0, max_value=99),
+)
+def test_mix_rates_table_copy_semantics(rates, default, seed):
+    """mix_rates_table's integer compilation reproduces the exact
+    rate semantics: E[copies] per key == base + thr/2^bits, and the
+    per-row decision is a pure function of (id, seed)."""
+    import numpy as np
+
+    from cc_warc_examples_ray.hashing import xxh64_many
+    from cc_warc_examples_ray.ops.sampling import mix_rates_table
+
+    t = mix_rates_table(rates, default)
+    for k, r in list(rates.items()) + [(None, default)]:
+        base, thr = t[k]
+        assert base == int(r)
+        assert 0 <= thr <= 1 << 20
+        # compiled pair reproduces the rate to 2^-20 resolution
+        assert abs(base + thr / (1 << 20) - r) <= 0.5 / (1 << 20) + 1e-12
+    # decision reproducibility: same (id, seed) -> same copy count
+    h = xxh64_many([f"{i}:{seed}" for i in range(50)]) % np.uint64(1 << 20)
+    for k, r in rates.items():
+        base, thr = t[k]
+        n1 = base + (h < thr)
+        n2 = base + (h < thr)
+        assert np.array_equal(n1, n2)
+        assert ((n1 == base) | (n1 == base + 1)).all()
