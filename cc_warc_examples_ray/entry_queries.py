@@ -1680,6 +1680,10 @@ def q_repetition_scores(sf_dir: str) -> pd.DataFrame:
 # fractions (exact integer counts, one double division each) and the
 # most-frequent word bigram's character coverage (ties: smallest bigram,
 # both sides codepoint-ascending on ASCII \w+ words).
+# SCOPE: DuckDB \w is RE2's ASCII class while the Ray kernel tokenizes
+# with Python's Unicode \w — parity holds because the synthetic corpus
+# is ASCII; non-ASCII text would tokenize differently on the two sides
+# (same caveat as the RE2-\s note at the top of this module).
 SQL_REPETITION_SCORES = """
 WITH nel AS (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
@@ -1798,6 +1802,8 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
 # 3-grams (lowercased \w+ words, space-joined), membership against the
 # union of the benchmark slice's grams (string equality here; the Ray
 # side probes xxh64 hashes — collision-free at fixture scale).
+# SCOPE: \w is Unicode in the Python tokenizer but ASCII in DuckDB/RE2
+# — parity is guaranteed on the ASCII synthetic corpus only.
 SQL_DECONTAMINATE = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents

@@ -47,6 +47,11 @@ def mix_rates_table(rates: dict, default: float, bits: int = 20) -> dict:
     no float arithmetic happens at row time."""
     scale = 1 << bits
     def compile_one(r: float) -> tuple[int, int]:
+        # fail misconfiguration here, at compile time — a negative rate
+        # would otherwise surface as an opaque np.repeat error deep in
+        # weighted_mix (and int(r) truncates toward zero for negatives)
+        if not (r >= 0.0):  # also rejects NaN
+            raise ValueError(f"sampling rate must be >= 0, got {r!r}")
         base = int(r)
         return base, int(round((r - base) * scale))
     out = {k: compile_one(v) for k, v in rates.items()}

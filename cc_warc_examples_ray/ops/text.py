@@ -169,7 +169,19 @@ def repetition_scores(tbl: pa.Table, text_col: str = "text") -> pa.Table:
       sit in those duplicate occurrences;
     - ``top_bigram_char_frac``: fraction of word characters covered by
       occurrences of the most frequent word bigram (count ties broken by
-      lexicographically smallest bigram).
+      lexicographically smallest bigram).  NOTE: self-overlapping
+      occurrences double-count their shared word ("x x x" → 2 occurrences
+      × 3 chars / 5 word chars > 1.0), so the metric can exceed 1 —
+      threshold choices must account for it (the SQL oracle and the
+      property-test reference count identically; clamping would break
+      parity with both).
+
+    Scope notes shared with the SQL oracles: words come from Python's
+    Unicode ``\\w+`` while DuckDB/RE2 ``\\w`` is ASCII — parity is
+    guaranteed on ASCII corpora only; and line equality is xxh64-hash
+    equality (a collision counts two distinct lines as duplicates —
+    negligible probabilistically, but a latent divergence from the
+    oracle's exact string comparison at corpus scale).
 
     The line metrics are one vectorized kernel over the whole batch:
     Arrow ``split_pattern`` → flattened values + parent indices →

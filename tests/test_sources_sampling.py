@@ -96,6 +96,18 @@ def test_weighted_mix_deterministic(ray_session):
             == out.groupby("doc_id").size()).all()
 
 
+def test_mix_rates_table_rejects_negative_and_nan():
+    """Misconfigured rates fail at compile time with a clear message,
+    not deep inside weighted_mix's np.repeat."""
+    import pytest as _pytest
+
+    for bad in (-0.5, -2.0, float("nan")):
+        with _pytest.raises(ValueError, match="rate must be >= 0"):
+            sampling.mix_rates_table({"a": bad}, default=1.0)
+        with _pytest.raises(ValueError, match="rate must be >= 0"):
+            sampling.mix_rates_table({"a": 1.0}, default=bad)
+
+
 def test_substring_containment_dedup():
     kept = sampling.substring_containment_dedup(["photo", "photos", "pho", "icon"])
     assert kept == ["icon", "photos"]
