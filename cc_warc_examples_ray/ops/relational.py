@@ -623,6 +623,8 @@ def hash_join(
     key: str,
     num_buckets: int = 32,
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Explicit partitioned hash join for two large sides: bucket both by
     ``xxhash64(key) % B``, co-group, and merge per bucket with pandas.
@@ -638,7 +640,12 @@ def hash_join(
     if how not in ("inner", "left"):
         raise ValueError(f"hash_join supports how='inner'/'left', got {how!r}"
                          " — use native_join for other types")
-    lschema, rschema = left.schema(), right.schema()
+    # explicit schemas let callers with statically-known columns skip
+    # Ray's schema fetch (a limit-1 execution of the upstream chain,
+    # which returns None — and would crash below — on fully-empty
+    # grouped inputs)
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     lcols = list(lschema.names)
     rcols = [key] + [c for c in rschema.names if c != key and c not in lcols]
     # union schema (typed): every block carries every column (typed nulls

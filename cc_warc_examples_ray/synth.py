@@ -325,3 +325,102 @@ def media_training_table(n: int = 4000, seed: int = GLOBAL_SEED + 9) -> pa.Table
         "dom_depth": dom_depth, "dom_sib": dom_sib, "suffix_gif": suffix_gif,
         "label": label,
     })
+
+
+# ---------------------------------------------------------------------------
+# Enriched text corpus for PII / line-level cleaning ops
+# ---------------------------------------------------------------------------
+
+_NAMES = ("alice", "bob", "carol", "dave", "erin", "frank", "grace", "heidi")
+_MAIL_DOMS = ("example", "mailhost", "webmail", "corp")
+_TLDS = ("com", "org", "net")
+
+# Shared boilerplate pool: lines that repeat VERBATIM across documents
+# (line_dedup targets) — some also trip the C4 blocklist / length /
+# terminal-punctuation gates (line_filter targets).
+_BOILERPLATE = (
+    "please enable javascript to view the dynamic content of this site.",
+    "we use cookies to improve your browsing experience on this site.",
+    "all rights reserved.",
+    "terms of use and privacy policy apply to every page here.",
+    "subscribe to our newsletter for weekly updates and offers.",
+    "click here to read more about our featured stories today.",
+    "copyright notice",
+    "share this article with your friends on social media now!",
+    "this site requires javascript and cookies to work properly.",
+    "navigation menu",
+)
+
+
+def _rich_sentence(rng: np.random.Generator, doc_id: int, j: int,
+                   n_words: int, terminal: str) -> str:
+    """Unique-per-(doc,line) sentence: seeded words + an id token so no
+    two 'normal' lines collide across the corpus."""
+    ws = [WORDS[int(rng.integers(0, len(WORDS)))] for _ in range(n_words - 1)]
+    ws.append(f"note{doc_id}x{j}")
+    return " ".join(ws) + terminal
+
+
+def _pii_line(rng: np.random.Generator) -> str:
+    """A >=5-word, terminal-punctuated sentence embedding 1-2 PII items
+    (so it SURVIVES line_filter and pii_scrub has work to do)."""
+    kind = int(rng.integers(0, 4))
+    name = _NAMES[int(rng.integers(0, len(_NAMES)))]
+    if kind == 0:
+        email = (f"{name}{int(rng.integers(0, 99))}"
+                 f"@{_MAIL_DOMS[int(rng.integers(0, len(_MAIL_DOMS)))]}"
+                 f".{_TLDS[int(rng.integers(0, len(_TLDS)))]}")
+        return f"contact {email} for more details about the order."
+    if kind == 1:
+        phone = (f"{int(rng.integers(200, 1000))}-{int(rng.integers(100, 1000))}"
+                 f"-{int(rng.integers(0, 10000)):04d}")
+        return f"call {phone} during office hours to reach {name}."
+    if kind == 2:
+        ip = ".".join(str(int(rng.integers(1, 255))) for _ in range(4))
+        return f"the origin server at {ip} responded slowly yesterday."
+    email = f"{name}@{_MAIL_DOMS[int(rng.integers(0, len(_MAIL_DOMS)))]}.com"
+    phone = f"555-{int(rng.integers(100, 1000))}-{int(rng.integers(0, 10000)):04d}"
+    return f"email {email} or call {phone} before noon please."
+
+
+def rich_documents_table(n: int, seed: int = GLOBAL_SEED) -> pa.Table:
+    """Deterministic enriched text corpus for the PII-scrub / line-filter
+    / line-dedup operators (the sf documents table has no digits, @, or
+    newlines, so cleaning oracles over it would verify identity
+    transforms — NOTES_r3.md).  Pure function of (seed, n); ASCII only
+    (the RE2-vs-Python regex parity scope).  Per doc, 3-12 newline-joined
+    lines drawn from: unique sentences, shared boilerplate (cross-doc
+    verbatim duplicates), short lines, lines without terminal
+    punctuation, PII-bearing sentences, and within-doc repeats."""
+    rng = _rng(seed, 7107)
+    doc_ids, texts = [], []
+    for i in range(n):
+        n_lines = 3 + int(rng.integers(0, 10))
+        lines: list[str] = []
+        for j in range(n_lines):
+            r = rng.random()
+            if r < 0.40:
+                lines.append(_rich_sentence(
+                    rng, i, j, 5 + int(rng.integers(0, 11)),
+                    ".!?"[int(rng.integers(0, 3))]))
+            elif r < 0.58:
+                lines.append(_BOILERPLATE[int(rng.integers(0, len(_BOILERPLATE)))])
+            elif r < 0.68:  # short line (fails the >=5 word gate)
+                k = 1 + int(rng.integers(0, 4))
+                lines.append(" ".join(
+                    WORDS[int(rng.integers(0, len(WORDS)))] for _ in range(k)) + ".")
+            elif r < 0.76:  # no terminal punctuation
+                lines.append(_rich_sentence(rng, i, j + 500,
+                                            6 + int(rng.integers(0, 4)), ""))
+            elif r < 0.90:
+                lines.append(_pii_line(rng))
+            elif lines:  # within-doc verbatim repeat
+                lines.append(lines[int(rng.integers(0, len(lines)))])
+            else:
+                lines.append(_rich_sentence(rng, i, j, 6, "."))
+        doc_ids.append(i)
+        texts.append("\n".join(lines))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })

@@ -1,0 +1,115 @@
+"""PII scrubbing + C4/RefinedWeb line-level cleaning (ops/clean.py):
+Arrow-RE2 kernels vs a pure-Python `re` reference on the enriched
+fixture, distributed line_dedup vs a serial first-occurrence sweep,
+and block-split invariance."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cc_warc_examples_ray import synth
+from cc_warc_examples_ray.ops import clean
+
+
+@pytest.fixture(scope="module")
+def rich():
+    return synth.rich_documents_table(300)
+
+
+def test_pii_scrub_matches_python_re(rich):
+    out = clean.pii_scrub(rich)
+    texts = rich.column("text").to_pylist()
+    got_clean = out.column("text_clean").to_pylist()
+    counts = {a: out.column(a).to_pylist() for _, _, a in clean.PII_STAGES}
+    n_found = 0
+    for i, t in enumerate(texts):
+        cur = t
+        for pat, token, alias in clean.PII_STAGES:
+            matches = re.findall(pat, cur)
+            assert counts[alias][i] == len(matches), (i, alias)
+            n_found += len(matches)
+            cur = re.sub(pat, token, cur)
+        assert got_clean[i] == cur, i
+    assert n_found > 100  # the fixture gives the scrubber real work
+    # redacted text contains no residual PII
+    assert not any(re.search(clean.EMAIL_RE, c) for c in got_clean)
+
+
+def test_pii_scrub_boundary_cases():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # \b guards: phone digits inside a word, IP with port suffix
+            "x555-123-4567y is not a phone but 555-123-4567 is.",
+            "addr 10.1.2.3:8080 still redacts the IP part.",
+            None,  # null text → zero counts, empty clean
+            "a@b.co and c.d-e@f.g.h.org together.",
+        ]),
+    })
+    out = clean.pii_scrub(t)
+    assert out.column("n_phones").to_pylist() == [1, 0, 0, 0]
+    assert out.column("n_ipv4").to_pylist() == [0, 1, 0, 0]
+    assert out.column("n_emails").to_pylist() == [0, 0, 0, 2]
+    rows = out.column("text_clean").to_pylist()
+    assert rows[0] == "x555-123-4567y is not a phone but <PHONE> is."
+    assert rows[1] == "addr <IP>:8080 still redacts the IP part."
+    assert rows[2] == ""
+    assert rows[3] == "<EMAIL> and <EMAIL> together."
+
+
+def test_line_filter_matches_python_reference(rich):
+    out = clean.line_filter(rich).to_pandas()
+    exp = []
+    for did, txt in zip(rich.column("doc_id").to_pylist(),
+                        rich.column("text").to_pylist()):
+        for j, ln in enumerate(txt.split("\n")):
+            nw = len(re.findall(r"[0-9A-Za-z_]+", ln))
+            kept = (nw >= clean.LINE_MIN_WORDS
+                    and re.search(r'[.!?"]$', ln) is not None
+                    and re.search(r"(?i)javascript|cookie|lorem ipsum", ln) is None)
+            exp.append((did, j, nw, kept))
+    ref = pd.DataFrame(exp, columns=["doc_id", "line_idx", "n_words", "kept"])
+    pd.testing.assert_frame_equal(
+        out.sort_values(["doc_id", "line_idx"]).reset_index(drop=True),
+        ref.sort_values(["doc_id", "line_idx"]).reset_index(drop=True),
+        check_dtype=False)
+    # every gate fires somewhere on the fixture
+    assert 0 < out["kept"].sum() < len(out)
+    assert (out["n_words"] < clean.LINE_MIN_WORDS).any()
+
+
+def test_line_dedup_first_occurrence_and_split_invariance(ray_session, rich):
+    outs = []
+    for nblocks in (1, 6):
+        ds = rd.from_arrow(rich).repartition(nblocks)
+        outs.append(clean.line_dedup(ds).to_pandas()
+                    .sort_values(["doc_id", "line_idx"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # serial first-occurrence reference (exact string equality)
+    seen, exp = set(), []
+    for did, txt in zip(rich.column("doc_id").to_pylist(),
+                        rich.column("text").to_pylist()):
+        for j, ln in enumerate(txt.split("\n")):
+            if not ln:
+                continue
+            exp.append((did, j, ln not in seen))
+            seen.add(ln)
+    ref = pd.DataFrame(exp, columns=["doc_id", "line_idx", "kept"])
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # cross-doc boilerplate means real drops happened
+    assert out["kept"].sum() < len(out)
+
+
+def test_line_dedup_empty_and_all_empty_lines(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["", "\n\n"]),
+    })
+    out = clean.line_dedup(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 0  # empty lines carry no dedup signal
