@@ -103,14 +103,25 @@ def arrow_group_by(tbl: pa.Table, keys: Sequence[str], spec) -> pa.Table:
 
 def grouped_agg(ds: rd.Dataset, keys: Sequence[str],
                 aggs: Sequence[tuple[str | None, str, str]],
-                num_partitions: int = 32) -> rd.Dataset:
+                num_partitions: int = 32,
+                small_merge_rows: int = 200_000) -> rd.Dataset:
     """Exact per-key aggregate built for HIGH-cardinality keys (words,
     hashes, pair ids, vertex ids — millions+ of groups): per-batch Arrow
     ``group_by`` partial, hash-partition on the key(s), one Arrow
     ``group_by`` per partition.  Ray's native ``groupby().aggregate()``
     range-sorts the whole dataset and combines per group in Python —
-    measured 50 s on 3.3M rows / 1.1M keys where this path takes ~2 s;
-    at low cardinality the difference is a small fixed cost.
+    measured 50 s on 3.3M rows / 1.1M keys where this path takes ~2 s.
+
+    ADAPTIVE MERGE: the partial stage collapses every batch to at most
+    #distinct-keys rows, so after materializing the partials their row
+    count IS a key-cardinality bound at zero extra cost.  When that
+    bound fits ``small_merge_rows`` the final merge is a single Arrow
+    ``group_by`` task over coalesced blocks — no partition shuffle at
+    all, recovering the ~0.2-0.3 s fixed sort-shuffle cost that tiny-key
+    queries (word_count, exact_dedup) were paying; above the bound the
+    hash-partitioned merge runs as before (the 100 TB regime).  The
+    materialize barrier is free in practice: the big path's sort
+    shuffle materializes internally anyway.
 
     ``aggs``: ``(col, fn, alias)`` with fn in {"sum", "min", "max",
     "count"} (col ignored for count); all three re-associate, so the
@@ -138,8 +149,17 @@ def grouped_agg(ds: rd.Dataset, keys: Sequence[str],
     def merge(gt: pa.Table) -> pa.Table:
         return collapse(gt.drop_columns(["_part"]), mspec).select(out_cols)
 
+    def merge_small(gt: pa.Table) -> pa.Table:
+        return collapse(gt, mspec).select(out_cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() <= small_merge_rows:
+        # batch_size=None: the merge MUST see the single coalesced block
+        # as ONE batch (chunked batches would emit duplicate keys)
+        return parts.repartition(1).map_batches(
+            merge_small, batch_format="pyarrow", batch_size=None)
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        parts
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(merge, batch_format="pyarrow")

@@ -424,6 +424,18 @@ def test_grouped_agg_matches_pandas(ray_session):
     dist = relational.grouped_agg(ds, ["k2"], []).to_pandas()
     assert sorted(dist["k2"]) == sorted(t.to_pandas()["k2"].unique())
 
+    # adaptive dispatch: the single-task small merge (default cutoff)
+    # and the forced hash-partitioned big merge agree exactly
+    big = relational.grouped_agg(
+        ds, ["k1", "k2"],
+        [("v", "sum", "s"), ("v", "min", "lo"), ("v", "max", "hi"),
+         (None, "count", "n")],
+        num_partitions=8, small_merge_rows=0,
+    ).to_pandas().sort_values(["k1", "k2"], na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k1", "k2", "s", "lo", "hi", "n"]],
+        big[["k1", "k2", "s", "lo", "hi", "n"]], check_dtype=False)
+
 
 def test_exact_dedup(ray_session, docs_ds):
     out = dedup.exact_dedup(docs_ds, "text", "doc_id").to_pandas()
