@@ -824,13 +824,18 @@ def asof_join(
     join; left rows with no eligible right row keep typed nulls).
 
     Shape: both sides hash-bucket by key (one shuffle each), and every
-    bucket runs ONE vectorized ``pandas.merge_asof`` across all its keys
-    at once (``by=`` grouping inside the kernel — no per-key group).
-    Equal ``right_on`` ties resolve to the row LAST in ``(right_on,
-    *tiebreak)`` ascending order (merge_asof picks the last eligible
-    row), i.e. the MAX of ``tiebreak`` — pass a unique column to pin a
-    deterministic winner, mirroring a SQL ``row_number() OVER (ORDER BY
-    right_on DESC, tiebreak DESC)`` pick."""
+    bucket matches ALL its keys in one vectorized Arrow/numpy kernel —
+    the same composite-rank searchsorted construction as
+    :func:`range_join` (no pandas round-trip): right rows sort by
+    (key-code, on, *tiebreak) and collapse to ``code·(n+1) +
+    dense_rank(on)``; each left probe maps t → #{right on <= t} on the
+    same rank scale, and ``searchsorted(..., 'left') - 1`` lands on the
+    last eligible right row of the probe's key run.  Equal ``right_on``
+    ties therefore resolve to the MAX of ``tiebreak`` — pass a unique
+    column to pin a deterministic winner, mirroring a SQL
+    ``row_number() OVER (ORDER BY right_on DESC, tiebreak DESC)`` pick.
+    Null keys / null on-values on either side match nothing (SQL
+    semantics); unmatched left rows keep typed nulls."""
     lschema = left.schema()
     lcols = list(lschema.names)
     rkeep = [right_by, right_on] + [c for c in right_cols if c not in (right_by, right_on)]
@@ -846,17 +851,74 @@ def asof_join(
                            batch_format="pyarrow")
     out_cols = lcols + [c for c in rextra if c != right_by]
     out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
+    rout = [c for c in rextra if c != right_by]
+
+    def as_i64(arr: np.ndarray) -> np.ndarray:
+        # datetime columns normalize to ONE unit before the int view
+        # (Arrow yields us, pandas arithmetic yields ns)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[ns]").astype(np.int64)
+        return arr.astype(np.int64)
 
     def merge(gt: pa.Table) -> pa.Table:
-        lg, rg = _side_tables(gt, lcols, rkeep)
-        lg = lg.sort_values(left_on, kind="mergesort")
-        rg = rg.sort_values([right_on, *tiebreak], kind="mergesort")
-        m = pd.merge_asof(
-            lg, rg, left_on=left_on, right_on=right_on,
-            left_by=left_by, right_by=right_by, direction="backward",
-        )
-        return pa.Table.from_pandas(
-            m[out_cols], schema=out_schema, preserve_index=False
-        ).replace_schema_metadata(None)
+        side = gt.column("_side")
+        lg = gt.filter(pc.equal(side, 0)).select(lcols).combine_chunks()
+        if lg.num_rows == 0:
+            return out_schema.empty_table()
+        rg = gt.filter(pc.equal(side, 1)).select(rkeep).combine_chunks()
+        # null right keys / on-values can never match — drop up front
+        rg = rg.filter(pc.and_(pc.is_valid(rg.column(right_by)),
+                               pc.is_valid(rg.column(right_on))))
+
+        def pad_unmatched() -> pa.Table:
+            out = lg
+            for c in rout:
+                out = out.append_column(c, pa.nulls(lg.num_rows, types[c]))
+            return (out.select(out_cols).cast(out_schema)
+                    .replace_schema_metadata(None))
+
+        if rg.num_rows == 0:
+            return pad_unmatched()
+        lk = lg.column(left_by).combine_chunks()
+        rk = pc.cast(rg.column(right_by).combine_chunks(), lk.type)
+        codes = pc.dictionary_encode(pa.concat_arrays([lk, rk])).indices
+        codes = codes.to_numpy(zero_copy_only=False)
+        if codes.dtype.kind == "f":  # null left keys decode to NaN
+            lvalid = ~np.isnan(codes[:lg.num_rows])
+            codes = np.nan_to_num(codes)
+        else:
+            lvalid = np.ones(lg.num_rows, bool)
+        lc = np.where(lvalid, codes[:lg.num_rows], -1).astype(np.int64)
+        rc = codes[lg.num_rows:].astype(np.int64)  # null-free (filtered)
+
+        r_on = as_i64(rg.column(right_on).to_numpy(zero_copy_only=False))
+        tb = [rg.column(c).to_numpy(zero_copy_only=False) for c in tiebreak]
+        order = np.lexsort((*reversed(tb), r_on, rc))
+        rc_s, rt_s = rc[order], r_on[order]
+        all_sorted = np.sort(rt_s)
+        n = len(rt_s)
+        comp_r = rc_s * np.int64(n + 1) + np.searchsorted(all_sorted, rt_s, "left")
+
+        l_on_col = lg.column(left_on)
+        if l_on_col.null_count:
+            lvalid &= pc.is_valid(l_on_col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+        l_on = as_i64(pc.fill_null(
+            l_on_col, pa.scalar(0, l_on_col.type)
+        ).combine_chunks().to_numpy(zero_copy_only=False))
+        # rank(t) = #{right on <= t}: a right row r is eligible iff
+        # rank_left(r.on) < rank(t)  (see range_join's rank-mapping note)
+        r_rank = np.searchsorted(all_sorted, l_on, "right")
+        pos = np.searchsorted(comp_r, lc * np.int64(n + 1) + r_rank, "left")
+        idx = pos - 1
+        safe = np.clip(idx, 0, None)
+        matched = lvalid & (idx >= 0) & (rc_s[safe] == lc)
+        take = pa.array(order[safe].astype(np.int64), mask=~matched)
+        rsel = rg.take(take)
+        out = lg
+        for c in rout:
+            out = out.append_column(c, rsel.column(c))
+        return (out.select(out_cols).cast(out_schema)
+                .replace_schema_metadata(None))
 
     return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pyarrow")

@@ -539,6 +539,57 @@ def test_asof_join(ray_session):
     assert out2["rid"].tolist() == [101]
 
 
+def test_asof_join_null_keys_and_ts(ray_session):
+    """Arrow-native asof kernel: null left keys / null left timestamps
+    match nothing (typed-null padding); null right keys / right
+    timestamps never match anything."""
+    left = rd.from_arrow(pa.table({
+        "eid": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([10, None, 10], pa.int64()),
+        "t": pa.array([5, 5, None], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([10, 10, None], pa.int64()),
+        "rt": pa.array([3, None, 4], pa.int64()),
+        "rid": pa.array([100, 101, 102], pa.int64()),
+    }))
+    out = relational.asof_join(
+        left, right, left_by="k", left_on="t", right_by="rk", right_on="rt",
+        right_cols=["rid"], tiebreak=["rid"],
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    assert out["rid"].tolist()[0] == 100   # only valid right row matches
+    assert pd.isna(out["rid"].tolist()[1])  # null left key
+    assert pd.isna(out["rid"].tolist()[2])  # null left ts
+
+
+def test_asof_join_matches_pandas_brute(ray_session):
+    """Randomized pin: the composite-rank asof kernel == per-row
+    brute-force latest-at-or-before scan with max-tiebreak ties."""
+    rng = np.random.default_rng(11)
+    nl, nr = 400, 300
+    lt = pd.DataFrame({
+        "eid": np.arange(nl), "k": rng.integers(0, 12, nl),
+        "t": rng.integers(0, 50, nl)})
+    rt = pd.DataFrame({
+        "rk": rng.integers(0, 12, nr), "rt": rng.integers(0, 50, nr),
+        "rid": np.arange(nr)})
+    out = relational.asof_join(
+        rd.from_pandas(lt).repartition(4), rd.from_pandas(rt).repartition(3),
+        left_by="k", left_on="t", right_by="rk", right_on="rt",
+        right_cols=["rid"], tiebreak=["rid"], num_buckets=5,
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    exp = []
+    for _, row in lt.iterrows():
+        elig = rt[(rt["rk"] == row["k"]) & (rt["rt"] <= row["t"])]
+        if len(elig):
+            best = elig.sort_values(["rt", "rid"]).iloc[-1]
+            exp.append(best["rid"])
+        else:
+            exp.append(np.nan)
+    got = out["rid"].to_numpy(dtype=float)
+    assert np.allclose(got, np.array(exp, dtype=float), equal_nan=True)
+
+
 def test_range_join_brute_force(ray_session):
     """range_join (composite-rank kernel) must equal the brute-force
     double loop on random data — integer AND datetime on-columns, ties,
