@@ -352,10 +352,14 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
         if newest < cutoff:
             shutil.rmtree(sub, ignore_errors=True)
 
-    def _write_group(g: pd.DataFrame) -> pd.DataFrame:
-        part = g[partition_col].iloc[0]
+    def _write_group(g: pa.Table) -> pa.Table:
+        # partition keeps its NATIVE column type in the manifest rows
+        # (int partitions must stay int for partition-scan equality)
+        pcol = g.column(partition_col).slice(0, 1).combine_chunks()
+        part = _py(pcol[0].as_py())
         if part in done:
-            return pd.DataFrame({"partition": [part], "file": [""], "rows": [0]})
+            return pa.table({"partition": pcol, "file": [""],
+                             "rows": pa.array([0], pa.int64())})
         # per-writer unique subdir: never collides with (or deletes) a
         # racing writer's committed fragments; orphans are reclaimed by
         # the next run's vacuum above
@@ -363,17 +367,17 @@ def write_ray_partitioned(ds, path: str, partition_col: str, metadata: dict | No
         subdir = os.path.join(path, sub)
         os.makedirs(subdir)
         name = f"frag-{uuid.uuid4().hex}.parquet"
-        # strip the from_pandas metadata blob so read_parquet blocks get
-        # hashable (dedup-able) schemas downstream
-        pq.write_table(
-            pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None),
-            os.path.join(subdir, name),
-        )
-        return pd.DataFrame(
-            {"partition": [part], "file": [os.path.join(sub, name)], "rows": [len(g)]}
-        )
+        # Arrow-native: the group's columns (incl. binary / embedding
+        # payloads in the ANN index build, this writer's main caller)
+        # flow zero-copy to the fragment — no pandas round-trip.
+        pq.write_table(g.replace_schema_metadata(None),
+                       os.path.join(subdir, name))
+        return pa.table({"partition": pcol,
+                         "file": [os.path.join(sub, name)],
+                         "rows": pa.array([g.num_rows], pa.int64())})
 
-    frag_rows = ds.groupby(partition_col).map_groups(_write_group, batch_format="pandas").take_all()
+    frag_rows = ds.groupby(partition_col).map_groups(
+        _write_group, batch_format="pyarrow").take_all()
     new_frags = [
         {"file": r["file"], "rows": int(r["rows"]), "partition": _py(r["partition"])}
         for r in frag_rows
