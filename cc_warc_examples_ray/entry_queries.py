@@ -1557,6 +1557,25 @@ FROM reach GROUP BY a ORDER BY image_id
 """
 
 
+def q_phash_groups_dist(sf_dir: str) -> pd.DataFrame:
+    """Same visual near-dup grouping, but with the DISTRIBUTED
+    connected-components regime forced (``finish_cutoff=0`` — the
+    large-star/small-star engine that the 100 TB path uses; default
+    ``CC_ENGINE=star``, ``labelprop`` selectable).  Shares
+    SQL_PHASH_GROUPS: every engine must produce identical min-id
+    labels, so the driver's oracle row checks the distributed engine
+    end-to-end rather than only in pytest."""
+    store = _store()
+    _ensure_phash_fixture()
+    ds = store.read_ray(columns=["image_id", "phash"])
+    pairs = dedup.phash_neardup_groups(
+        ds, max_hamming=2, salt=int(os.environ.get("PHASH_SALT", "2"))
+    )
+    out = dedup.pair_components(pairs, finish_cutoff=0).to_pandas()
+    out = out.rename(columns={"node": "image_id"})
+    return out[["image_id", "group_id"]].sort_values("image_id").reset_index(drop=True)
+
+
 def q_langid(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = docs.map_batches(text.LangIdentifier(), batch_format="pyarrow").map_batches(
@@ -2783,6 +2802,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "phash_neardup": q_phash_neardup,
     "phash_groups": q_phash_groups,
+    "phash_groups_dist": q_phash_groups_dist,
     "langid": q_langid,
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
@@ -2846,6 +2866,7 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "phash_neardup": SQL_PHASH_NEARDUP,
     "phash_groups": SQL_PHASH_GROUPS,
+    "phash_groups_dist": SQL_PHASH_GROUPS,
     "langid": SQL_LANGID,
     "quality_scores": SQL_QUALITY_SCORES,
     "repetition_scores": SQL_REPETITION_SCORES,

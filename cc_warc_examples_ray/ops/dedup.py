@@ -1274,9 +1274,33 @@ def brute_force_pairs(ds: rd.Dataset, threshold: float, id_col: str = "vec_id",
     return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]).sort_values(["id_a", "id_b"])
 
 
+def _blocked_lower_id_hits(mat: np.ndarray, threshold: float,
+                           block: int) -> np.ndarray:
+    """dropped[j] = any(cos(i, j) >= threshold for i < j), computed in
+    ``block``×``block`` matmul tiles so a skew-hot cluster can never
+    materialize its full m×m cosine matrix (the ``brute_force_pairs``
+    blocking pattern).  ``mat`` rows must be pre-normalized."""
+    m = len(mat)
+    dropped = np.zeros(m, bool)
+    for j0 in range(0, m, block):
+        j1 = min(j0 + block, m)
+        sub = mat[j0:j1]
+        hitj = np.zeros(j1 - j0, bool)
+        for i0 in range(0, j1, block):
+            i1 = min(i0 + block, j1)
+            cs = mat[i0:i1] @ sub.T
+            if i1 > j0:  # diagonal tile: mask i >= j
+                ii = np.arange(i0, i1)[:, None]
+                jj = np.arange(j0, j1)[None, :]
+                cs = np.where(ii < jj, cs, -np.inf)
+            hitj |= (cs >= threshold).any(axis=0)
+        dropped[j0:j1] = hitj
+    return dropped
+
+
 def semdedup_keep(ds: rd.Dataset, centroids: np.ndarray, threshold: float,
                   id_col: str = "vec_id", emb_col: str = "embedding",
-                  num_partitions: int = 32) -> rd.Dataset:
+                  num_partitions: int = 32, cos_block: int = 2048) -> rd.Dataset:
     """SemDedup-style semantic dedup (Abbas et al. 2023, public):
     cluster the embedding space (spherical assignment against broadcast
     k-means centroids — :func:`..ops.ann.ivf_assign`), then within each
@@ -1292,9 +1316,10 @@ def semdedup_keep(ds: rd.Dataset, centroids: np.ndarray, threshold: float,
     groups regardless of k) and each partition's kernel walks its
     cluster boundaries with numpy; a group-per-cluster ``map_groups``
     would pay per-group overhead k times at the paper's k ∝ corpus
-    size.  Per-cluster size stays bounded by that k choice, so each
-    cluster's dense cosine matrix fits in one task.  Output:
-    (id_col, cluster, kept)."""
+    size.  Within a cluster the cosine scan runs in ``cos_block``²
+    matmul tiles (:func:`_blocked_lower_id_hits`) so one skew-hot
+    cluster cannot materialize an m×m matrix and blow the worker heap.
+    Output: (id_col, cluster, kept)."""
     from .ann import ivf_assign
     from .relational import _arrow_types, make_part_assigner
 
@@ -1321,10 +1346,8 @@ def semdedup_keep(ds: rd.Dataset, centroids: np.ndarray, threshold: float,
             mat = np.asarray(list(emb[s0:s1]), dtype=np.float64)
             nrm = np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / np.where(nrm == 0, 1.0, nrm)
-            ia, ib = np.triu_indices(s1 - s0, k=1)
-            hit = (mat @ mat.T)[ia, ib] >= threshold
-            if hit.any():
-                kept[s0 + np.unique(ib[hit])] = False  # ib > ia: lower-id witness
+            dropped = _blocked_lower_id_hits(mat, threshold, cos_block)
+            kept[s0:s1] &= ~dropped  # lower-id witness ⇒ drop
         return pa.table({
             id_col: pa.array(ids).cast(idt),
             "cluster": pa.array(clusters, pa.int64()),

@@ -207,6 +207,41 @@ def test_semdedup_keep_first(ray_session):
     assert out.loc[10, "cluster"] == 1 and out.loc[11, "cluster"] == 1
 
 
+def test_semdedup_blocked_kernel_huge_cluster(ray_session):
+    """One deliberately HUGE cluster: the tiled cosine scan (tiny
+    cos_block forces many diagonal + off-diagonal tiles) must equal the
+    full-matrix triu reference — no skew-hot cluster may change
+    results, only bound memory."""
+    rng = np.random.default_rng(5)
+    n, d = 500, 16
+    base = rng.normal(size=(40, d))
+    vecs = base[rng.integers(0, 40, n)] + rng.normal(scale=0.05, size=(n, d))
+    cent = np.zeros((2, d)); cent[0, 0] = 1.0; cent[1, 1] = -1.0
+    # all vectors into one cluster: centroid 0 dominates after the
+    # spherical assign for almost all; what matters is cluster sizes >>
+    # cos_block so tiles really exercise the masking
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })).repartition(4)
+    thr = 0.98
+    out = dedup.semdedup_keep(ds, cent, threshold=thr, cos_block=17).to_pandas()
+    ref = dedup.semdedup_keep(ds, cent, threshold=thr, cos_block=1 << 20).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    ref = ref.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+    # also pin the tile kernel itself against the triu reference
+    mat = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ia, ib = np.triu_indices(n, k=1)
+    hit = (mat @ mat.T)[ia, ib] >= thr
+    exp = np.zeros(n, bool)
+    exp[np.unique(ib[hit])] = True
+    got = dedup._blocked_lower_id_hits(mat, thr, 17)
+    assert (got == exp).all()
+    assert exp.any() and not exp.all()  # non-degenerate fixture
+
+
 def test_semdedup_composes_with_kmeans_lloyd(ray_session):
     """The real-world composition: distributed-Lloyd-trained centroids
     feed semdedup; near-identical vectors land in one cluster and only
