@@ -96,6 +96,7 @@ def run_streaming_crawl(
     seed_feed=None,
     round_target: int | None = None,
     shard_capacity: int | None = None,
+    max_inflight_rounds: int = 4,
 ) -> CrawlRun:
     """Continuous-mode crawl over a (finite) seed list: enqueue in rank
     order, then drain the per-shard heaps round by round; fetch + decode
@@ -175,7 +176,7 @@ def run_streaming_crawl(
         from concurrent.futures import ThreadPoolExecutor
 
         decoder = DecodeValidate(min_dim=min_dim)
-        writer_pool = ThreadPoolExecutor(max_workers=2)
+        writer_pool = ThreadPoolExecutor(max_workers=max_inflight_rounds)
         committer_pool = ThreadPoolExecutor(max_workers=1)
         inflight: list[tuple] = []
         commit_q: "_queue.Queue" = _queue.Queue()
@@ -186,6 +187,7 @@ def run_streaming_crawl(
             # peek; pop only after the commit applies (the committing
             # round must stay visible to the backpressure count)
             round_, admitted_, blobs_, fut_ = inflight[0]
+            blobs_ = ray.get(list(blobs_))  # async checkpoint refs
             frags = fut_.result()
             run.images_out.commit_fragments(frags)
             if not frags:
@@ -237,10 +239,20 @@ def run_streaming_crawl(
                 except BaseException as ex:
                     commit_err.append(ex)
 
+        import os as _os
+
+        timing = _os.environ.get("STREAM_TIMING") == "1"
+        tstats = {"feed": 0.0, "drain": 0.0, "ckpt": 0.0, "merge": 0.0,
+                  "submit": 0.0, "backpressure": 0.0, "n_rounds": 0}
+
+        def _tick():
+            return time.perf_counter() if timing else 0.0
+
         nblocks_feed = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
         rounds = start_round
         try:
             while True:
+                t_ph = _tick()
                 fed = False
                 if seed_feed is not None:
                     ft = seed_feed(rounds)
@@ -263,7 +275,17 @@ def run_streaming_crawl(
                 # Drains arrive as COLUMN arrays (next_batch_arrays):
                 # 160k python tuples per round cost more to build,
                 # serialize and re-sort than the arrays.
-                target = round_target if round_target is not None else batch_urls * num_shards
+                if timing:
+                    tstats["feed"] += _tick() - t_ph
+                    t_ph = _tick()
+                # default 2x(batch_urls x shards): the A/B sweep at 1.28M
+                # seeds (BENCH/BASELINE.md round 4) found 2x rounds with 4
+                # inflight ~10-15% faster than both 1x/36-round and
+                # 4x/10-round shapes — small-enough rounds keep the
+                # executor continuously fed, big-enough ones amortize the
+                # per-round Dataset + checkpoint cost
+                target = (round_target if round_target is not None
+                          else batch_urls * num_shards * 2)
                 chunks: list[tuple] = []
                 n_emitted = 0
                 while True:
@@ -277,11 +299,20 @@ def run_streaming_crawl(
                     n_emitted += sum(len(c[0]) for c in got)
                     if n_emitted >= target:
                         break
+                if timing:
+                    tstats["drain"] += _tick() - t_ph
+                    t_ph = _tick()
                 if not n_emitted and not fed:
                     break
-                # checkpoint NOW: the blobs must reflect the heap state
-                # after THIS drain and before the next one
-                blobs = pool.checkpoints()
+                # checkpoint NOW — but without blocking: actor-FIFO
+                # ordering pins each blob to the heap state after THIS
+                # drain and before the next one even though the bytes
+                # serialize concurrently with the driver's next drain;
+                # the committer resolves the refs at commit time
+                blobs = pool.checkpoints_async()
+                if timing:
+                    tstats["ckpt"] += _tick() - t_ph
+                    t_ph = _tick()
                 if chunks:
                     from itertools import chain
 
@@ -311,6 +342,9 @@ def run_streaming_crawl(
                     }
                 )
                 admitted = add_image_ids(admitted, store_size).drop_columns(["path"])
+                if timing:
+                    tstats["merge"] += _tick() - t_ph
+                    t_ph = _tick()
                 fetched = fetch_from_store(store_paths, admitted)
                 validated = fetched.map_batches(
                     decoder, batch_format="pyarrow", batch_size=256
@@ -324,9 +358,17 @@ def run_streaming_crawl(
                 commit_q.put(None)
                 if commit_err:
                     raise commit_err[0]
-                # backpressure: at most 2 rounds' writes in flight
-                while sum(1 for t in list(inflight) if not t[3].done()) > 1:
+                if timing:
+                    tstats["submit"] += _tick() - t_ph
+                    t_ph = _tick()
+                # backpressure: bound rounds' writes in flight (memory
+                # stays bounded: a round is ~round_target admitted rows)
+                while sum(1 for t in list(inflight)
+                          if not t[3].done()) >= max_inflight_rounds:
                     time.sleep(0.02)
+                if timing:
+                    tstats["backpressure"] += _tick() - t_ph
+                    tstats["n_rounds"] += 1
                 rounds += 1
                 if fail_after_round is not None and rounds > fail_after_round:
                     commit_q.put(StopIteration)
@@ -341,6 +383,10 @@ def run_streaming_crawl(
                 committer = None
             if commit_err:
                 raise commit_err[0]
+            if timing:
+                print("STREAM_TIMING " + " ".join(
+                    f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in tstats.items()))
         finally:
             # ALWAYS unblock the committer thread (see crawl.py)
             if committer is not None:

@@ -433,7 +433,17 @@ class FrontierPool:
         return admit, fetch_time, host_index
 
     def checkpoints(self) -> list[bytes]:
-        return ray.get([s.checkpoint.remote() for s in self.shards])
+        return ray.get(self.checkpoints_async())
+
+    def checkpoints_async(self) -> list:
+        """Fire checkpoint tasks WITHOUT waiting: per-actor FIFO ordering
+        (same submitter) guarantees each blob captures the shard state
+        after every already-submitted mutation and before any mutation
+        submitted later — so the driver can keep draining while blob
+        serialization runs on the shards; resolve the refs when the
+        round commits.  (Serial checkpoints measured 32 s of a 99 s
+        1.28M-seed streaming run.)"""
+        return [s.checkpoint.remote() for s in self.shards]
 
     def restore(self, blobs: list[bytes]) -> None:
         assert len(blobs) == self.num_shards

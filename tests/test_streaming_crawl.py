@@ -46,21 +46,21 @@ def test_streaming_kill_resume_bit_identical(ray_session, fixtures, tmp_path):
     """A streaming run killed mid-drain resumes from the round checkpoint
     (heap + queues + seen set) and produces bit-identical tables."""
     seeds, robots, store = fixtures
+    # round_target pinned to one drain's worth so the run spans several
+    # rounds and fail_after_round=1 fires regardless of the pipeline's
+    # default round merging
+    kw = dict(num_shards=3, store_size=120, batch_urls=64,
+              round_target=64 * 3)
     full = run_streaming_crawl(
-        seeds, robots, store.fragment_paths(), str(tmp_path / "full"),
-        num_shards=3, store_size=120, batch_urls=64,
-    )
+        seeds, robots, store.fragment_paths(), str(tmp_path / "full"), **kw)
     killed_dir = str(tmp_path / "killed")
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="injected failure"):
         run_streaming_crawl(
             seeds, robots, store.fragment_paths(), killed_dir,
-            num_shards=3, store_size=120, batch_urls=64, fail_after_round=1,
-        )
+            fail_after_round=1, **kw)
     resumed = run_streaming_crawl(
-        seeds, robots, store.fragment_paths(), killed_dir,
-        num_shards=3, store_size=120, batch_urls=64,
-    )
+        seeds, robots, store.fragment_paths(), killed_dir, **kw)
     assert _schedule(full.crawl_order.to_table()) == _schedule(resumed.crawl_order.to_table())
     fa = full.images_out.to_table().to_pandas().sort_values("seed_rank").reset_index(drop=True)
     ra = resumed.images_out.to_table().to_pandas().sort_values("seed_rank").reset_index(drop=True)
@@ -123,7 +123,8 @@ def test_streaming_seed_feed_continuous_and_resume(ray_session, fixtures, tmp_pa
             return pa.concat_tables([seeds.slice(350, 50), seeds.slice(0, 20)])
         return None
 
-    kw = dict(num_shards=3, store_size=120, batch_urls=48, seed_feed=feed)
+    kw = dict(num_shards=3, store_size=120, batch_urls=48, seed_feed=feed,
+              round_target=48 * 3)  # feed is keyed on round index
     full = run_streaming_crawl(
         init, robots, store.fragment_paths(), str(tmp_path / "feed"), **kw)
     order = full.crawl_order.to_table().to_pandas()
