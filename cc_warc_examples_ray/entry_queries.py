@@ -2738,6 +2738,63 @@ def q_line_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "line_idx"]).reset_index(drop=True)
 
 
+def q_clean_docs(sf_dir: str) -> pd.DataFrame:
+    """The COMPOSED C4 cleaning pipeline as one per-document batch
+    kernel: PII scrub → per-line gates on the redacted text → Arrow
+    binary_join reassembly of surviving lines → drop docs with < 3 kept
+    lines.  No shuffle — embarrassingly parallel map_batches; md5 of
+    the reassembled text is the verification column."""
+    import hashlib
+
+    def kern(t: pa.Table) -> pa.Table:
+        c = clean.clean_docs(t)
+        md5s = [hashlib.md5(x.encode()).hexdigest()
+                for x in c.column("text_clean").to_pylist()]
+        return pa.table({
+            "doc_id": c.column("doc_id"),
+            "n_lines_kept": c.column("n_lines_kept"),
+            "clean_md5": pa.array(md5s, pa.string()),
+        })
+
+    out = _richtext_ds().map_batches(kern, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CLEAN_DOCS = """
+WITH d AS (SELECT * FROM read_parquet('{RT}')),
+s3 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL}', '<EMAIL>', 'g'),
+           '{PHONE}', '<PHONE>', 'g'),
+           '{IP}', '<IP>', 'g') AS t3
+  FROM d
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(t3, chr(10))) AS line,
+         generate_subscripts(string_split(t3, chr(10)), 1) AS line_idx
+  FROM s3
+),
+kept AS (
+  SELECT doc_id, line_idx, line FROM lines
+  WHERE len(regexp_extract_all(line, '{W}')) >= {MINW}
+    AND regexp_matches(line, '{TERM}')
+    AND NOT regexp_matches(line, '{BL}')
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY line_idx) AS txt
+  FROM kept GROUP BY 1
+)
+SELECT doc_id, n_lines_kept, md5(txt) AS clean_md5
+FROM agg WHERE n_lines_kept >= 3 ORDER BY doc_id
+""".replace("{RT}", _RICHTEXT_FIXTURE).replace("{EMAIL}", clean.EMAIL_RE) \
+   .replace("{PHONE}", clean.PHONE_RE).replace("{IP}", clean.IPV4_RE) \
+   .replace("{W}", clean.WORD_RE).replace("{MINW}", str(clean.LINE_MIN_WORDS)) \
+   .replace("{TERM}", clean.TERMINAL_RE).replace("{BL}", clean.BLOCKLIST_RE)
+
+
 # Exact-string first-occurrence rule; the Ray side keys on xxh64(line)
 # (collision convention documented in ops/clean.py — exact equality at
 # fixture scale).
@@ -2828,6 +2885,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "line_filter": q_line_filter,
     "line_dedup": q_line_dedup,
+    "clean_docs": q_clean_docs,
 }
 
 ORACLES = {
@@ -2890,6 +2948,7 @@ ORACLES = {
     "pii_scrub": SQL_PII_SCRUB,
     "line_filter": SQL_LINE_FILTER,
     "line_dedup": SQL_LINE_DEDUP,
+    "clean_docs": SQL_CLEAN_DOCS,
 }
 
 

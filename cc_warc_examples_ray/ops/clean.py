@@ -175,3 +175,43 @@ def line_dedup(docs: rd.Dataset, text_col: str = "text",
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def clean_docs(tbl: pa.Table, text_col: str = "text",
+               id_col: str = "doc_id", min_lines: int = 3,
+               min_words: int = LINE_MIN_WORDS) -> pa.Table:
+    """The composed C4 document-cleaning pipeline, one batch kernel:
+    :func:`pii_scrub` → :func:`line_filter` on the redacted text →
+    per-document reassembly of the surviving lines (Arrow
+    ``binary_join`` over a rebuilt list array — no per-doc Python) →
+    drop documents with fewer than ``min_lines`` kept lines (C4 drops
+    short pages).  Emits (id, n_lines_kept, text_clean).  Entirely
+    per-document, so it runs embarrassingly parallel inside
+    ``map_batches`` — no shuffle."""
+    scrubbed = pii_scrub(tbl, text_col)
+    base = tbl.drop_columns([text_col]).append_column(
+        "text_clean", scrubbed.column("text_clean"))
+    lf = line_filter(base, "text_clean", id_col, min_words=min_words,
+                     keep_text=True)
+    keep = lf.filter(lf.column("kept"))
+    # kept lines arrive doc-contiguous in line_idx order (the explode
+    # preserves row order), so per-doc list offsets are just cumulative
+    # counts over the batch's doc order
+    ids_np = keep.column(id_col).to_numpy(zero_copy_only=False)
+    batch_ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    # counts per batch row (docs with zero kept lines included); batch
+    # ids need not be sorted — map through an argsort position lookup
+    order = np.argsort(batch_ids, kind="stable")
+    pos = order[np.searchsorted(batch_ids[order], ids_np)]
+    counts = np.bincount(pos, minlength=len(batch_ids))
+    offsets = np.zeros(len(batch_ids) + 1, np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    la = pa.ListArray.from_arrays(pa.array(offsets),
+                                  keep.column("line").combine_chunks())
+    joined = pc.binary_join(la, "\n")
+    out = pa.table({
+        id_col: tbl.column(id_col),
+        "n_lines_kept": pa.array(counts.astype(np.int64)),
+        "text_clean": joined,
+    })
+    return out.filter(pc.greater_equal(out.column("n_lines_kept"), min_lines))

@@ -113,3 +113,32 @@ def test_line_dedup_empty_and_all_empty_lines(ray_session):
     })
     out = clean.line_dedup(rd.from_arrow(t)).to_pandas()
     assert len(out) == 0  # empty lines carry no dedup signal
+
+
+def test_clean_docs_composition_matches_python(rich):
+    """clean_docs (scrub -> line gates -> binary_join reassembly ->
+    min-lines doc gate) == the equivalent python re/str pipeline."""
+    out = clean.clean_docs(rich)
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("text_clean").to_pylist()))
+    ref = {}
+    for did, txt in zip(rich.column("doc_id").to_pylist(),
+                        rich.column("text").to_pylist()):
+        cur = txt
+        for pat, tok, _ in clean.PII_STAGES:
+            cur = re.sub(pat, tok, cur)
+        kept = [ln for ln in cur.split("\n")
+                if len(re.findall(r"[0-9A-Za-z_]+", ln)) >= clean.LINE_MIN_WORDS
+                and re.search(r'[.!?"]$', ln)
+                and re.search(r"(?i)javascript|cookie|lorem ipsum", ln) is None]
+        if len(kept) >= 3:
+            ref[did] = "\n".join(kept)
+    assert got == ref
+    assert 0 < len(got) < rich.num_rows  # the doc gate really drops docs
+    # unsorted / duplicate-free doc ids inside one batch: shuffle rows
+    idx = np.random.default_rng(3).permutation(rich.num_rows)
+    shuf = rich.take(pa.array(idx))
+    out2 = clean.clean_docs(shuf)
+    got2 = dict(zip(out2.column("doc_id").to_pylist(),
+                    out2.column("text_clean").to_pylist()))
+    assert got2 == ref
