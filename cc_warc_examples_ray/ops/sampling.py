@@ -32,12 +32,12 @@ def stratified_sample(ds: rd.Dataset, cls_col: str, order_col: str,
     if per_class is None:
         counts = ds.groupby(cls_col).count().to_pandas()
         per_class = int(counts["count()"].min())
-    k = per_class
+    # per-key smallest-k: topk_per_key's combiner prunes every class to
+    # k rows per batch before the shuffle and ranks in one vectorized
+    # Arrow kernel — replaces the former pandas map_groups round-trip
+    from .relational import topk_per_key
 
-    def head_k(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="mergesort").head(k)
-
-    return ds.groupby(cls_col).map_groups(head_k, batch_format="pandas")
+    return topk_per_key(ds, cls_col, order_col, per_class, descending=False)
 
 
 def mix_rates_table(rates: dict, default: float, bits: int = 20) -> dict:
