@@ -625,18 +625,6 @@ def _union_bucketer(key: str, side: int, all_cols: Sequence[str], types: dict,
     return fn
 
 
-def _side_tables(gt: pa.Table, lcols: Sequence[str], rcols: Sequence[str]):
-    """Split a union bucket group back into per-side pandas frames,
-    filtering IN ARROW first: the union's typed-null padding would
-    otherwise degrade each side's int64 columns to float64 in pandas
-    (silent low-bit corruption above 2^53) — after the Arrow filter a
-    side's own columns are null-free and convert exactly."""
-    side = gt.column("_side")
-    lg = gt.filter(pc.equal(side, 0)).select(lcols).to_pandas()
-    rg = gt.filter(pc.equal(side, 1)).select(rcols).to_pandas()
-    return lg, rg
-
-
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -760,28 +748,37 @@ def range_join(
     out_cols = lcols + [c for c in rextra if c != right_by]
     out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
 
+    def as_i64(arr: np.ndarray) -> np.ndarray:
+        # datetimes normalize to ONE unit before the int view: pandas
+        # `ts + Timedelta` arithmetic yields ns while Arrow columns come
+        # back as us — mixed-scale views would silently match nothing
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[ns]").astype(np.int64)
+        return arr.astype(np.int64)
+
     def merge(gt: pa.Table) -> pa.Table:
-        lg, rg = _side_tables(gt, lcols, rkeep)
-        if not len(lg) or not len(rg):
+        # pure Arrow/numpy (the asof_join kernel's shape): split sides
+        # with an Arrow filter (no pandas int64→float64 null hazard),
+        # dictionary-encode the concatenated keys for codes, then the
+        # composite-rank searchsorted construction; gather via take
+        side = gt.column("_side")
+        lg = gt.filter(pc.equal(side, 0)).select(lcols).combine_chunks()
+        rg = gt.filter(pc.equal(side, 1)).select(rkeep).combine_chunks()
+        if lg.num_rows == 0 or rg.num_rows == 0:
             return out_schema.empty_table()
 
-        def as_i64(arr: np.ndarray) -> np.ndarray:
-            # datetimes normalize to ONE unit before the int view:
-            # pandas upcasts `ts + Timedelta` to ns while Arrow columns
-            # come back as us — mixed-scale views silently match nothing
-            if np.issubdtype(arr.dtype, np.datetime64):
-                return arr.astype("datetime64[ns]").astype(np.int64)
-            return arr.astype(np.int64)
-
-        codes, _ = pd.factorize(pd.concat([lg[left_by], rg[right_by]]))
-        lc, rc = codes[: len(lg)].astype(np.int64), codes[len(lg):].astype(np.int64)
-        r_on = as_i64(rg[right_on].to_numpy())
+        lk = lg.column(left_by).combine_chunks()
+        rk = pc.cast(rg.column(right_by).combine_chunks(), lk.type)
+        codes = pc.dictionary_encode(pa.concat_arrays([lk, rk])).indices
+        codes = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        lc, rc = codes[: lg.num_rows], codes[lg.num_rows:]
+        r_on = as_i64(rg.column(right_on).to_numpy(zero_copy_only=False))
         order = np.lexsort((r_on, rc))
         rc_s, rt_s = rc[order], r_on[order]
         all_sorted = np.sort(rt_s)
         n = len(rt_s)
         comp_r = rc_s * np.int64(n + 1) + np.searchsorted(all_sorted, rt_s, "left")
-        l_on = lg[left_on]
+        l_on = lg.column(left_on).to_pandas()  # Series: datetime + Timedelta
         b_lo = as_i64((l_on + lo).to_numpy())
         b_hi = as_i64((l_on + hi).to_numpy())
         lo_idx = np.searchsorted(
@@ -792,17 +789,16 @@ def range_join(
         total = int(counts.sum())
         if total == 0:
             return out_schema.empty_table()
-        li = np.repeat(np.arange(len(lg)), counts)
+        li = np.repeat(np.arange(lg.num_rows), counts)
         intra = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-        ri = np.repeat(lo_idx, counts) + intra
-        out = lg.iloc[li].reset_index(drop=True)
-        rsel = rg.iloc[order[ri]].reset_index(drop=True)
+        ri = order[np.repeat(lo_idx, counts) + intra]
+        out = lg.take(pa.array(li, pa.int64()))
+        rsel = rg.take(pa.array(ri, pa.int64()))
         for c in rextra:
             if c != right_by:
-                out[c] = rsel[c].to_numpy()
-        return pa.Table.from_pandas(
-            out[out_cols], schema=out_schema, preserve_index=False
-        ).replace_schema_metadata(None)
+                out = out.append_column(c, rsel.column(c))
+        return (out.select(out_cols).cast(out_schema)
+                .replace_schema_metadata(None))
 
     return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
