@@ -2795,6 +2795,48 @@ FROM agg WHERE n_lines_kept >= 3 ORDER BY doc_id
    .replace("{TERM}", clean.TERMINAL_RE).replace("{BL}", clean.BLOCKLIST_RE)
 
 
+def q_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring duplicate-span coverage (Lee et al. 2021 at
+    word-4-gram granularity): per doc, the tokens covered by the union
+    of corpus-duplicated gram spans.  Distributed explode →
+    grouped_count → hash_join back → per-doc interval-union kernel;
+    text never leaves the explode stage."""
+    out = dedup.dup_span_stats(_richtext_ds(), n=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Gram equality is exact strings here vs xxh64 hashes on the Ray side
+# (decontaminate's documented convention); interval-union coverage is
+# re-derived as DISTINCT covered positions.
+SQL_DUP_SPANS = """
+WITH d AS (SELECT * FROM read_parquet('{RT}')),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '{W}') AS t FROM d),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 4)
+),
+cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN cnt ON cnt.gram = g.gram
+        WHERE cnt.c >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + u.u AS p
+        FROM dup, unnest(range(4)) AS u(u)),
+covn AS (SELECT doc_id, count(*)::BIGINT AS covered_tokens FROM cov GROUP BY 1),
+dupn AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams FROM dup GROUP BY 1),
+stats AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '{W}'))::BIGINT AS n_tokens
+  FROM d
+)
+SELECT s.doc_id, s.n_tokens,
+       greatest(s.n_tokens - 3, 0)::BIGINT AS n_grams,
+       coalesce(dn.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(cn.covered_tokens, 0)::BIGINT AS covered_tokens
+FROM stats s
+LEFT JOIN dupn dn USING (doc_id) LEFT JOIN covn cn USING (doc_id)
+ORDER BY s.doc_id
+""".replace("{RT}", _RICHTEXT_FIXTURE).replace("{W}", clean.WORD_RE)
+
+
 # Exact-string first-occurrence rule; the Ray side keys on xxh64(line)
 # (collision convention documented in ops/clean.py — exact equality at
 # fixture scale).
@@ -2886,6 +2928,7 @@ QUERIES = {
     "line_filter": q_line_filter,
     "line_dedup": q_line_dedup,
     "clean_docs": q_clean_docs,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES = {
@@ -2949,6 +2992,7 @@ ORACLES = {
     "line_filter": SQL_LINE_FILTER,
     "line_dedup": SQL_LINE_DEDUP,
     "clean_docs": SQL_CLEAN_DOCS,
+    "dup_spans": SQL_DUP_SPANS,
 }
 
 

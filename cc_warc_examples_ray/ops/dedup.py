@@ -1446,3 +1446,125 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
         out_schema=pa.schema([("id_a", idt), ("id_b", idt), ("hamming", pa.int64())]),
     )
     return distinct_pairs(cand, extra_cols=("hamming",))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate-span coverage (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — suffix-array substring
+# dedup, restated at word-n-gram granularity)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(docs: rd.Dataset, n: int = 4, id_col: str = "doc_id",
+                   text_col: str = "text", min_count: int = 2,
+                   num_partitions: int = 32) -> rd.Dataset:
+    """Per-document duplicate-SPAN statistics: a word ``n``-gram is
+    *duplicated* when it occurs >= ``min_count`` times across the whole
+    corpus (within- or cross-document — suffix-array "repeated
+    substring" semantics); each document reports how many of its grams
+    are duplicated and how many of its tokens fall inside the UNION of
+    their [pos, pos+n) spans (the fraction such spans cover is the
+    metric exact-substring dedup cuts on).
+
+    Shape: explode (id, pos, gram-hash) inside ``map_batches`` →
+    ``grouped_count`` by hash (hash-partitioned, 10^9+-gram safe) →
+    filter to duplicated hashes → partitioned ``hash_join`` back →
+    per-doc interval-union kernel on a doc-hash shuffle.  Corpus text
+    never leaves the explode stage; everything that shuffles is
+    fixed-width (hash, count, pos) rows.  Gram equality is xxh64
+    equality (the decontaminate/ repetition convention; the SQL oracle
+    compares exact strings).  Output: (id, n_tokens, n_grams,
+    n_dup_grams, covered_tokens)."""
+    import pyarrow.compute as pc
+
+    from . import relational
+    from .text import _word_ngram_flat
+
+    i64 = pa.int64()
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        grams, parents, nw, _ = _word_ngram_flat(texts, n, word_stats=True)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(parents):
+            h = xxh64_many(grams).view(np.int64)
+            starts = np.concatenate(
+                [[0], np.flatnonzero(parents[1:] != parents[:-1]) + 1])
+            runl = np.diff(np.append(starts, len(parents)))
+            pos = np.arange(len(parents), dtype=np.int64) - np.repeat(starts, runl)
+            out_ids = ids[parents]
+        else:
+            h = pos = out_ids = np.array([], np.int64)
+        return pa.table({
+            id_col: pa.array(out_ids, i64),
+            "pos": pa.array(pos, i64),
+            "gh": pa.array(h, i64),
+        })
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        _, _, nw, _ = _word_ngram_flat(texts, n, word_stats=True)
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), i64),
+            "n_tokens": pa.array(nw, i64),
+            "n_grams": pa.array(np.maximum(nw - n + 1, 0), i64),
+        })
+
+    grams_ds = docs.map_batches(explode, batch_format="pyarrow")
+    counts = relational.grouped_count(
+        grams_ds.select_columns(["gh"]), ["gh"], alias="cnt")
+    dups = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("cnt"), min_count))
+                   .select(["gh"]),
+        batch_format="pyarrow")
+    dup_rows = relational.hash_join(
+        grams_ds, dups, "gh", num_buckets=num_partitions,
+        left_schema=pa.schema([(id_col, i64), ("pos", i64), ("gh", i64)]),
+        right_schema=pa.schema([("gh", i64)]))
+
+    add_part = relational.make_part_assigner([id_col], num_partitions)
+    cover_schema = pa.schema(
+        [(id_col, i64), ("n_dup_grams", i64), ("covered_tokens", i64)])
+
+    def cover_kern(gt: pa.Table) -> pa.Table:
+        if gt.num_rows == 0:
+            return cover_schema.empty_table()
+        ids = gt.column(id_col).to_numpy(zero_copy_only=False)
+        pos = gt.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        i_s, p_s = ids[order], pos[order]
+        # covered = Σ min(gap to next dup pos in the same doc, n); the
+        # last dup pos of each doc contributes n
+        contrib = np.full(len(p_s), np.int64(n))
+        if len(p_s) > 1:
+            same = i_s[1:] == i_s[:-1]
+            gaps = np.minimum(np.diff(p_s), n)
+            contrib[:-1] = np.where(same, gaps, n)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(i_s[1:] != i_s[:-1]) + 1])
+        covered = np.add.reduceat(contrib, starts)
+        runl = np.diff(np.append(starts, len(i_s)))
+        return pa.table({
+            id_col: pa.array(i_s[starts], i64),
+            "n_dup_grams": pa.array(runl.astype(np.int64)),
+            "covered_tokens": pa.array(covered.astype(np.int64)),
+        })
+
+    coverage = (dup_rows
+                .map_batches(add_part, batch_format="pyarrow")
+                .groupby("_part")
+                .map_groups(lambda g: cover_kern(g.drop_columns(["_part"])),
+                            batch_format="pyarrow"))
+    stats = docs.map_batches(doc_stats, batch_format="pyarrow")
+    out = relational.hash_join(
+        stats, coverage, id_col, num_buckets=num_partitions, how="left",
+        left_schema=pa.schema(
+            [(id_col, i64), ("n_tokens", i64), ("n_grams", i64)]),
+        right_schema=cover_schema)
+
+    def fill0(t: pa.Table) -> pa.Table:
+        for c in ("n_dup_grams", "covered_tokens"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.fill_null(t.column(c), 0))
+        return t
+
+    return out.map_batches(fill0, batch_format="pyarrow")

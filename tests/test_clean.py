@@ -142,3 +142,39 @@ def test_clean_docs_composition_matches_python(rich):
     got2 = dict(zip(out2.column("doc_id").to_pylist(),
                     out2.column("text_clean").to_pylist()))
     assert got2 == ref
+
+
+def test_dup_span_stats_matches_python(ray_session, rich):
+    """dup_span_stats (explode -> grouped_count -> join back -> interval
+    union) == a serial python reference, under block splits."""
+    from cc_warc_examples_ray.ops import dedup
+
+    n = 4
+    outs = []
+    for nblocks in (1, 6):
+        out = dedup.dup_span_stats(
+            rd.from_arrow(rich).repartition(nblocks), n=n
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    # serial reference
+    from collections import Counter
+    docs = []
+    for did, txt in zip(rich.column("doc_id").to_pylist(),
+                        rich.column("text").to_pylist()):
+        words = re.findall(r"[0-9A-Za-z_]+", txt.lower())
+        grams = [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)]
+        docs.append((did, words, grams))
+    cnt = Counter(g for _, _, grams in docs for g in grams)
+    for did, words, grams in docs:
+        row = got[got["doc_id"] == did].iloc[0]
+        dup_pos = [j for j, g in enumerate(grams) if cnt[g] >= 2]
+        covered = set()
+        for j in dup_pos:
+            covered.update(range(j, j + n))
+        assert row["n_tokens"] == len(words)
+        assert row["n_grams"] == max(len(words) - n + 1, 0)
+        assert row["n_dup_grams"] == len(dup_pos), did
+        assert row["covered_tokens"] == len(covered), did
+    assert got["n_dup_grams"].sum() > 0  # boilerplate gives real dups
