@@ -42,6 +42,54 @@ import pyarrow.parquet as pq
 VACUUM_MIN_AGE_SEC = 30 * 60
 
 
+def _warm_fsspec_http() -> None:
+    """Kill an intermittent ImportError in concurrent ``write_parquet``.
+
+    Ray's datasink path resolution runs ``from
+    fsspec.implementations.http import HTTPFileSystem`` on EVERY write
+    and catches only ``ModuleNotFoundError``.  In this environment
+    aiohttp is absent, so that module can never finish importing — each
+    attempt fails (normally caught) and is evicted from ``sys.modules``,
+    re-running the import every call.  When two writer threads race the
+    attempt (this repo's committer/writer pools do exactly that), the
+    import lock's deadlock-avoidance can hand one thread the
+    half-initialized module, surfacing as a plain ``ImportError:
+    cannot import name 'HTTPFileSystem'`` that Ray does NOT catch —
+    observed killing ~1-in-5 streaming runs.  Fix: if (and only if) the
+    real module cannot import, install a sentinel stub ONCE, here,
+    single-threaded at package import — future imports are stable
+    ``sys.modules`` hits, and Ray's ``isinstance(fs, HTTPFileSystem)``
+    is False for the never-instantiated sentinel (correct: with aiohttp
+    absent no real HTTP filesystem can exist)."""
+    try:
+        import fsspec.implementations.http  # noqa: F401  (real module)
+        return
+    except ModuleNotFoundError:
+        pass
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations  # noqa: F401
+    except ImportError:  # no fsspec at all: Ray's except handles it
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel — never instantiated
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    # parent attribute too: `import fsspec.implementations.http` resolves
+    # the dotted attribute chain, not just sys.modules
+    sys.modules["fsspec.implementations"].http = mod
+
+
+_warm_fsspec_http()
+
+
 class LanceLiteTable:
     def __init__(self, path: str):
         self.path = path

@@ -345,13 +345,17 @@ def run_streaming_crawl(
                 if timing:
                     tstats["merge"] += _tick() - t_ph
                     t_ph = _tick()
-                fetched = fetch_from_store(store_paths, admitted)
-                validated = fetched.map_batches(
-                    decoder, batch_format="pyarrow", batch_size=256
-                )
-                fut = writer_pool.submit(
-                    run.images_out.write_partition_files, validated, rounds
-                )
+                def _build_and_write(adm, rnd):
+                    # Dataset construction (from_arrow serialization +
+                    # plan building, ~0.4 s/round) runs on the writer
+                    # thread too, overlapping the driver's next drain
+                    fetched = fetch_from_store(store_paths, adm)
+                    validated = fetched.map_batches(
+                        decoder, batch_format="pyarrow", batch_size=256
+                    )
+                    return run.images_out.write_partition_files(validated, rnd)
+
+                fut = writer_pool.submit(_build_and_write, admitted, rounds)
                 inflight.append((rounds, admitted, blobs, fut))
                 if committer is None:
                     committer = committer_pool.submit(commit_loop)

@@ -134,3 +134,29 @@ def test_write_partition_files_multi(tmp_path, ray_session):
     assert t.partition_table(3).num_rows == 0  # empty sentinel
     # a second multi-write over everything is a full no-op
     assert t.write_partition_files_multi(ds, "epoch", [0, 1, 2, 3]) == {}
+
+
+def test_fsspec_http_import_is_stable_under_threads():
+    """Regression: Ray's write_parquet path imports
+    fsspec.implementations.http on EVERY write and catches only
+    ModuleNotFoundError; with aiohttp absent, two writer threads racing
+    the always-failing import could surface a plain ImportError
+    (half-initialized module) that killed ~1-in-5 streaming runs.
+    lancelite installs a sentinel stub at import — the from-import must
+    now succeed from any number of threads."""
+    import threading
+
+    import cc_warc_examples_ray.lancelite  # noqa: F401  (installs stub)
+
+    errs: list = []
+
+    def imp():
+        try:
+            from fsspec.implementations.http import HTTPFileSystem  # noqa
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ts = [threading.Thread(target=imp) for _ in range(32)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
