@@ -633,18 +633,26 @@ def hash_join(
     how: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    broadcast_rows: int = 500_000,
+    broadcast_bytes: int = 64 << 20,
 ) -> rd.Dataset:
-    """Explicit partitioned hash join for two large sides: bucket both by
-    ``xxhash64(key) % B``, co-group, and merge per bucket with pandas.
-    Use only when neither side fits a broadcast; skewed keys should be
-    salted into sub-buckets first (SURVEY.md §4).  See also
-    :func:`native_join` for Ray's built-in implementation.
+    """Explicit partitioned hash join with an ADAPTIVE broadcast path.
+
+    The right side is materialized first (its consumers all execute it
+    anyway); when it fits ``broadcast_rows`` AND ``broadcast_bytes`` it
+    is ``ray.put`` once and every LEFT batch joins against it in place
+    (one Acero join per batch) — the left side never shuffles at all,
+    which is the correct 100 TB regime for dimension-sized right sides
+    (dup-hash sets, min-rank maps, lookup tables).  Larger right sides
+    fall back to the two-sided bucket shuffle: both sides bucket by
+    ``xxhash64(key) % B``, co-group, one Acero merge per bucket.
+    Skewed keys on the shuffle path should be salted into sub-buckets
+    first (SURVEY.md §4).  See also :func:`native_join`.
 
     ``how``: 'inner' or 'left'.  SQL null-key semantics both ways:
     inner drops null keys on both sides; left drops them on the RIGHT
-    only (null-key left rows come back null-padded — pandas merge
-    would otherwise match NaN==NaN).  Other join types: use
-    :func:`native_join`."""
+    only (null-key left rows come back null-padded).  Other join
+    types: use :func:`native_join`."""
     if how not in ("inner", "left"):
         raise ValueError(f"hash_join supports how='inner'/'left', got {how!r}"
                          " — use native_join for other types")
@@ -663,6 +671,34 @@ def hash_join(
     types.update(_arrow_types(lschema))
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
+    out_cols = lcols + [c for c in rcols if c != key]
+    out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
+    rcast = pa.schema([pa.field(c, types[c]) for c in rcols])
+    jtype = "inner" if how == "inner" else "left outer"
+
+    # ---- adaptive broadcast path -------------------------------------
+    rmat = right.materialize()
+    if (rmat.count() <= broadcast_rows
+            and rmat.size_bytes() <= broadcast_bytes):
+        rtab = pa.concat_tables(
+            [b.select(rcols).cast(rcast) for b in rmat.iter_batches(
+                batch_size=None, batch_format="pyarrow")]
+            or [rcast.empty_table()])
+        rtab = rtab.filter(pc.is_valid(rtab.column(key)))  # SQL nulls
+        rref = ray.put(rtab.combine_chunks())
+
+        def join_batch(lt_batch: pa.Table) -> pa.Table:
+            lg = lt_batch.select(lcols)
+            if how == "inner" and lg.column(key).null_count:
+                lg = lg.filter(pc.is_valid(lg.column(key)))
+            j = lg.combine_chunks().join(ray.get(rref), keys=key,
+                                         join_type=jtype)
+            return (j.select(out_cols).cast(out_schema)
+                     .replace_schema_metadata(None))
+
+        return left.map_batches(join_batch, batch_format="pyarrow")
+
+    # ---- two-sided bucket shuffle ------------------------------------
     # inner: null keys match nothing, drop both sides; left: keep
     # null-key LEFT rows (they null-pad) but drop null-key right rows
     # so pandas' NaN==NaN merge can't fabricate a match
@@ -670,13 +706,10 @@ def hash_join(
         _union_bucketer(key, 0, all_cols, types, num_buckets,
                         drop_null_keys=(how == "inner")),
         batch_format="pyarrow")
-    rt = right.map_batches(
+    rt = rmat.map_batches(
         _union_bucketer(key, 1, all_cols, types, num_buckets,
                         drop_null_keys=True),
         batch_format="pyarrow")
-
-    out_cols = lcols + [c for c in rcols if c != key]
-    out_schema = pa.schema([pa.field(c, types[c]) for c in out_cols])
 
     # map_groups runs in PYARROW format so Ray's machinery emits empty
     # partitions as empty ARROW blocks (empty blocks bypass map UDFs, so

@@ -1250,6 +1250,35 @@ def test_range_join_null_keys_never_match(ray_session):
         assert sorted(zip(out["lid"], out["rid"])) == [(0, 7)]
 
 
+def test_hash_join_broadcast_equals_shuffle(ray_session):
+    """The adaptive broadcast path (small right side) and the forced
+    two-sided bucket shuffle produce identical rows — inner AND left,
+    with null keys and duplicate-key fan-out on both sides."""
+    rng = np.random.default_rng(7)
+    lt = pa.table({
+        "k": pa.array([None if x == 0 else int(x)
+                       for x in rng.integers(0, 8, 300)], pa.int64()),
+        "lv": pa.array(np.arange(300), pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array([None if x == 7 else int(x)
+                       for x in rng.integers(0, 9, 40)], pa.int64()),
+        "rv": pa.array(np.arange(40) * 10, pa.int64()),
+    })
+    for how in ("inner", "left"):
+        outs = []
+        for bcast in (500_000, 0):  # adaptive broadcast vs forced shuffle
+            out = relational.hash_join(
+                rd.from_arrow(lt).repartition(4),
+                rd.from_arrow(rt).repartition(3),
+                "k", num_buckets=4, how=how, broadcast_rows=bcast,
+            ).to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        if how == "left":
+            assert outs[0]["rv"].isna().any()  # null-padded left rows
+
+
 def test_hash_join_inner_drops_null_keys(ray_session):
     left = rd.from_arrow(pa.table({
         "k": pa.array([1, None, 2], pa.int64()), "a": pa.array([0, 1, 2], pa.int64())}))
