@@ -31,7 +31,7 @@ import ray
 import ray.data as rd
 
 from . import lancelite, synth
-from .ops import ann, clean, dedup, relational, sampling, text
+from .ops import ann, clean, dedup, graph, relational, sampling, text
 from .pipelines import classics, crawl as crawl_pipeline
 
 # EXACTLY RE2's \s class ([\t\n\f\r ]) as DuckDB regexes see it — python
@@ -2861,6 +2861,192 @@ FROM r ORDER BY doc_id, line_idx
 
 
 # ---------------------------------------------------------------------------
+# Iterative graph operators (round 4): PageRank + multi-source BFS over
+# the bipartite customer<->supplier link graph derived from
+# orders x lineitem.  Node ids: customer c -> 2c, supplier s -> 2s+1.
+# The edge list is symmetric (both directions of every distinct
+# (cust, supp) pair), so every node has outdegree >= 1 and no dangling
+# mass leaks.  See ops/graph.py for the per-iteration shuffle shape.
+# ---------------------------------------------------------------------------
+
+_SQL_BIPARTITE_EDGES = """
+e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+"""
+
+
+def _bipartite_edges(sf_dir: str) -> rd.Dataset:
+    """Distinct symmetric (src, dst) edges of the customer<->supplier
+    graph, as a Dataset.  orders is the join's broadcast side."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    j = relational.hash_join(li, orders, key="l_orderkey")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        c = (t.column("o_custkey").to_numpy() * 2).astype(np.int64)
+        s = (t.column("l_suppkey").to_numpy() * 2 + 1).astype(np.int64)
+        return pa.table({
+            "src": np.concatenate([c, s]),
+            "dst": np.concatenate([s, c]),
+        })
+
+    return relational.grouped_min(
+        j.map_batches(both_dirs, batch_format="pyarrow"), ["src", "dst"], [])
+
+
+_PR_ITERS = 5
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Power-iteration PageRank (5 sweeps, d=0.85) over the bipartite
+    customer<->supplier graph.  Output pr_scaled = rank * n_nodes,
+    floor-rounded to 6 decimals on both sides — fp summation order
+    differs between engines (~1e-15 relative), the rounding makes the
+    value-hash exact."""
+    out = graph.pagerank(_bipartite_edges(sf_dir), iters=_PR_ITERS).to_pandas()
+    n = float(len(out))
+    out["pr_scaled"] = np.floor(out["pr"].to_numpy() * n * 1e6 + 0.5) / 1e6
+    return out[["node", "pr_scaled"]].sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_sql_rounds(k: int) -> str:
+    parts = ["r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"]
+    for i in range(1, k + 1):
+        parts.append(f"""i{i} AS (
+  SELECT e.dst AS node, sum(r{i-1}.pr / deg.outdeg) AS s
+  FROM e JOIN r{i-1} ON r{i-1}.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY 1),
+r{i} AS (
+  SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(i{i}.s, 0) AS pr
+  FROM nodes LEFT JOIN i{i} USING (node))""")
+    return ",\n".join(parts)
+
+
+SQL_PAGERANK = f"""
+WITH {_SQL_BIPARTITE_EDGES.strip()},
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+{_pagerank_sql_rounds(_PR_ITERS)}
+SELECT node, floor(pr * (SELECT n FROM nn) * 1e6 + 0.5) / 1e6 AS pr_scaled
+FROM r{_PR_ITERS} ORDER BY node
+"""
+
+
+def q_graph_bfs(sf_dir: str) -> pd.DataFrame:
+    """Multi-source BFS hop distance (<= 3 hops) from the suppliers of
+    nation 0 over the bipartite graph — the crawl-depth-from-seeds
+    audit as a standalone iterative operator.  Integer-exact."""
+    supp = _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pa.compute.equal(supp.column("s_nationkey"), 0))
+    seeds = rd.from_arrow(pa.table({
+        "node": pa.compute.add(
+            pa.compute.multiply(supp.column("s_suppkey"), 2), 1).combine_chunks()
+    }))
+    out = graph.bfs_hops(_bipartite_edges(sf_dir), seeds, max_hops=3).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_GRAPH_BFS = f"""
+WITH RECURSIVE {_SQL_BIPARTITE_EDGES.strip()},
+seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 3
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (round 4) — the two-level corpus
+# statistic (per-doc tf x corpus-wide df) every ranking/quality pipeline
+# needs; exercises explode -> high-cardinality grouped_agg -> adaptive
+# term join -> per-key top-k in one query.
+# ---------------------------------------------------------------------------
+
+def q_tfidf_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document (score DESC, term ASC).
+
+    Tokens: RE2 [0-9A-Za-z_]+ runs of lower(text) via Arrow's
+    split_pattern_regex — the same engine as the oracle.  idf =
+    ln(n_docs/df) in float64; the ranking score is floor-rounded to 6
+    decimals BEFORE the top-k on both sides, so exact rational ties
+    (tf1*ln(N/df1) == tf2*ln(N/df2)) collapse to the term tie-break
+    instead of depending on libm's last ulp."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    n_docs = float(docs.count())
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pa.compute.split_pattern_regex(
+            pa.compute.utf8_lower(t.column("text")), r"[^0-9A-Za-z_]+")
+        flat = pa.compute.list_flatten(toks)
+        ids = pa.compute.take(t.column("doc_id"),
+                              pa.compute.list_parent_indices(toks))
+        keep = pa.compute.not_equal(flat, "")
+        return pa.table({"doc_id": ids, "term": flat}).filter(keep)
+
+    tf = relational.grouped_count(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["doc_id", "term"], alias="tf").materialize()
+    df = relational.grouped_count(tf, ["term"], alias="_df")
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t.column("tf").to_numpy().astype(np.float64)
+        dfv = t.column("_df").to_numpy().astype(np.float64)
+        s = np.floor(tfv * np.log(n_docs / dfv) * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": t.column("doc_id"), "term": t.column("term"),
+                         "tf": t.column("tf"), "score": s})
+
+    scored = relational.hash_join(tf, df, key="term").map_batches(
+        score, batch_format="pyarrow")
+
+    # Arrow-native per-key top-3 (partitioned_map's kernel contract is
+    # pandas; the string sort + run-length rank stays cheaper in Arrow)
+    def top3(gt: pa.Table) -> pa.Table:
+        t = gt.drop_columns(["_part"]).sort_by(
+            [("doc_id", "ascending"), ("score", "descending"),
+             ("term", "ascending")])
+        d = t.column("doc_id").to_numpy()
+        starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(d)])
+        rank = np.arange(len(d)) - np.repeat(starts, sizes)
+        return t.filter(pa.array(rank < 3)).replace_schema_metadata(None)
+
+    out = (scored
+           .map_batches(relational.make_part_assigner(["doc_id"], 32),
+                        batch_format="pyarrow")
+           .groupby("_part")
+           .map_groups(top3, batch_format="pyarrow")
+           .to_pandas())
+    return (out[["doc_id", "term", "tf", "score"]]
+            .sort_values(["doc_id", "term"]).reset_index(drop=True))
+
+
+SQL_TFIDF_TERMS = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(t, '[0-9A-Za-z_]+')) AS term
+         FROM d),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+              floor(tf.tf * ln((SELECT n FROM nd) / df.df) * 1e6 + 0.5) / 1e6
+                AS score
+       FROM tf JOIN df USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rn
+      FROM sc)
+SELECT doc_id, term, tf, score FROM r WHERE rn <= 3 ORDER BY doc_id, term
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2929,6 +3115,10 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "clean_docs": q_clean_docs,
     "dup_spans": q_dup_spans,
+    # iterative graph + corpus-statistic operators (round 4)
+    "pagerank": q_pagerank,
+    "graph_bfs": q_graph_bfs,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 ORACLES = {
@@ -2993,6 +3183,9 @@ ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "clean_docs": SQL_CLEAN_DOCS,
     "dup_spans": SQL_DUP_SPANS,
+    "pagerank": SQL_PAGERANK,
+    "graph_bfs": SQL_GRAPH_BFS,
+    "tfidf_terms": SQL_TFIDF_TERMS,
 }
 
 

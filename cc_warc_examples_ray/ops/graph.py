@@ -1,0 +1,258 @@
+"""Iterative graph operators: PageRank and multi-source BFS hop
+distance, Ray-Data-first.
+
+The reference stops at per-node link COUNTS (server tallies in
+``WATServerType.java:30-59``, per-domain stats in
+``CommonCrawlAnalyzer.java:96-182``); these operators add the iterative
+fixed-point computations a large-scale crawl-analysis pipeline runs
+over the same edge lists — rank propagation for frontier
+prioritization, hop distance from a seed set for crawl-depth audits.
+They complement the connected-components engines in ``ops/dedup.py``
+(``pair_components`` / ``_star_components``): CC answers "same group?",
+these answer "how important?" / "how far?".
+
+Scale shape (100 TB): the EDGE list is the big side and never moves —
+each iteration ships only the |V|-sized rank/frontier table through
+:func:`~.relational.hash_join`'s adaptive path (``ray.put`` broadcast
+when it fits, two-sided bucket shuffle keyed on ``src`` otherwise) and
+one :func:`~.relational.grouped_agg` partial+merge keyed on ``dst``.
+Per-batch contribution partials collapse to at most |V| rows before any
+shuffle, so the exchanged volume per iteration is O(|V|), not O(|E|).
+Skewed in-degree (hub nodes) is absorbed by the partial stage the same
+way word_count absorbs hot words.  Float caveat: contributions are
+summed in block order, so ranks are deterministic only up to fp
+summation order (~1e-15 relative) — consumers that need hashable output
+round (see ``entry_queries.q_pagerank``, 6 decimals on the n-scaled
+rank).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from . import relational
+
+
+def _rename(ds: rd.Dataset, names: list[str]) -> rd.Dataset:
+    return ds.map_batches(
+        lambda t: t.rename_columns(names).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+
+def edge_nodes(edges: rd.Dataset, src: str = "src", dst: str = "dst") -> rd.Dataset:
+    """Distinct node set of an edge list, as a (node) Dataset."""
+    s = _rename(edges.select_columns([src]), ["node"])
+    d = _rename(edges.select_columns([dst]), ["node"])
+    return relational.grouped_min(s.union(d), "node", [])
+
+
+def pagerank(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    incore_nodes: int = 2_000_000,
+) -> rd.Dataset:
+    """Power-iteration PageRank over a directed edge list (Brin & Page
+    1998), fixed ``iters`` sweeps from the uniform vector.
+
+    Semantics (mirrored exactly by the unrolled-CTE SQL oracle):
+    nodes = distinct(src) ∪ distinct(dst); every node starts at 1/N;
+    pr'(v) = (1-d)/N + d * Σ_{(u,v)∈E} pr(u)/outdeg(u).  Dangling-node
+    mass is NOT redistributed (symmetric edge lists have none; for
+    one-directional graphs the result is the standard "dangling mass
+    leaks" variant).  Duplicate edges count once per occurrence —
+    deduplicate upstream if multigraph weighting is not wanted.
+
+    Returns a (node, pr) Dataset.  Two regimes (the repo's usual
+    size-gated dispatch, cf. ``dedup.pair_components``):
+
+    - ``n <= incore_nodes``: the rank VECTOR lives on the driver
+      (n × 8 B — 2M nodes = 16 MB); node ids are compiled once into
+      int32 positions on the materialized edge list, then each sweep is
+      ONE Ray execution: broadcast ranks via ``ray.put``, per-batch
+      ``np.bincount`` partials (≤ #distinct-dst rows per batch come
+      back), driver folds.  Edges never move after the index pass.
+    - larger ``n``: fully distributed — per sweep one adaptive
+      hash_join (edges ⋈ ranks on src) + one grouped partial-sum keyed
+      on dst; exchanged volume per sweep is O(|V|), not O(|E|).
+    """
+    edges = edges.select_columns([src, dst]).materialize()
+    nodes = edge_nodes(edges, src, dst).materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda t: t.append_column("pr", pa.array([], pa.float64())),
+            batch_format="pyarrow",
+        )
+    base = (1.0 - damping) / n
+    sch = nodes.schema()  # ray.data.Schema: .names / .types (Arrow)
+    node_t = pa.field("node", sch.types[sch.names.index("node")])
+
+    deg = relational.grouped_count(edges, [src], alias="_outdeg")
+    # (src, dst, _outdeg): built once, reused every sweep
+    ew = relational.hash_join(edges, deg, key=src).materialize()
+
+    if n <= incore_nodes:
+        return _pagerank_incore(ew, nodes, n, src, dst, iters, damping, node_t)
+
+    def init(t: pa.Table) -> pa.Table:
+        return t.append_column("pr", pa.array(np.full(len(t), 1.0 / n)))
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow")
+    rank_schema = pa.schema([node_t, pa.field("pr", pa.float64())])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        w = pc.divide(t.column("pr"), pc.cast(t.column("_outdeg"), pa.float64()))
+        return pa.table({dst: t.column(dst), "_w": w})
+
+    def apply_rank(t: pa.Table) -> pa.Table:
+        s = pc.coalesce(t.column("_s"), pa.scalar(0.0, pa.float64()))
+        pr = pc.add(pc.multiply(s, pa.scalar(damping, pa.float64())),
+                    pa.scalar(base, pa.float64()))
+        return pa.table({"node": t.column("node"), "pr": pr})
+
+    for _ in range(iters):
+        r_src = _rename(ranks, [src, "pr"])
+        joined = relational.hash_join(
+            ew, r_src, key=src,
+            left_schema=pa.schema([pa.field(src, node_t.type),
+                                   pa.field(dst, node_t.type),
+                                   pa.field("_outdeg", pa.int64())]),
+            right_schema=pa.schema([pa.field(src, node_t.type),
+                                    pa.field("pr", pa.float64())]),
+        )
+        sums = relational.grouped_sum(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            [dst], "_w", "_s")
+        ranks = relational.hash_join(
+            nodes, _rename(sums, ["node", "_s"]), key="node", how="left",
+            left_schema=pa.schema([node_t]),
+            right_schema=pa.schema([node_t, pa.field("_s", pa.float64())]),
+        ).map_batches(apply_rank, batch_format="pyarrow")
+
+    return _rename(ranks, ["node", "pr"])  # stable names/order
+
+
+def _pagerank_incore(
+    ew: rd.Dataset, nodes: rd.Dataset, n: int, src: str, dst: str,
+    iters: int, damping: float, node_t: pa.Field,
+) -> rd.Dataset:
+    """Small-|V| regime: driver-held rank vector, one Ray execution per
+    sweep.  Node ids are compiled to int32 positions on the edge list
+    ONCE; each sweep broadcasts the 8n-byte rank vector and folds the
+    per-batch ``np.bincount`` partials (≤ #distinct-dst rows each) on
+    the driver.  Same fp-summation-order caveat as the distributed
+    path."""
+    import ray
+
+    parts = [b.column("node").to_numpy(zero_copy_only=False)
+             for b in nodes.iter_batches(batch_size=None, batch_format="pyarrow")]
+    node_ids = np.sort(np.concatenate(parts))
+    ids_ref = ray.put(node_ids)
+
+    def index_batch(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        si = np.searchsorted(ids, t.column(src).to_numpy(zero_copy_only=False))
+        di = np.searchsorted(ids, t.column(dst).to_numpy(zero_copy_only=False))
+        od = t.column("_outdeg").to_numpy().astype(np.float64)
+        return pa.table({"si": si.astype(np.int32), "di": di.astype(np.int32),
+                         "od": od})
+
+    ewi = ew.map_batches(index_batch, batch_format="pyarrow").materialize()
+
+    base = (1.0 - damping) / n
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        rref = ray.put(ranks)
+
+        def sweep(t: pa.Table, _rref=rref) -> pa.Table:
+            r = ray.get(_rref)
+            w = r[t.column("si").to_numpy()] / t.column("od").to_numpy()
+            s = np.bincount(t.column("di").to_numpy(), weights=w)
+            nz = np.flatnonzero(s)
+            return pa.table({"di": nz.astype(np.int64), "s": s[nz]})
+
+        acc = np.zeros(n)
+        for b in ewi.map_batches(sweep, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            np.add.at(acc, b.column("di").to_numpy(), b.column("s").to_numpy())
+        ranks = base + damping * acc
+
+    out = pa.table({"node": pa.array(node_ids, node_t.type),
+                    "pr": pa.array(ranks, pa.float64())})
+    return rd.from_arrow(out)
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    seeds: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 8,
+) -> rd.Dataset:
+    """Multi-source BFS hop distance: min #edges from any seed node,
+    capped at ``max_hops`` (crawl depth from a seed list; the iterative
+    sibling of the discovery pipeline's per-epoch depth column,
+    ``pipelines/discovery.py``).  Unreachable nodes are absent from the
+    output.  Integer-exact, so the recursive-CTE oracle matches
+    bitwise.
+
+    ``seeds``: a single-column (node) Dataset.  Per hop: one adaptive
+    hash_join (edges ⋈ frontier on src — frontier broadcast while it
+    fits) + one grouped-min over |visited|+|candidates| rows; stops
+    early when a sweep discovers nothing new.  Returns (node, hops).
+    """
+    edges = edges.select_columns([src, dst]).materialize()
+    esch = edges.schema()
+    node_type = esch.types[esch.names.index(src)]
+
+    def with_hop(h: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column(t.column_names[0]),
+                "hops": pa.array(np.full(len(t), h, np.int64)),
+            })
+        return fn
+
+    visited = relational.grouped_min(
+        seeds.map_batches(with_hop(0), batch_format="pyarrow"), "node", ["hops"]
+    ).materialize()
+    frontier = visited
+    n_visited = visited.count()
+
+    for h in range(1, max_hops + 1):
+        hits = relational.hash_join(
+            edges, _rename(frontier.select_columns(["node"]), [src]), key=src,
+            left_schema=pa.schema([pa.field(src, node_type),
+                                   pa.field(dst, node_type)]),
+            right_schema=pa.schema([pa.field(src, node_type)]),
+        )
+        cand = hits.map_batches(
+            lambda t, _h=h: pa.table({
+                "node": t.column(dst),
+                "hops": pa.array(np.full(len(t), _h, np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+        # min-hop union: previously-visited nodes keep their smaller hop;
+        # rows that come back with hops == h are exactly the new frontier
+        visited = relational.grouped_min(
+            visited.union(cand), "node", ["hops"]).materialize()
+        now = visited.count()
+        if now == n_visited:
+            break
+        n_visited = now
+        frontier = visited.map_batches(
+            lambda t, _h=h: t.filter(pc.equal(t.column("hops"), _h)),
+            batch_format="pyarrow",
+        )
+
+    return visited

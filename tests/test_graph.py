@@ -1,0 +1,98 @@
+"""Iterative graph operators (ops/graph.py): PageRank and multi-source
+BFS pinned against driver-side numpy/python references on randomized
+graphs, plus the degenerate shapes (empty graph, isolated seeds,
+single-node early stop)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cc_warc_examples_ray.ops import graph
+
+
+def _random_edges(seed: int, n_nodes: int = 60, n_draws: int = 400):
+    rng = np.random.default_rng(seed)
+    e = rng.integers(0, n_nodes, size=(n_draws, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    return np.unique(e, axis=0)
+
+
+def _ref_pagerank(E: np.ndarray, iters: int = 5, d: float = 0.85):
+    nodes = np.unique(E)
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, b in E:
+        outdeg[idx[a]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        s = np.zeros(n)
+        for a, b in E:
+            if outdeg[idx[a]]:
+                s[idx[b]] += pr[idx[a]] / outdeg[idx[a]]
+        pr = (1 - d) / n + d * s
+    return {int(v): pr[idx[int(v)]] for v in nodes}
+
+
+def _ref_bfs(E: np.ndarray, seeds, max_hops: int):
+    adj: dict[int, list[int]] = {}
+    for a, b in E:
+        adj.setdefault(int(a), []).append(int(b))
+    dist = {int(v): 0 for v in seeds}
+    frontier = [int(v) for v in seeds]
+    h = 0
+    while frontier and h < max_hops:
+        h += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pagerank_matches_reference(ray_session, seed):
+    E = _random_edges(seed)
+    ds = rd.from_arrow(pa.table({"src": E[:, 0], "dst": E[:, 1]})).repartition(7)
+    got = graph.pagerank(ds, iters=5).to_pandas()
+    ref = _ref_pagerank(E)
+    assert len(got) == len(ref)
+    for node, pr in zip(got["node"], got["pr"]):
+        assert abs(pr - ref[int(node)]) < 1e-12
+    # ranks + leaked dangling mass stay a probability distribution bound
+    assert got["pr"].sum() <= 1.0 + 1e-9
+
+
+def test_pagerank_simple_directed_chain(ray_session):
+    # a -> b -> c: hand-computable 1-iteration ranks with leaked mass
+    ds = rd.from_arrow(pa.table({"src": [10, 11], "dst": [11, 12]}))
+    got = graph.pagerank(ds, iters=1, damping=0.85).to_pandas()
+    n = 3
+    base = 0.15 / n
+    ref = {10: base, 11: base + 0.85 * (1 / n), 12: base + 0.85 * (1 / n)}
+    for node, pr in zip(got["node"], got["pr"]):
+        assert abs(pr - ref[int(node)]) < 1e-15
+
+
+@pytest.mark.parametrize("seed,max_hops", [(3, 3), (4, 8)])
+def test_bfs_matches_reference(ray_session, seed, max_hops):
+    E = _random_edges(seed)
+    seeds = np.unique(E)[:4]
+    ds = rd.from_arrow(pa.table({"src": E[:, 0], "dst": E[:, 1]})).repartition(5)
+    sd = rd.from_arrow(pa.table({"node": seeds}))
+    got = graph.bfs_hops(ds, sd, max_hops=max_hops).to_pandas()
+    ref = _ref_bfs(E, seeds, max_hops)
+    assert {int(k): int(v) for k, v in zip(got["node"], got["hops"])} == ref
+
+
+def test_bfs_isolated_seed_and_early_stop(ray_session):
+    # seed 99 has no edges; component {0,1} exhausts after hop 1 out of 8
+    ds = rd.from_arrow(pa.table({"src": [0, 1], "dst": [1, 0]}))
+    sd = rd.from_arrow(pa.table({"node": [0, 99]}))
+    got = graph.bfs_hops(ds, sd, max_hops=8).to_pandas()
+    assert {int(k): int(v) for k, v in zip(got["node"], got["hops"])} == {
+        0: 0, 99: 0, 1: 1}
