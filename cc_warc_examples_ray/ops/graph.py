@@ -58,6 +58,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     incore_nodes: int = 2_000_000,
+    incore_edges: int = 4_000_000,
 ) -> rd.Dataset:
     """Power-iteration PageRank over a directed edge list (Brin & Page
     1998), fixed ``iters`` sweeps from the uniform vector.
@@ -70,9 +71,13 @@ def pagerank(
     leaks" variant).  Duplicate edges count once per occurrence —
     deduplicate upstream if multigraph weighting is not wanted.
 
-    Returns a (node, pr) Dataset.  Two regimes (the repo's usual
+    Returns a (node, pr) Dataset.  Three regimes (the repo's usual
     size-gated dispatch, cf. ``dedup.pair_components``):
 
+    - ``|E| <= incore_edges``: the whole graph fits the driver (4M
+      edges = 32 MB of int32 positions) — one collect, zero Ray
+      executions per sweep.  At this size Ray's per-execution fixed
+      cost dwarfs the bincount math.
     - ``n <= incore_nodes``: the rank VECTOR lives on the driver
       (n × 8 B — 2M nodes = 16 MB); node ids are compiled once into
       int32 positions on the materialized edge list, then each sweep is
@@ -84,6 +89,8 @@ def pagerank(
       on dst; exchanged volume per sweep is O(|V|), not O(|E|).
     """
     edges = edges.select_columns([src, dst]).materialize()
+    if edges.count() <= incore_edges:
+        return _pagerank_local(edges, src, dst, iters, damping)
     nodes = edge_nodes(edges, src, dst).materialize()
     n = nodes.count()
     if n == 0:
@@ -95,12 +102,14 @@ def pagerank(
     sch = nodes.schema()  # ray.data.Schema: .names / .types (Arrow)
     node_t = pa.field("node", sch.types[sch.names.index("node")])
 
+    if n <= incore_nodes:
+        # outdegree is a bincount over the compiled src positions —
+        # no grouped_count and, crucially, no |E|-wide degree join
+        return _pagerank_incore(edges, nodes, n, src, dst, iters, damping, node_t)
+
     deg = relational.grouped_count(edges, [src], alias="_outdeg")
     # (src, dst, _outdeg): built once, reused every sweep
     ew = relational.hash_join(edges, deg, key=src).materialize()
-
-    if n <= incore_nodes:
-        return _pagerank_incore(ew, nodes, n, src, dst, iters, damping, node_t)
 
     def init(t: pa.Table) -> pa.Table:
         return t.append_column("pr", pa.array(np.full(len(t), 1.0 / n)))
@@ -140,16 +149,50 @@ def pagerank(
     return _rename(ranks, ["node", "pr"])  # stable names/order
 
 
+def _pagerank_local(
+    edges: rd.Dataset, src: str, dst: str, iters: int, damping: float,
+) -> rd.Dataset:
+    """Tiny-|E| regime: one collect, then pure-numpy power iteration on
+    the driver.  Bit-comparable to the distributed regimes up to fp
+    summation order (same math: bincount contribution sums)."""
+    esch = edges.schema()
+    node_type = esch.types[esch.names.index(src)]
+    s_parts, d_parts = [], []
+    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+        s_parts.append(b.column(src).to_numpy(zero_copy_only=False))
+        d_parts.append(b.column(dst).to_numpy(zero_copy_only=False))
+    if not s_parts or sum(len(p) for p in s_parts) == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], node_type), "pr": pa.array([], pa.float64())}))
+    sv = np.concatenate(s_parts)
+    dv = np.concatenate(d_parts)
+    node_ids = np.unique(np.concatenate([sv, dv]))
+    n = len(node_ids)
+    si = np.searchsorted(node_ids, sv).astype(np.int64)
+    di = np.searchsorted(node_ids, dv).astype(np.int64)
+    outdeg = np.bincount(si, minlength=n).astype(np.float64)
+    base = (1.0 - damping) / n
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        rod = np.divide(ranks, outdeg, out=np.zeros(n), where=outdeg > 0)
+        acc = np.bincount(di, weights=rod[si], minlength=n)
+        ranks = base + damping * acc
+    return rd.from_arrow(pa.table({"node": pa.array(node_ids, node_type),
+                                   "pr": pa.array(ranks, pa.float64())}))
+
+
 def _pagerank_incore(
-    ew: rd.Dataset, nodes: rd.Dataset, n: int, src: str, dst: str,
+    edges: rd.Dataset, nodes: rd.Dataset, n: int, src: str, dst: str,
     iters: int, damping: float, node_t: pa.Field,
 ) -> rd.Dataset:
     """Small-|V| regime: driver-held rank vector, one Ray execution per
-    sweep.  Node ids are compiled to int32 positions on the edge list
-    ONCE; each sweep broadcasts the 8n-byte rank vector and folds the
-    per-batch ``np.bincount`` partials (≤ #distinct-dst rows each) on
-    the driver.  Same fp-summation-order caveat as the distributed
-    path."""
+    sweep.  Node ids are compiled to int32 positions on the RAW edge
+    list ONCE — the index pass also returns per-batch outdegree
+    partials, so no grouped_count and no |E|-wide degree join run at
+    all.  Each sweep broadcasts the 8n-byte ranks/outdeg vector and
+    folds the per-batch ``np.bincount`` partials (≤ #distinct-dst rows
+    each) on the driver.  Same fp-summation-order caveat as the
+    distributed path."""
     import ray
 
     parts = [b.column("node").to_numpy(zero_copy_only=False)
@@ -161,20 +204,31 @@ def _pagerank_incore(
         ids = ray.get(ids_ref)
         si = np.searchsorted(ids, t.column(src).to_numpy(zero_copy_only=False))
         di = np.searchsorted(ids, t.column(dst).to_numpy(zero_copy_only=False))
-        od = t.column("_outdeg").to_numpy().astype(np.float64)
-        return pa.table({"si": si.astype(np.int32), "di": di.astype(np.int32),
-                         "od": od})
+        return pa.table({"si": si.astype(np.int32), "di": di.astype(np.int32)})
 
-    ewi = ew.map_batches(index_batch, batch_format="pyarrow").materialize()
+    ewi = edges.map_batches(index_batch, batch_format="pyarrow").materialize()
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        c = np.bincount(t.column("si").to_numpy())
+        nz = np.flatnonzero(c)
+        return pa.table({"i": nz.astype(np.int64), "c": c[nz]})
+
+    outdeg = np.zeros(n)
+    for b in ewi.map_batches(deg_part, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        np.add.at(outdeg, b.column("i").to_numpy(), b.column("c").to_numpy())
 
     base = (1.0 - damping) / n
     ranks = np.full(n, 1.0 / n)
     for _ in range(iters):
-        rref = ray.put(ranks)
+        # rod[v] = pr(v)/outdeg(v); positions with outdeg 0 never occur
+        # as si, so their (zeroed) entries are never read
+        rod = np.divide(ranks, outdeg, out=np.zeros(n), where=outdeg > 0)
+        rref = ray.put(rod)
 
         def sweep(t: pa.Table, _rref=rref) -> pa.Table:
             r = ray.get(_rref)
-            w = r[t.column("si").to_numpy()] / t.column("od").to_numpy()
+            w = r[t.column("si").to_numpy()]
             s = np.bincount(t.column("di").to_numpy(), weights=w)
             nz = np.flatnonzero(s)
             return pa.table({"di": nz.astype(np.int64), "s": s[nz]})
@@ -190,6 +244,42 @@ def _pagerank_incore(
     return rd.from_arrow(out)
 
 
+def _bfs_local(
+    edges: rd.Dataset, seeds: rd.Dataset, src: str, dst: str, max_hops: int,
+) -> rd.Dataset:
+    """Tiny-|E| regime: one collect, vectorized frontier expansion on
+    the driver (mask edges whose src settled last hop, settle unseen
+    targets).  Integer-exact like the distributed path."""
+    esch = edges.schema()
+    node_type = esch.types[esch.names.index(src)]
+    s_parts, d_parts, seed_parts = [], [], []
+    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+        s_parts.append(b.column(src).to_numpy(zero_copy_only=False))
+        d_parts.append(b.column(dst).to_numpy(zero_copy_only=False))
+    for b in seeds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        seed_parts.append(
+            b.column(b.column_names[0]).to_numpy(zero_copy_only=False))
+    sv = np.concatenate(s_parts) if s_parts else np.array([], np.int64)
+    dv = np.concatenate(d_parts) if d_parts else np.array([], np.int64)
+    sd = np.concatenate(seed_parts) if seed_parts else np.array([], np.int64)
+    node_ids = np.unique(np.concatenate([sv, dv, sd]))
+    n = len(node_ids)
+    si = np.searchsorted(node_ids, sv)
+    di = np.searchsorted(node_ids, dv)
+    dist = np.full(n, -1, np.int64)
+    dist[np.searchsorted(node_ids, sd)] = 0
+    for h in range(1, max_hops + 1):
+        targets = di[dist[si] == h - 1]
+        new = targets[dist[targets] < 0]
+        if len(new) == 0:
+            break
+        dist[new] = h
+    reach = dist >= 0
+    return rd.from_arrow(pa.table({
+        "node": pa.array(node_ids[reach], node_type),
+        "hops": pa.array(dist[reach], pa.int64())}))
+
+
 def bfs_hops(
     edges: rd.Dataset,
     seeds: rd.Dataset,
@@ -197,6 +287,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 8,
+    incore_edges: int = 4_000_000,
 ) -> rd.Dataset:
     """Multi-source BFS hop distance: min #edges from any seed node,
     capped at ``max_hops`` (crawl depth from a seed list; the iterative
@@ -205,12 +296,17 @@ def bfs_hops(
     output.  Integer-exact, so the recursive-CTE oracle matches
     bitwise.
 
-    ``seeds``: a single-column (node) Dataset.  Per hop: one adaptive
-    hash_join (edges ⋈ frontier on src — frontier broadcast while it
-    fits) + one grouped-min over |visited|+|candidates| rows; stops
-    early when a sweep discovers nothing new.  Returns (node, hops).
+    ``seeds``: a single-column (node) Dataset.  ``|E| <= incore_edges``
+    collects once and expands frontiers in driver numpy (Ray's
+    per-execution fixed cost dwarfs the masking math there, cf.
+    ``pagerank``); otherwise per hop: one adaptive hash_join (edges ⋈
+    frontier on src — frontier broadcast while it fits) + one
+    grouped-min over |visited|+|candidates| rows; stops early when a
+    sweep discovers nothing new.  Returns (node, hops).
     """
     edges = edges.select_columns([src, dst]).materialize()
+    if edges.count() <= incore_edges:
+        return _bfs_local(edges, seeds, src, dst, max_hops)
     esch = edges.schema()
     node_type = esch.types[esch.names.index(src)]
 

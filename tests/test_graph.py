@@ -54,11 +54,24 @@ def _ref_bfs(E: np.ndarray, seeds, max_hops: int):
     return dist
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_pagerank_matches_reference(ray_session, seed):
+# gates pick the regime: driver-local sweeps / driver-held rank vector
+# with distributed edges / fully distributed join+groupby sweeps
+_PR_REGIMES = {
+    "local": {},
+    "driver-ranks": {"incore_edges": 0},
+    "distributed": {"incore_edges": 0, "incore_nodes": 0},
+}
+
+
+@pytest.mark.parametrize("seed,regime", [
+    (0, "local"), (1, "local"), (2, "local"),
+    (0, "driver-ranks"), (1, "driver-ranks"),
+    (0, "distributed"),
+])
+def test_pagerank_matches_reference(ray_session, seed, regime):
     E = _random_edges(seed)
     ds = rd.from_arrow(pa.table({"src": E[:, 0], "dst": E[:, 1]})).repartition(7)
-    got = graph.pagerank(ds, iters=5).to_pandas()
+    got = graph.pagerank(ds, iters=5, **_PR_REGIMES[regime]).to_pandas()
     ref = _ref_pagerank(E)
     assert len(got) == len(ref)
     for node, pr in zip(got["node"], got["pr"]):
@@ -78,13 +91,16 @@ def test_pagerank_simple_directed_chain(ray_session):
         assert abs(pr - ref[int(node)]) < 1e-15
 
 
-@pytest.mark.parametrize("seed,max_hops", [(3, 3), (4, 8)])
-def test_bfs_matches_reference(ray_session, seed, max_hops):
+@pytest.mark.parametrize("seed,max_hops,incore_edges", [
+    (3, 3, 4_000_000), (4, 8, 4_000_000), (3, 3, 0), (4, 8, 0),
+])
+def test_bfs_matches_reference(ray_session, seed, max_hops, incore_edges):
     E = _random_edges(seed)
     seeds = np.unique(E)[:4]
     ds = rd.from_arrow(pa.table({"src": E[:, 0], "dst": E[:, 1]})).repartition(5)
     sd = rd.from_arrow(pa.table({"node": seeds}))
-    got = graph.bfs_hops(ds, sd, max_hops=max_hops).to_pandas()
+    got = graph.bfs_hops(ds, sd, max_hops=max_hops,
+                         incore_edges=incore_edges).to_pandas()
     ref = _ref_bfs(E, seeds, max_hops)
     assert {int(k): int(v) for k, v in zip(got["node"], got["hops"])} == ref
 
