@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "repetition_scores",
     "decontaminate",
     "semdedup",
+    "clean_docs",
+    "dup_spans",
+    "pagerank",
+    "tfidf_terms",
 ]
 
 

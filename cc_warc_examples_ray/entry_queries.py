@@ -3046,6 +3046,77 @@ SELECT doc_id, term, tf, score FROM r WHERE rn <= 3 ORDER BY doc_id, term
 """
 
 
+def q_triangle_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle counts (degree-oriented node-iterator,
+    ``ops/graph.node_triangles``) over the parts co-occurrence graph:
+    an undirected edge joins two parts that appear in the same order,
+    both with quantity > 30 (the predicate thins the otherwise
+    near-complete co-occurrence graph so the query isn't wedge-bound;
+    the operator's density behavior is covered by tests/test_graph.py).
+    Triangles = cliques of mutually co-ordered parts — the basket-
+    analysis shape of the crawl engine's near-dup group statistics."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("l_quantity"), 30))
+                   .select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow")
+    li2 = li.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "_p2"]),
+        batch_format="pyarrow")
+    j = relational.hash_join(li, li2, key="l_orderkey")
+
+    def mk(t: pa.Table) -> pa.Table:
+        keep = pa.compute.less(t.column("l_partkey"), t.column("_p2"))
+        out = t.filter(keep)
+        return pa.table({"src": out.column("l_partkey"),
+                         "dst": out.column("_p2")})
+
+    edges = j.map_batches(mk, batch_format="pyarrow")
+    out = graph.node_triangles(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_TRIANGLE_STATS = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 30),
+e AS (
+  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM li l1 JOIN li l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT node, count(*)::BIGINT AS tri_cnt FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Whitespace-token inverted index over documents: per-term document
+    frequency + md5 of the ascending comma-joined posting list
+    (``ops/text.inverted_index``; the digest keeps the result O(vocab)
+    while still pinning every posting list bit-exactly)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text.inverted_index(docs).to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
+
+
+SQL_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents)
+  WHERE term <> '')
+SELECT term, count(*)::BIGINT AS df,
+       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5
+FROM tok GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3119,6 +3190,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "graph_bfs": q_graph_bfs,
     "tfidf_terms": q_tfidf_terms,
+    "triangle_stats": q_triangle_stats,
+    "inverted_index": q_inverted_index,
 }
 
 ORACLES = {
@@ -3186,6 +3259,8 @@ ORACLES = {
     "pagerank": SQL_PAGERANK,
     "graph_bfs": SQL_GRAPH_BFS,
     "tfidf_terms": SQL_TFIDF_TERMS,
+    "triangle_stats": SQL_TRIANGLE_STATS,
+    "inverted_index": SQL_INVERTED_INDEX,
 }
 
 

@@ -352,3 +352,214 @@ def bfs_hops(
         )
 
     return visited
+
+
+def node_triangles(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 32,
+    incore_edges: int = 4_000_000,
+) -> rd.Dataset:
+    """Per-node triangle counts over an UNDIRECTED graph (edge list may
+    contain either or both directions and duplicates; it is
+    canonicalized to distinct ``u < v`` pairs, self-loops dropped).
+    Returns (node, tri_cnt); nodes on no triangle are absent.
+
+    Algorithm: degree-oriented node-iterator (Suri & Vassilvitskii,
+    WWW'11 MapReduce triangle counting): orient every edge from its
+    lower-(degree, id) endpoint to the higher, generate the oriented
+    wedges (x, y) under each apex a from a's SORTED out-neighborhood,
+    and close a wedge iff the oriented edge (x, y) exists.  Each
+    triangle is produced exactly once.  The orientation bounds every
+    out-degree by O(sqrt(|E|)) regardless of hub skew, which caps the
+    wedge volume at O(|E|^1.5) — the standard scale mitigation; a raw
+    id-orientation would square the hottest hub's degree instead.
+
+    Shape: canonicalize (grouped_min) -> two adaptive degree joins
+    (degree table is |V| rows -> broadcast while small) -> one
+    apex-bucket shuffle for wedges -> one two-sided x-bucket shuffle
+    for the closing-edge membership test -> grouped_count per node.
+    ``|E| <= incore_edges`` short-circuits to one collect + the same
+    numpy kernels on the driver (cf. ``pagerank``).
+    """
+    edges = edges.select_columns([src, dst]).materialize()
+    esch = edges.schema()
+    node_type = esch.types[esch.names.index(src)]
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(src)
+        b = t.column(dst)
+        u = pc.min_element_wise(a, b)
+        v = pc.max_element_wise(a, b)
+        keep = pc.not_equal(u, v)
+        return pa.table({"u": u.filter(keep), "v": v.filter(keep)})
+
+    pairs = relational.grouped_min(
+        edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"], [])
+
+    if edges.count() <= incore_edges:
+        return _node_triangles_local(pairs, node_type)
+
+    both = pairs.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t.column("u").combine_chunks(), t.column("v").combine_chunks()])}),
+        batch_format="pyarrow")
+    deg = relational.grouped_count(both, ["node"], alias="_deg")
+
+    ju = relational.hash_join(
+        pairs, _rename(deg, ["u", "_deg_u"]), key="u")
+    juv = relational.hash_join(
+        ju, _rename(deg, ["v", "_deg_v"]), key="v")
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = t.column("_deg_u").to_numpy(zero_copy_only=False)
+        dv = t.column("_deg_v").to_numpy(zero_copy_only=False)
+        # rank(u) < rank(v) in (deg, id) lexicographic order?  (u < v
+        # always holds, so the deg tie-break resolves to u-first)
+        u_first = du <= dv
+        return pa.table({
+            "a": np.where(u_first, u, v),
+            "b": np.where(u_first, v, u),
+            "_deg_b": np.where(u_first, dv, du).astype(np.int64),
+        })
+
+    oriented = juv.map_batches(orient, batch_format="pyarrow").materialize()
+
+    wedge_schema = pa.schema([
+        pa.field("x", node_type), pa.field("y", node_type),
+        pa.field("apex", node_type)])
+
+    def wedges(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        db = t.column("_deg_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, db, a))  # group by apex, neighbors rank-sorted
+        a, b = a[order], b[order]
+        xs, ys, aps = _pairs_within_groups(a, b)
+        return pa.table({"x": pa.array(xs, node_type),
+                         "y": pa.array(ys, node_type),
+                         "apex": pa.array(aps, node_type)})
+
+    wedge_ds = relational.partitioned_map_arrow(
+        oriented, ["a"], wedges, wedge_schema, num_partitions=num_partitions)
+
+    # two-sided bucket on the wedge's x / the edge's a: membership test
+    types = {"x": node_type, "y": node_type, "apex": node_type}
+    all_cols = ["x", "y", "apex"]
+    wb = wedge_ds.map_batches(
+        relational._union_bucketer("x", 0, all_cols, types, num_partitions),
+        batch_format="pyarrow")
+    eb = oriented.select_columns(["a", "b"]).map_batches(
+        lambda t: t.rename_columns(["x", "y"]), batch_format="pyarrow"
+    ).map_batches(
+        relational._union_bucketer("x", 1, all_cols, types, num_partitions),
+        batch_format="pyarrow")
+
+    tri_schema = pa.schema([pa.field("node", node_type)])
+
+    def close(gt: pa.Table) -> pa.Table:
+        side = gt.column("_side").to_numpy(zero_copy_only=False)
+        x = gt.column("x").to_numpy(zero_copy_only=False)
+        y = gt.column("y").to_numpy(zero_copy_only=False)
+        ap = gt.column("apex").to_numpy(zero_copy_only=False)
+        w = side == 0
+        e = ~w
+        hit = _pair_member(x[w], y[w], x[e], y[e])
+        nodes = np.concatenate([x[w][hit], y[w][hit], ap[w][hit]])
+        return pa.table({"node": pa.array(nodes, node_type)})
+
+    tri_nodes = wb.union(eb).groupby("_bucket").map_groups(
+        lambda gt: close(gt).cast(tri_schema).replace_schema_metadata(None),
+        batch_format="pyarrow")
+    return relational.grouped_count(tri_nodes, ["node"], alias="tri_cnt")
+
+
+def _pairs_within_groups(g: np.ndarray, vals: np.ndarray):
+    """All ordered index pairs (i < j) within runs of equal ``g``
+    (assumed grouped/sorted): returns (vals[i], vals[j], g[i]) arrays,
+    fully vectorized."""
+    n = len(g)
+    if n == 0:
+        return vals[:0], vals[:0], g[:0]
+    starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+    sizes = np.diff(np.concatenate((starts, [n])))
+    npairs = sizes * (sizes - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        return vals[:0], vals[:0], g[:0]
+    # j index: for each group, rows 1..k-1 repeated (local_j) times
+    row_gstart = np.repeat(starts, sizes)                # group start per row
+    local = np.arange(n) - row_gstart                    # position in group
+    j_idx = np.repeat(np.arange(n), local)               # each row j appears local_j times
+    # i index: within each j's block, i runs group-start..j-1
+    block_starts = np.repeat(row_gstart, local)
+    i_idx = np.arange(total) - np.repeat(
+        np.cumsum(np.concatenate(([0], local[:-1]))), local) + block_starts
+    return vals[i_idx], vals[j_idx], g[i_idx]
+
+
+def _pair_member(qx, qy, ex, ey) -> np.ndarray:
+    """Vectorized membership: is (qx[i], qy[i]) in the set
+    {(ex[j], ey[j])}?  Node values are coded against the sorted unique
+    EDGE endpoints only (queries can be 30x the edges — sorting their
+    union would dominate); query values absent from the edge set get a
+    sentinel code, so their packed keys can never equal a real edge key
+    (no false positives).  Packed-key width is |uniq|+2 — bucket-local
+    cardinalities keep ``width**2`` far below 2**63."""
+    if len(ex) == 0 or len(qx) == 0:
+        return np.zeros(len(qx), bool)
+    uniq = np.unique(np.concatenate([ex, ey]))
+    sentinel = np.int64(len(uniq))
+
+    def code(v):
+        pos = np.searchsorted(uniq, v)
+        clipped = np.minimum(pos, len(uniq) - 1)
+        pos = pos.astype(np.int64)
+        pos[uniq[clipped] != v] = sentinel
+        return pos
+
+    width = np.int64(len(uniq) + 2)
+    ek = code(ex) * width + code(ey)
+    qk = code(qx) * width + code(qy)
+    ek.sort()
+    pos = np.searchsorted(ek, qk)
+    ok = pos < len(ek)
+    hit = np.zeros(len(qk), bool)
+    hit[ok] = ek[pos[ok]] == qk[ok]
+    return hit
+
+
+def _node_triangles_local(pairs: rd.Dataset, node_type) -> rd.Dataset:
+    """Tiny-|E| regime: one collect, same oriented-wedge kernels on the
+    driver."""
+    us, vs = [], []
+    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        us.append(b.column("u").to_numpy(zero_copy_only=False))
+        vs.append(b.column("v").to_numpy(zero_copy_only=False))
+    if not us or sum(len(p) for p in us) == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], node_type),
+            "tri_cnt": pa.array([], pa.int64())}))
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    nodes = np.unique(np.concatenate([u, v]))
+    deg = (np.bincount(np.searchsorted(nodes, u), minlength=len(nodes))
+           + np.bincount(np.searchsorted(nodes, v), minlength=len(nodes)))
+    du, dv = deg[np.searchsorted(nodes, u)], deg[np.searchsorted(nodes, v)]
+    u_first = du <= dv
+    a = np.where(u_first, u, v)
+    b = np.where(u_first, v, u)
+    db = np.where(u_first, dv, du)
+    order = np.lexsort((b, db, a))
+    a, b = a[order], b[order]
+    xs, ys, aps = _pairs_within_groups(a, b)
+    hit = _pair_member(xs, ys, a, b)
+    tri = np.concatenate([xs[hit], ys[hit], aps[hit]])
+    tn, tc = np.unique(tri, return_counts=True)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(tn, node_type),
+        "tri_cnt": pa.array(tc, pa.int64())}))

@@ -414,6 +414,30 @@ def partitioned_map(ds: rd.Dataset, keys: Sequence[str], kern,
     )
 
 
+def partitioned_map_arrow(ds: rd.Dataset, keys: Sequence[str], kern,
+                          out_schema: pa.Schema,
+                          num_partitions: int = 32) -> rd.Dataset:
+    """Arrow-native sibling of :func:`partitioned_map`: ``kern`` gets a
+    ``pa.Table`` holding many whole key-groups (the ``_part`` column
+    already dropped) and returns a ``pa.Table`` matching ``out_schema``.
+    Use this when the kernel is numpy/Arrow math — no pandas round-trip
+    of (possibly large string/binary) columns."""
+    add_part = make_part_assigner(keys, num_partitions)
+
+    def wrapped(gt: pa.Table) -> pa.Table:
+        if "_part" in gt.column_names:
+            gt = gt.drop_columns(["_part"])
+        res = kern(gt)
+        if res.num_rows == 0:
+            return out_schema.empty_table()
+        return res.select([f.name for f in out_schema]).cast(
+            out_schema).replace_schema_metadata(None)
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("_part").map_groups(
+        wrapped, batch_format="pyarrow"
+    )
+
+
 def first_per_key(ds: rd.Dataset, key: str, order_col: str,
                   tiebreak: Sequence[str] = ()) -> rd.Dataset:
     """Exact first-per-key dedup (A3/O7): per-batch pre-dedup (combiner),

@@ -436,3 +436,78 @@ def ngram_class_scores(ds: rd.Dataset, text_col: str, cls_col: str,
         )
 
     return sums.map_batches(score, batch_format="pyarrow")
+
+
+def inverted_index(docs: rd.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   num_partitions: int = 32) -> rd.Dataset:
+    """Build an inverted index over whitespace tokens: one row per term
+    with its document frequency and an md5 digest of the ascending
+    comma-joined posting list (the digest stands in for the list itself
+    so the result is hash-comparable and O(vocab), not O(postings),
+    on the driver).
+
+    The reference stops at token COUNTS
+    (``WordCounterMap.java:39-47``); a retrieval/dedup stack needs the
+    postings.  Scale shape: the explode dedupes (term, doc) pairs
+    per batch (combiner), then ONE term-bucket shuffle
+    (:func:`~.relational.partitioned_map_arrow`) builds each term's
+    full posting list inside its bucket — posting lists never
+    concatenate on the driver, and a hot term costs its own bucket
+    only.  Tokenizer = Arrow ``split_pattern`` on RE2 ``\\s+``, the
+    same engine as the DuckDB oracle (see ``_WS_RE`` note).
+    """
+    import hashlib
+
+    # local import: avoids a circular import at module load
+    from .relational import arrow_group_by, partitioned_map_arrow
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(t.column(text_col).combine_chunks(), pa.string()),
+            pattern=r"[ \t\n\f\r]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = t.column(id_col).take(parent)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({"term": flat.filter(keep), id_col: ids.filter(keep)})
+        # per-batch (term, doc) dedup: bounds the shuffle at one row per
+        # distinct pair per batch
+        return arrow_group_by(pairs, ["term", id_col], [])
+
+    pairs = docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+    out_schema = pa.schema([
+        pa.field("term", pa.string()),
+        pa.field("df", pa.int64()),
+        pa.field("postings_md5", pa.string()),
+    ])
+
+    def build(t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, terms))
+        terms, ids = terms[order], ids[order]
+        # cross-batch dedup of (term, doc) pairs
+        if len(terms):
+            first = np.ones(len(terms), bool)
+            first[1:] = (terms[1:] != terms[:-1]) | (ids[1:] != ids[:-1])
+            terms, ids = terms[first], ids[first]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], terms[1:] != terms[:-1], [True]))
+        ) if len(terms) else np.array([0])
+        out_t, out_df, out_md5 = [], [], []
+        id_strs = ids.astype("U")
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            out_t.append(terms[lo])
+            out_df.append(hi - lo)
+            out_md5.append(hashlib.md5(
+                ",".join(id_strs[lo:hi]).encode()).hexdigest())
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "df": pa.array(out_df, pa.int64()),
+                         "postings_md5": pa.array(out_md5, pa.string())})
+
+    return partitioned_map_arrow(pairs, ["term"], build, out_schema,
+                                 num_partitions=num_partitions)

@@ -112,3 +112,60 @@ def test_bfs_isolated_seed_and_early_stop(ray_session):
     got = graph.bfs_hops(ds, sd, max_hops=8).to_pandas()
     assert {int(k): int(v) for k, v in zip(got["node"], got["hops"])} == {
         0: 0, 99: 0, 1: 1}
+
+
+def _ref_triangles(E_canon):
+    adj = {}
+    for u, v in E_canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cnt = {}
+    for u, v in E_canon:
+        for w in adj[u] & adj[v]:
+            if u < v < w:
+                for x in (u, v, w):
+                    cnt[x] = cnt.get(x, 0) + 1
+    return cnt
+
+
+@pytest.mark.parametrize("seed,incore_edges", [
+    (0, 4_000_000), (1, 4_000_000), (0, 0), (2, 0),
+])
+def test_node_triangles_matches_reference(ray_session, seed, incore_edges):
+    rng = np.random.default_rng(seed)
+    e = rng.integers(0, 40, size=(500, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    canon = set((min(a, b), max(a, b)) for a, b in e)
+    # both directions + duplicates: exercises canonicalization
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(5)
+    got = graph.node_triangles(ds, incore_edges=incore_edges).to_pandas()
+    ref = _ref_triangles(canon)
+    assert dict(zip(got["node"].astype(int), got["tri_cnt"].astype(int))) == ref
+
+
+def test_node_triangles_triangle_free(ray_session):
+    # star graph: no triangles -> empty output, schema intact
+    ds = rd.from_arrow(pa.table({"src": [0, 0, 0], "dst": [1, 2, 3]}))
+    got = graph.node_triangles(ds)
+    # ray to_pandas drops columns at 0 rows; assert on the Dataset schema
+    assert got.schema().names == ["node", "tri_cnt"]
+    assert got.count() == 0
+
+
+def test_pair_member_absent_values_never_match():
+    # query pairs with components outside the edge set must not collide
+    # with real keys via the sentinel code
+    ex = np.array([1, 2, 3]); ey = np.array([2, 3, 4])
+    qx = np.array([1, 99, 98, 2]); qy = np.array([2, 97, 97, 3])
+    hit = graph._pair_member(qx, qy, ex, ey)
+    assert hit.tolist() == [True, False, False, True]
+
+
+def test_pairs_within_groups_exhaustive():
+    g = np.array([0, 0, 0, 2, 2, 5])
+    v = np.array([7, 8, 9, 1, 2, 3])
+    xs, ys, aps = graph._pairs_within_groups(g, v)
+    got = sorted(zip(aps.tolist(), xs.tolist(), ys.tolist()))
+    assert got == [(0, 7, 8), (0, 7, 9), (0, 8, 9), (2, 1, 2)]
