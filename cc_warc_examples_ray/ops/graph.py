@@ -361,6 +361,7 @@ def node_triangles(
     dst: str = "dst",
     num_partitions: int = 32,
     incore_edges: int = 4_000_000,
+    chunk_pairs: int = 16_000_000,
 ) -> rd.Dataset:
     """Per-node triangle counts over an UNDIRECTED graph (edge list may
     contain either or both directions and duplicates; it is
@@ -400,7 +401,7 @@ def node_triangles(
         edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"], [])
 
     if edges.count() <= incore_edges:
-        return _node_triangles_local(pairs, node_type)
+        return _node_triangles_local(pairs, node_type, chunk_pairs)
 
     both = pairs.map_batches(
         lambda t: pa.table({"node": pa.concat_arrays(
@@ -502,38 +503,50 @@ def _pairs_within_groups(g: np.ndarray, vals: np.ndarray):
     return vals[i_idx], vals[j_idx], g[i_idx]
 
 
-def _pair_member(qx, qy, ex, ey) -> np.ndarray:
-    """Vectorized membership: is (qx[i], qy[i]) in the set
-    {(ex[j], ey[j])}?  Node values are coded against the sorted unique
-    EDGE endpoints only (queries can be 30x the edges — sorting their
-    union would dominate); query values absent from the edge set get a
-    sentinel code, so their packed keys can never equal a real edge key
-    (no false positives).  Packed-key width is |uniq|+2 — bucket-local
-    cardinalities keep ``width**2`` far below 2**63."""
-    if len(ex) == 0 or len(qx) == 0:
-        return np.zeros(len(qx), bool)
-    uniq = np.unique(np.concatenate([ex, ey]))
-    sentinel = np.int64(len(uniq))
+class _PairSet:
+    """Vectorized membership in a set of (x, y) pairs.  Node values are
+    coded against the sorted unique EDGE endpoints only (queries can be
+    30x the edges — sorting their union would dominate); query values
+    absent from the edge set get a sentinel code, so their packed keys
+    can never equal a real edge key (no false positives).  Packed-key
+    width is |uniq|+2 — bucket-local cardinalities keep ``width**2``
+    far below 2**63.  Build once, probe many chunks."""
 
-    def code(v):
+    def __init__(self, ex, ey):
+        self.empty = len(ex) == 0
+        if self.empty:
+            return
+        self.uniq = np.unique(np.concatenate([ex, ey]))
+        self.width = np.int64(len(self.uniq) + 2)
+        self.ek = self._code(ex) * self.width + self._code(ey)
+        self.ek.sort()
+
+    def _code(self, v):
+        uniq = self.uniq
         pos = np.searchsorted(uniq, v)
         clipped = np.minimum(pos, len(uniq) - 1)
         pos = pos.astype(np.int64)
-        pos[uniq[clipped] != v] = sentinel
+        pos[uniq[clipped] != v] = len(uniq)  # sentinel
         return pos
 
-    width = np.int64(len(uniq) + 2)
-    ek = code(ex) * width + code(ey)
-    qk = code(qx) * width + code(qy)
-    ek.sort()
-    pos = np.searchsorted(ek, qk)
-    ok = pos < len(ek)
-    hit = np.zeros(len(qk), bool)
-    hit[ok] = ek[pos[ok]] == qk[ok]
-    return hit
+    def contains(self, qx, qy) -> np.ndarray:
+        if self.empty or len(qx) == 0:
+            return np.zeros(len(qx), bool)
+        qk = self._code(qx) * self.width + self._code(qy)
+        pos = np.searchsorted(self.ek, qk)
+        ok = pos < len(self.ek)
+        hit = np.zeros(len(qk), bool)
+        hit[ok] = self.ek[pos[ok]] == qk[ok]
+        return hit
 
 
-def _node_triangles_local(pairs: rd.Dataset, node_type) -> rd.Dataset:
+def _pair_member(qx, qy, ex, ey) -> np.ndarray:
+    """One-shot convenience wrapper over :class:`_PairSet`."""
+    return _PairSet(ex, ey).contains(qx, qy)
+
+
+def _node_triangles_local(pairs: rd.Dataset, node_type,
+                          chunk_pairs: int = 16_000_000) -> rd.Dataset:
     """Tiny-|E| regime: one collect, same oriented-wedge kernels on the
     driver."""
     us, vs = [], []
@@ -556,10 +569,29 @@ def _node_triangles_local(pairs: rd.Dataset, node_type) -> rd.Dataset:
     db = np.where(u_first, dv, du)
     order = np.lexsort((b, db, a))
     a, b = a[order], b[order]
-    xs, ys, aps = _pairs_within_groups(a, b)
-    hit = _pair_member(xs, ys, a, b)
-    tri = np.concatenate([xs[hit], ys[hit], aps[hit]])
-    tn, tc = np.unique(tri, return_counts=True)
+    # wedge volume is O(|E|^1.5): at the 4M-edge gate a dense graph can
+    # emit billions of wedges — process apex groups in pair-count-capped
+    # chunks so the peak footprint stays ~CAP rows, accumulating
+    # per-node triangle counts as codes into `nodes`
+    starts = np.flatnonzero(np.concatenate(([True], a[1:] != a[:-1])))
+    ends = np.concatenate((starts[1:], [len(a)]))
+    npairs = (ends - starts) * (ends - starts - 1) // 2
+    edge_set = _PairSet(a, b)
+    counts = np.zeros(len(nodes), np.int64)
+    CAP = max(1, int(chunk_pairs))
+    g_lo = 0
+    while g_lo < len(starts):
+        g_hi, acc = g_lo, 0
+        while g_hi < len(starts) and (acc == 0 or acc + npairs[g_hi] <= CAP):
+            acc += npairs[g_hi]
+            g_hi += 1
+        lo, hi = starts[g_lo], ends[g_hi - 1]
+        xs, ys, aps = _pairs_within_groups(a[lo:hi], b[lo:hi])
+        hit = edge_set.contains(xs, ys)
+        tri = np.concatenate([xs[hit], ys[hit], aps[hit]])
+        np.add.at(counts, np.searchsorted(nodes, tri), 1)
+        g_lo = g_hi
+    nz = np.flatnonzero(counts)
     return rd.from_arrow(pa.table({
-        "node": pa.array(tn, node_type),
-        "tri_cnt": pa.array(tc, pa.int64())}))
+        "node": pa.array(nodes[nz], node_type),
+        "tri_cnt": pa.array(counts[nz], pa.int64())}))

@@ -169,3 +169,18 @@ def test_pairs_within_groups_exhaustive():
     xs, ys, aps = graph._pairs_within_groups(g, v)
     got = sorted(zip(aps.tolist(), xs.tolist(), ys.tolist()))
     assert got == [(0, 7, 8), (0, 7, 9), (0, 8, 9), (2, 1, 2)]
+
+
+def test_node_triangles_chunked_local_matches(ray_session):
+    # chunk_pairs=7 forces many pair-capped chunks through the local
+    # path; counts must be identical to the unchunked run
+    rng = np.random.default_rng(7)
+    e = rng.integers(0, 30, size=(300, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    ds = rd.from_arrow(pa.table({"src": e[:, 0], "dst": e[:, 1]}))
+    big = graph.node_triangles(ds).to_pandas()
+    small = graph.node_triangles(ds, chunk_pairs=7).to_pandas()
+    assert big.sort_values("node").values.tolist() == \
+        small.sort_values("node").values.tolist()
+    ref = _ref_triangles(set((min(a, b), max(a, b)) for a, b in e))
+    assert dict(zip(big["node"].astype(int), big["tri_cnt"].astype(int))) == ref
