@@ -383,7 +383,13 @@ def node_triangles(
     apex-bucket shuffle for wedges -> one two-sided x-bucket shuffle
     for the closing-edge membership test -> grouped_count per node.
     ``|E| <= incore_edges`` short-circuits to one collect + the same
-    numpy kernels on the driver (cf. ``pagerank``).
+    numpy kernels on the driver (cf. ``pagerank``), chunked at
+    ``chunk_pairs`` wedges so a dense graph can't spike driver memory.
+
+    Partitioning assumption (distributed regime): each of the
+    ``num_partitions`` apex buckets materializes its wedge table in
+    one worker — size ``num_partitions`` ~ O(|E|^1.5 / target_block)
+    for very dense graphs so a bucket's wedges stay block-sized.
     """
     edges = edges.select_columns([src, dst]).materialize()
     esch = edges.schema()
