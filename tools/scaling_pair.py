@@ -58,33 +58,41 @@ def main() -> int:
     min_rate = float(sys.argv[2]) if len(sys.argv) > 2 else 950.0
     max_wait = float(sys.argv[3]) if len(sys.argv) > 3 else 45.0
     deadline = time.time() + max_wait * 60
+    leg8 = leg32 = None
     while time.time() < deadline:
         load = loadavg()
-        if load <= max_load:
-            rate = kernel_rate()
-            if rate >= min_rate:
-                break
+        if load > max_load:
+            print(json.dumps({"waiting": True, "load": load}), flush=True)
+            time.sleep(60)
+            continue
+        rate = kernel_rate()
+        if rate < min_rate:
             print(json.dumps({"waiting": True, "load": load,
                               "kernel_rate": rate}), flush=True)
-        else:
-            print(json.dumps({"waiting": True, "load": load}), flush=True)
+            time.sleep(60)
+            continue
+        leg8 = run_leg(8, max_load, min_rate)
+        if leg8 is None:
+            # the window closed between the probe and the leg gate
+            # (another process grabbed the box) — keep hunting
+            print(json.dumps({"retry": True, "reason": "closed pre-8"}),
+                  flush=True)
+            time.sleep(60)
+            continue
+        # let the 8-leg's own 1-min loadavg contribution decay, then run
+        # the 32-leg with a loose load gate — the kernel probe is
+        # re-recorded (min_rate=1 probes without effectively gating) so
+        # a mid-pair window closure is visible in the pair record
+        time.sleep(90)
+        leg32 = run_leg(32, 8.0, 1.0)
+        if leg32 is not None:
+            break
+        print(json.dumps({"retry": True, "reason": "closed pre-32"}),
+              flush=True)
+        leg8 = None
         time.sleep(60)
-    else:
+    if leg8 is None or leg32 is None:
         print(json.dumps({"skipped": True, "reason": "no window"}))
-        return 0
-
-    leg8 = run_leg(8, max_load, min_rate)
-    if leg8 is None:
-        print(json.dumps({"skipped": True, "reason": "window closed pre-8"}))
-        return 0
-    # let the 8-leg's own 1-min loadavg contribution decay, then run the
-    # 32-leg with a loose load gate — the kernel probe is re-recorded
-    # (min_rate=1 probes without effectively gating) so a mid-pair
-    # window closure is visible in the pair record
-    time.sleep(90)
-    leg32 = run_leg(32, 8.0, 1.0)
-    if leg32 is None:
-        print(json.dumps({"skipped": True, "reason": "window closed pre-32"}))
         return 0
     r8 = leg8["crawl"]["urls_per_sec"]
     r32 = leg32["crawl"]["urls_per_sec"]
