@@ -105,6 +105,24 @@ def main() -> int:
         "efficiency": round(r32 / (4 * r8), 4),
         "attempt_ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
+    # hardware-floor control in the SAME window: the no-Ray decode
+    # kernel at 8 vs 32 procs — if the pipeline's efficiency matches
+    # this, the loss is shared-DRAM, not engine overhead
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "bandwidth_probe.py"),
+             "4096", "8", "32"],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        legs = json.loads(out.strip().splitlines()[-1])["legs"]
+        agg = {leg["procs"]: leg["agg_rows_per_sec"] for leg in legs}
+        pair["control_agg_8"] = agg.get(8)
+        pair["control_agg_32"] = agg.get(32)
+        if agg.get(8) and agg.get(32):
+            pair["control_efficiency"] = round(agg[32] / (4 * agg[8]), 4)
+    except Exception as ex:  # control is best-effort
+        pair["control_error"] = str(ex)[:200]
     with open(LOG, "a") as f:
         f.write(json.dumps(pair) + "\n")
     print(json.dumps(pair))
