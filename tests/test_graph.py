@@ -184,3 +184,12 @@ def test_node_triangles_chunked_local_matches(ray_session):
         small.sort_values("node").values.tolist()
     ref = _ref_triangles(set((min(a, b), max(a, b)) for a, b in e))
     assert dict(zip(big["node"].astype(int), big["tri_cnt"].astype(int))) == ref
+
+
+def test_graph_edge_cases(ray_session):
+    # iters=0 -> uniform distribution; BFS with zero seeds -> empty
+    ds = rd.from_arrow(pa.table({"src": [1, 2], "dst": [2, 3]}))
+    out = graph.pagerank(ds, iters=0).to_pandas()
+    assert all(abs(p - 1 / 3) < 1e-15 for p in out["pr"])
+    sd = rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+    assert graph.bfs_hops(ds, sd).count() == 0
