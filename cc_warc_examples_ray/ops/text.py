@@ -486,7 +486,11 @@ def inverted_index(docs: rd.Dataset, text_col: str = "text",
 
     def build(t: pa.Table) -> pa.Table:
         terms = t.column("term").to_numpy(zero_copy_only=False)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.integer):
+            ids = ids.astype(np.int64)
+        # non-integer ids sort/join as their string form (the digest is
+        # over the ascending string order in that case)
         order = np.lexsort((ids, terms))
         terms, ids = terms[order], ids[order]
         # cross-batch dedup of (term, doc) pairs

@@ -22,3 +22,11 @@ def test_inverted_index_reference(ray_session):
         assert out.loc[term, "df"] == len(postings)
         want = hashlib.md5(",".join(map(str, postings)).encode()).hexdigest()
         assert out.loc[term, "postings_md5"] == want
+
+
+def test_inverted_index_string_ids(ray_session):
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ["d9", "d2"], "text": ["a b", "a"]}))
+    out = inverted_index(docs).to_pandas().set_index("term")
+    assert out.loc["a", "postings_md5"] == hashlib.md5(b"d2,d9").hexdigest()
+    assert out.loc["a", "df"] == 2 and out.loc["b", "df"] == 1
