@@ -26,6 +26,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -3117,6 +3118,198 @@ FROM tok GROUP BY 1 ORDER BY 1
 """
 
 
+_PACK_BUDGET = 2048
+
+
+def q_token_packing(sf_dir: str) -> pd.DataFrame:
+    """Token-budget sequence packing for a training-shard writer: each
+    document occupies ``[start_off, start_off + n_ws_tokens)`` in the
+    doc_id-ordered global token stream; ``seq_id`` is the fixed-size
+    (2048-token) training sequence its first token lands in.  The global
+    offsets come from :func:`relational.prefix_sum` — a distributed scan
+    (per-block partials, driver exclusive-scan over one row per block,
+    per-block local cumsum); only (min, sum) pairs leave the workers."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.map_batches(
+        lambda t: text.token_counts(t).select(["doc_id", "n_ws_tokens"]),
+        batch_format="pyarrow")
+    # documents.parquet is written sorted by doc_id and read tasks cover
+    # contiguous row ranges, so blocks are already range-partitioned —
+    # the scan's only shuffle (the sort) can be skipped
+    packed = relational.prefix_sum(toks, "doc_id", "n_ws_tokens",
+                                   out_col="start_off",
+                                   assume_range_partitioned=True)
+
+    def pack(t: pa.Table) -> pa.Table:
+        off = t.column("start_off").to_numpy(zero_copy_only=False)
+        n = t.column("n_ws_tokens").to_numpy(zero_copy_only=False)
+        seq = off // _PACK_BUDGET
+        last = np.where(n > 0, (off + n - 1) // _PACK_BUDGET, seq)
+        nseq = np.where(n > 0, last - seq + 1, 0)
+        return (t.append_column("seq_id", pa.array(seq, pa.int64()))
+                 .append_column("n_seqs", pa.array(nseq, pa.int64())))
+
+    out = packed.map_batches(pack, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TOKEN_PACKING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS n_ws_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_ws_tokens,
+         CAST(coalesce(SUM(n_ws_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM toks)
+SELECT doc_id, n_ws_tokens, start_off,
+       CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(CASE WHEN n_ws_tokens = 0 THEN 0
+            ELSE (start_off + n_ws_tokens - 1) // {_PACK_BUDGET}
+                 - start_off // {_PACK_BUDGET} + 1 END AS BIGINT) AS n_seqs
+FROM o ORDER BY doc_id
+"""
+
+
+def q_quality_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    tercile thresholds per language via the grouped discrete-quantile
+    operator (one (key, value)-histogram shuffle), broadcast to a
+    threshold map, bucket assignment + counts fully distributed.
+    Buckets compare the SAME 5-decimal-rounded doubles on both sides, so
+    threshold ties are exact; only count/min/max aggregate (never a
+    float sum — summation order differs between engines)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        s = text.quality_scores(t)
+        return pa.table({
+            "lang": t.column("lang"),
+            "quality_r": pa.array(_r5(s.column("quality").to_numpy())),
+        })
+
+    scored = docs.map_batches(score, batch_format="pyarrow").materialize()
+    th = relational.grouped_quantiles_disc(
+        scored, key="lang", col="quality_r", qs=[0.33, 0.66]).to_pandas()
+    tmap: dict[str, tuple[float, float]] = {}
+    for lang, grp in th.groupby("lang"):
+        g = grp.sort_values("q")
+        tmap[lang] = (float(g["value"].iloc[0]), float(g["value"].iloc[1]))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(langs)
+        t1 = np.array([tmap[l][0] for l in uniq])[codes]
+        t2 = np.array([tmap[l][1] for l in uniq])[codes]
+        qv = t.column("quality_r").to_numpy()
+        b = np.where(qv <= t1, "tail", np.where(qv <= t2, "middle", "head"))
+        return t.append_column("bucket", pa.array(b, pa.string()))
+
+    out = relational.grouped_agg(
+        scored.map_batches(bucket, batch_format="pyarrow"),
+        ["lang", "bucket"],
+        [(None, "count", "n_docs"), ("quality_r", "min", "q_min"),
+         ("quality_r", "max", "q_max")],
+    ).to_pandas()
+    return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
+
+
+SQL_QUALITY_BUCKETS = """
+WITH q AS (SELECT doc_id, quality FROM ({quality_sql})),
+j AS (SELECT d.lang, q.quality AS quality_r
+      FROM q JOIN documents d USING (doc_id)),
+th AS (SELECT lang, quantile_disc(quality_r, 0.33) AS t1,
+              quantile_disc(quality_r, 0.66) AS t2
+       FROM j GROUP BY lang)
+SELECT j.lang,
+       CASE WHEN quality_r <= t1 THEN 'tail'
+            WHEN quality_r <= t2 THEN 'middle'
+            ELSE 'head' END AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(quality_r) AS q_min, max(quality_r) AS q_max
+FROM j JOIN th USING (lang)
+GROUP BY 1, 2 ORDER BY 1, 2
+""".replace("{quality_sql}", SQL_QUALITY_SCORES)
+
+
+_URL_BLOCKLIST = ("badcasino.example", "tracker.adsite.example")
+
+
+def q_url_filter(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style URL curation (Penedo et al. 2023 §3.1) over a
+    deterministic URL corpus derived from doc_id (blocklisted hosts,
+    spam keywords, deep paths, over-long URLs, tracking params — the sf
+    tables carry no URL column, so the corpus is synthesized identically
+    on both sides, like crawl_admission's seed frontier).  All gates are
+    Arrow RE2 / hash kernels (:func:`clean.url_quality_gates`)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    hosts13 = pa.array(
+        list(_URL_BLOCKLIST) + [f"site{i:02d}.example" for i in range(2, 13)],
+        pa.string())
+    dirs9 = pa.array(["/dir" * d for d in range(9)], pa.string())
+
+    def synth_urls(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False)
+        host = hosts13.take(pa.array(k % 13))
+        dirs = dirs9.take(pa.array(k % 9))
+        kstr = pc.cast(t.column("doc_id"), pa.string())
+        tag = pc.if_else(pa.array(k % 17 == 3), "-pokernight", "")
+        qsfx = pc.if_else(
+            pa.array(k % 6 == 0),
+            pc.binary_join_element_wise("?utm_source=feed&id=", kstr, ""),
+            "")
+        url = pc.binary_join_element_wise(
+            "http://", host, dirs, "/p", kstr, tag, ".html", qsfx, "")
+        return pa.table({"doc_id": t.column("doc_id"), "url": url})
+
+    out = docs.map_batches(synth_urls, batch_format="pyarrow").map_batches(
+        lambda t: clean.url_quality_gates(t, blocklist=_URL_BLOCKLIST),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_URL_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+    'http://' ||
+    CASE WHEN doc_id % 13 = 0 THEN 'badcasino.example'
+         WHEN doc_id % 13 = 1 THEN 'tracker.adsite.example'
+         ELSE 'site' || lpad((doc_id % 13)::VARCHAR, 2, '0') || '.example' END ||
+    repeat('/dir', (doc_id % 9)::INT) || '/p' || doc_id::VARCHAR ||
+    CASE WHEN doc_id % 17 = 3 THEN '-pokernight' ELSE '' END || '.html' ||
+    CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&id=' || doc_id::VARCHAR
+         ELSE '' END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_replace(regexp_replace(url, '^[a-z][a-z0-9+.-]*://', ''),
+                         '[/?#].*$', '')) AS host,
+    regexp_replace(regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                   '[?#].*$', '') AS path,
+    length(url)::BIGINT AS url_len
+  FROM u),
+f AS (
+  SELECT doc_id, url, host,
+    (length(path) - length(replace(path, '/', '')))::BIGINT AS n_segments,
+    url_len,
+    CASE WHEN host IN ('badcasino.example', 'tracker.adsite.example')
+         THEN 1 ELSE 0 END::INTEGER AS bad_domain,
+    CASE WHEN regexp_matches(url, '(?i)casino|poker|viagra|lottery')
+         THEN 1 ELSE 0 END::INTEGER AS bad_word,
+    CASE WHEN (length(path) - length(replace(path, '/', ''))) > 6
+         THEN 1 ELSE 0 END::INTEGER AS too_deep,
+    CASE WHEN length(url) > 60 THEN 1 ELSE 0 END::INTEGER AS too_long,
+    CASE WHEN regexp_matches(url, '[?&](utm_[a-z]+|sessionid|sid)=')
+         THEN 1 ELSE 0 END::INTEGER AS has_tracking
+  FROM p)
+SELECT *, CASE WHEN bad_domain = 0 AND bad_word = 0 AND too_deep = 0
+               AND too_long = 0 AND has_tracking = 0
+          THEN 1 ELSE 0 END::INTEGER AS keep
+FROM f ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3192,6 +3385,10 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "triangle_stats": q_triangle_stats,
     "inverted_index": q_inverted_index,
+    # distributed scan + curation bucketing (round 4, late)
+    "token_packing": q_token_packing,
+    "quality_buckets": q_quality_buckets,
+    "url_filter": q_url_filter,
 }
 
 ORACLES = {
@@ -3261,6 +3458,9 @@ ORACLES = {
     "tfidf_terms": SQL_TFIDF_TERMS,
     "triangle_stats": SQL_TRIANGLE_STATS,
     "inverted_index": SQL_INVERTED_INDEX,
+    "token_packing": SQL_TOKEN_PACKING,
+    "quality_buckets": SQL_QUALITY_BUCKETS,
+    "url_filter": SQL_URL_FILTER,
 }
 
 

@@ -215,3 +215,52 @@ def clean_docs(tbl: pa.Table, text_col: str = "text",
         "text_clean": joined,
     })
     return out.filter(pc.greater_equal(out.column("n_lines_kept"), min_lines))
+
+
+# RefinedWeb-style URL curation defaults (Penedo et al. 2023 §3.1:
+# blocklist domains, "spammy" keywords in the URL, structural gates).
+URL_BADWORD_RE = r"(?i)casino|poker|viagra|lottery"
+URL_TRACKING_RE = r"[?&](utm_[a-z]+|sessionid|sid)="
+
+
+def url_quality_gates(tbl: pa.Table, url_col: str = "url",
+                      blocklist: tuple[str, ...] = (),
+                      badword_re: str = URL_BADWORD_RE,
+                      tracking_re: str = URL_TRACKING_RE,
+                      max_segments: int = 6,
+                      max_len: int = 60) -> pa.Table:
+    """URL-level curation gates (the pre-fetch cousin of
+    :func:`line_filter`): flag blocklisted hosts, spam keywords, deep
+    paths, over-long URLs and tracking parameters; ``keep`` = none
+    tripped.  Reference analog: the hand-rolled URL hygiene checks in
+    `/root/reference/src/org/commoncrawl/mklab/analysis/URLProcessor.java:63-96`.
+    Every gate is one Arrow RE2 / hash kernel per batch — no per-row
+    Python; the blocklist is a tiny broadcast value set."""
+    url = pc.fill_null(tbl.column(url_col), "")
+    host = pc.replace_substring_regex(
+        url, pattern=r"^[a-z][a-z0-9+.-]*://", replacement="")
+    host = pc.utf8_lower(pc.replace_substring_regex(
+        host, pattern=r"[/?#].*$", replacement=""))
+    path = pc.replace_substring_regex(
+        url, pattern=r"^[a-z][a-z0-9+.-]*://[^/?#]*", replacement="")
+    path = pc.replace_substring_regex(
+        path, pattern=r"[?#].*$", replacement="")
+    n_seg = pc.cast(pc.count_substring(path, "/"), pa.int64())
+    url_len = pc.cast(pc.utf8_length(url), pa.int64())
+    bad_domain = pc.is_in(host, value_set=pa.array(list(blocklist) or [""],
+                                                   pa.string()))
+    bad_word = pc.match_substring_regex(url, pattern=badword_re)
+    too_deep = pc.greater(n_seg, max_segments)
+    too_long = pc.greater(url_len, max_len)
+    has_tracking = pc.match_substring_regex(url, pattern=tracking_re)
+    drop = pc.or_(pc.or_(pc.or_(bad_domain, bad_word),
+                         pc.or_(too_deep, too_long)), has_tracking)
+    out = tbl.append_column("host", host)
+    for name, arr in (("n_segments", n_seg), ("url_len", url_len)):
+        out = out.append_column(name, arr)
+    for name, arr in (("bad_domain", bad_domain), ("bad_word", bad_word),
+                      ("too_deep", too_deep), ("too_long", too_long),
+                      ("has_tracking", has_tracking),
+                      ("keep", pc.invert(drop))):
+        out = out.append_column(name, pc.cast(arr, pa.int32()))
+    return out

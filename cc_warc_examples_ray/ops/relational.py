@@ -975,3 +975,78 @@ def asof_join(
                 .replace_schema_metadata(None))
 
     return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
+               out_col: str = "running", exclusive: bool = True,
+               assume_range_partitioned: bool = False) -> rd.Dataset:
+    """Distributed SCAN: running sum of ``val_col`` in ``order_col``
+    order — SQL ``SUM(val) OVER (ORDER BY order ROWS BETWEEN UNBOUNDED
+    PRECEDING AND {1 PRECEDING | CURRENT ROW})``.  The primitive behind
+    token-budget sequence packing / byte-offset assignment in a
+    training-data shard writer (no reference analog; the reference's
+    single-threaded record loops get running offsets for free —
+    `/root/reference/src/org/commoncrawl/examples/WARCReaderTest.java`
+    consumes records strictly in arrival order).
+
+    Shape: range-sort (skipped when the caller guarantees the input is
+    already range-partitioned on ``order_col``), materialize, then TWO
+    passes over the SAME blocks: (1) per-block ``(min(order), sum(val))``
+    partials — one tiny row per block — exclusive-scanned on the driver,
+    (2) per-block local ``cumsum`` plus the block's global offset looked
+    up by its min-order fingerprint.  Nothing but the partials ever
+    leaves the workers; no shuffle beyond the sort.
+
+    ``order_col`` values must be unique (duplicate BLOCK MINIMA are
+    rejected — with duplicates the running sum is tie-order dependent,
+    exactly as the SQL window is).  Output: input columns +
+    ``out_col`` (int64)."""
+    if not assume_range_partitioned:
+        ds = ds.sort(order_col)
+    ds = ds.materialize()
+
+    def block_stat(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"_mn": pa.array([], pa.int64()),
+                             "_sum": pa.array([], pa.int64())})
+        mn = pc.min(tbl.column(order_col))
+        s = pc.sum(tbl.column(val_col))
+        return pa.table({
+            "_mn": pa.array([mn.as_py()], pa.int64()),
+            "_sum": pa.array([int(s.as_py() or 0)], pa.int64()),
+        })
+
+    # batch_size=None: batch == block, so pass 2 sees the SAME units
+    parts = ds.map_batches(block_stat, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    offsets: dict[int, int] = {}
+    if len(parts):
+        parts = parts.sort_values("_mn").reset_index(drop=True)
+        mns = parts["_mn"].to_numpy()
+        if len(np.unique(mns)) != len(mns):
+            raise ValueError(
+                "prefix_sum: duplicate block-minimum order values — "
+                f"{order_col!r} must be unique for a deterministic scan")
+        sums = parts["_sum"].to_numpy()
+        excl = np.concatenate([[0], sums[:-1].cumsum()])
+        offsets = {int(m): int(o) for m, o in zip(mns, excl)}
+
+    def scan_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column(out_col, pa.array([], pa.int64()))
+        base = offsets[int(pc.min(tbl.column(order_col)).as_py())]
+        # the sort's blocks are range-partitioned but rows inside a
+        # block may arrive unsorted from the merge — order locally
+        ov = tbl.column(order_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ov, kind="stable")
+        vv = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)[order]
+        run = base + vv.cumsum()
+        if exclusive:
+            run = run - vv
+        out = np.empty(len(run), np.int64)
+        out[order] = run
+        return tbl.append_column(out_col, pa.array(out))
+
+    return ds.map_batches(scan_block, batch_format="pyarrow",
+                          batch_size=None)

@@ -178,3 +178,35 @@ def test_dup_span_stats_matches_python(ray_session, rich):
         assert row["n_dup_grams"] == len(dup_pos), did
         assert row["covered_tokens"] == len(covered), did
     assert got["n_dup_grams"].sum() > 0  # boilerplate gives real dups
+
+
+def test_url_quality_gates_python_reference():
+    from cc_warc_examples_ray.ops import clean
+    import re as _re
+
+    urls = [
+        "http://ok.example/a/b/page.html",
+        "http://badcasino.example/p.html",
+        "http://ok.example/free-poker-now.html",
+        "http://deep.example/d/d/d/d/d/d/d/p.html",
+        "http://long.example/" + "x" * 80 + ".html",
+        "http://ok.example/p.html?utm_source=feed",
+        "http://ok.example/p.html?sid=42&x=1",
+        "http://UPPER.example/p.html",
+    ]
+    tbl = pa.table({"url": pa.array(urls, pa.string())})
+    out = clean.url_quality_gates(
+        tbl, blocklist=("badcasino.example",)).to_pandas()
+
+    for i, u in enumerate(urls):
+        host = _re.sub(r"[/?#].*$", "", _re.sub(r"^[a-z][a-z0-9+.-]*://", "", u)).lower()
+        path = _re.sub(r"[?#].*$", "", _re.sub(r"^[a-z][a-z0-9+.-]*://[^/?#]*", "", u))
+        assert out["host"][i] == host
+        assert out["n_segments"][i] == path.count("/")
+        assert out["url_len"][i] == len(u)
+        assert out["bad_domain"][i] == int(host == "badcasino.example")
+        assert out["bad_word"][i] == int(bool(_re.search(r"(?i)casino|poker|viagra|lottery", u)))
+        assert out["too_deep"][i] == int(path.count("/") > 6)
+        assert out["too_long"][i] == int(len(u) > 60)
+        assert out["has_tracking"][i] == int(bool(_re.search(r"[?&](utm_[a-z]+|sessionid|sid)=", u)))
+    assert out["keep"].tolist() == [1, 0, 0, 0, 0, 0, 0, 1]

@@ -1387,3 +1387,40 @@ def test_pair_components_distributed_regime_on_fixture(ray_session, monkeypatch,
         pairs, max_iters=iters, finish_cutoff=0
     ).to_pandas().sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(uf, dist)
+
+
+def test_prefix_sum_matches_numpy_cumsum():
+    rng = np.random.RandomState(7)
+    order = rng.permutation(2000).astype(np.int64)
+    vals = rng.randint(0, 50, 2000).astype(np.int64)
+    t = pa.table({"k": order, "v": vals})
+    # shuffled input, many small blocks: the sort path must restore order
+    ds = rd.from_arrow(t).repartition(13)
+    out = relational.prefix_sum(ds, "k", "v", out_col="run").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    srt = np.argsort(order)
+    expect = vals[srt].cumsum() - vals[srt]  # exclusive
+    assert (out["run"].to_numpy() == expect).all()
+    # inclusive variant
+    out2 = relational.prefix_sum(rd.from_arrow(t).repartition(5), "k", "v",
+                                 out_col="run", exclusive=False).to_pandas()
+    out2 = out2.sort_values("k").reset_index(drop=True)
+    assert (out2["run"].to_numpy() == vals[srt].cumsum()).all()
+
+
+def test_prefix_sum_range_partitioned_fast_path():
+    t = pa.table({"k": pa.array(range(100), pa.int64()),
+                  "v": pa.array([1] * 100, pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)  # contiguous splits keep ranges
+    out = relational.prefix_sum(ds, "k", "v", out_col="run",
+                                assume_range_partitioned=True).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert (out["run"].to_numpy() == np.arange(100)).all()
+
+
+def test_prefix_sum_rejects_duplicate_block_minima():
+    t = pa.table({"k": pa.array([1, 1, 2, 2], pa.int64()),
+                  "v": pa.array([1, 1, 1, 1], pa.int64())})
+    with pytest.raises(ValueError, match="duplicate"):
+        relational.prefix_sum(rd.from_arrow(t).repartition(4), "k", "v",
+                              assume_range_partitioned=True).to_pandas()
