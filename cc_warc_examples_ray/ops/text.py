@@ -40,14 +40,20 @@ LANG_PROFILES: dict[str, frozenset] = {
 
 
 def token_counts(tbl: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace + BPE-ish token counts per document (M7 analog)."""
-    texts = tbl.column(text_col).to_pylist()
-    ws = np.array([sum(1 for w in _WS_RE.split(t or "") if w) for t in texts],
-                  dtype=np.int64)
-    bpe = np.array([len(_BPE_RE.findall(t or "")) for t in texts], dtype=np.int64)
-    return tbl.append_column("n_ws_tokens", pa.array(ws)).append_column(
-        "n_bpe_tokens", pa.array(bpe)
-    )
+    """Whitespace + BPE-ish token counts per document (M7 analog).
+
+    Both counts are ONE Arrow RE2 kernel per batch (no per-row Python):
+    the whitespace-token count is the number of non-whitespace runs
+    (RE2's \\s class exactly — [\\t\\n\\f\\r ]), and the BPE-ish count
+    sums the three disjoint GPT-2-pre-tokenizer-shaped run classes."""
+    txt = pc.fill_null(tbl.column(text_col), "")
+    ws = pc.cast(pc.count_substring_regex(
+        txt, pattern=r"[^ \t\n\f\r]+"), pa.int64())
+    bpe = pc.cast(pc.count_substring_regex(
+        txt, pattern=r"[A-Za-z]+|[0-9]+|[^ \t\n\f\r\v A-Za-z0-9]+"),
+        pa.int64())
+    return tbl.append_column("n_ws_tokens", ws).append_column(
+        "n_bpe_tokens", bpe)
 
 
 def quality_scores(tbl: pa.Table, text_col: str = "text") -> pa.Table:
