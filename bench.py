@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "dup_spans",
     "pagerank",
     "tfidf_terms",
+    "token_packing",
+    "quality_buckets",
 ]
 
 

@@ -999,42 +999,49 @@ def prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
 
     ``order_col`` values must be unique (duplicate BLOCK MINIMA are
     rejected — with duplicates the running sum is tie-order dependent,
-    exactly as the SQL window is).  Output: input columns +
-    ``out_col`` (int64)."""
+    exactly as the SQL window is); any orderable type works (the
+    partials keep the column's native type).  ``val_col`` must be
+    integral — a float running sum is summation-order dependent and has
+    no exact distributed form.  Output: input columns + ``out_col``
+    (int64)."""
     if not assume_range_partitioned:
         ds = ds.sort(order_col)
     ds = ds.materialize()
+    order_type = _arrow_types(ds.schema())[order_col]
 
     def block_stat(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
-            return pa.table({"_mn": pa.array([], pa.int64()),
+            return pa.table({"_mn": pa.array([], order_type),
                              "_sum": pa.array([], pa.int64())})
         mn = pc.min(tbl.column(order_col))
         s = pc.sum(tbl.column(val_col))
         return pa.table({
-            "_mn": pa.array([mn.as_py()], pa.int64()),
+            "_mn": pa.array([mn.as_py()], order_type),
             "_sum": pa.array([int(s.as_py() or 0)], pa.int64()),
         })
 
-    # batch_size=None: batch == block, so pass 2 sees the SAME units
-    parts = ds.map_batches(block_stat, batch_format="pyarrow",
-                           batch_size=None).to_pandas()
-    offsets: dict[int, int] = {}
-    if len(parts):
-        parts = parts.sort_values("_mn").reset_index(drop=True)
-        mns = parts["_mn"].to_numpy()
-        if len(np.unique(mns)) != len(mns):
+    # batch_size=None: batch == block, so pass 2 sees the SAME units;
+    # take_all()'s python values hash identically to pass 2's as_py()
+    # keys for every orderable type (numpy/pandas round-trips don't)
+    rows = ds.map_batches(block_stat, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    offsets: dict = {}
+    if rows:
+        rows.sort(key=lambda r: r["_mn"])
+        mns = [r["_mn"] for r in rows]
+        if len(set(mns)) != len(mns):
             raise ValueError(
                 "prefix_sum: duplicate block-minimum order values — "
                 f"{order_col!r} must be unique for a deterministic scan")
-        sums = parts["_sum"].to_numpy()
-        excl = np.concatenate([[0], sums[:-1].cumsum()])
-        offsets = {int(m): int(o) for m, o in zip(mns, excl)}
+        acc = 0
+        for r in rows:
+            offsets[r["_mn"]] = acc
+            acc += int(r["_sum"])
 
     def scan_block(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return tbl.append_column(out_col, pa.array([], pa.int64()))
-        base = offsets[int(pc.min(tbl.column(order_col)).as_py())]
+        base = offsets[pc.min(tbl.column(order_col)).as_py()]
         # the sort's blocks are range-partitioned but rows inside a
         # block may arrive unsorted from the merge — order locally
         ov = tbl.column(order_col).to_numpy(zero_copy_only=False)
