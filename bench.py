@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "token_packing",
     "quality_buckets",
+    "pii_scrub_sf",
 ]
 
 

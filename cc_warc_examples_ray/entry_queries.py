@@ -3233,6 +3233,107 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """.replace("{quality_sql}", SQL_QUALITY_SCORES)
 
 
+def _enrich_docs(t: pa.Table) -> pa.Table:
+    """Deterministically inject PII into the sf documents table (which
+    carries no digits/@) so cleaning oracles verify NON-identity
+    transforms at EVERY scale factor — the sf-scaled sibling of the
+    fixed-size richtext fixture.  Byte-identical to the SQL enrichment
+    CTE in ``SQL_PII_SCRUB_SF``."""
+    k = t.column("doc_id")
+    knp = k.to_numpy(zero_copy_only=False)
+    kstr = pc.cast(k, pa.string())
+
+    def istr(arr) -> pa.Array:
+        return pc.cast(pa.array(arr.astype(np.int64)), pa.string())
+
+    def pad(arr, width) -> pa.Array:
+        return pc.utf8_lpad(istr(arr), width=width, padding="0")
+
+    j = pc.binary_join_element_wise
+    email = pc.if_else(
+        pa.array(knp % 3 == 0),
+        j("\nContact: user", kstr, "@mail", istr(knp % 7), ".example", ""),
+        "")
+    phone = pc.if_else(
+        pa.array(knp % 4 == 1),
+        j("\nCall ", istr(100 + knp % 900), "-", pad(knp % 1000, 3), "-",
+          pad(knp % 10000, 4), " now.", ""),
+        "")
+    ip = pc.if_else(
+        pa.array(knp % 5 == 2),
+        j("\nServer 10.", istr(knp % 256), ".0.", istr(knp % 254 + 1),
+          " logged.", ""),
+        "")
+    text2 = j(pc.fill_null(t.column("text"), ""), email, phone, ip, "")
+    return pa.table({"doc_id": k, "text": text2})
+
+
+_SQL_ENRICH_DOCS = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Contact: user' || doc_id::VARCHAR
+            || '@mail' || (doc_id % 7)::VARCHAR || '.example' ELSE '' END
+    || CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'Call ' || (100 + doc_id % 900)::VARCHAR
+            || '-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+            || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 2 THEN chr(10) || 'Server 10.' || (doc_id % 256)::VARCHAR
+            || '.0.' || (doc_id % 254 + 1)::VARCHAR || ' logged.' ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q_pii_scrub_sf(sf_dir: str) -> pd.DataFrame:
+    """sf-SCALED PII redaction: the same email → phone → IPv4 stages as
+    ``pii_scrub`` but over the full documents table with deterministic
+    inline enrichment (:func:`_enrich_docs`), so the cleaning family has
+    a bench-able operator whose input grows with the scale factor."""
+    import hashlib
+
+    def kern(t: pa.Table) -> pa.Table:
+        s = clean.pii_scrub(_enrich_docs(t))
+        cleaned = s.column("text_clean")
+        md5s = [hashlib.md5(x.encode()).hexdigest()
+                for x in cleaned.to_pylist()]
+        return pa.table({
+            "doc_id": s.column("doc_id"),
+            "n_emails": s.column("n_emails"),
+            "n_phones": s.column("n_phones"),
+            "n_ipv4": s.column("n_ipv4"),
+            "n_chars_clean": pc.utf8_length(cleaned).cast(pa.int64()),
+            "clean_md5": pa.array(md5s, pa.string()),
+        })
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(kern, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PII_SCRUB_SF = """
+WITH d AS ({ENRICH}),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM d
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PHONE}'))::BIGINT AS n_phones,
+         regexp_replace(t1, '{PHONE}', '<PHONE>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         len(regexp_extract_all(t2, '{IP}'))::BIGINT AS n_ipv4,
+         regexp_replace(t2, '{IP}', '<IP>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4,
+       length(t3)::BIGINT AS n_chars_clean, md5(t3) AS clean_md5
+FROM s3 ORDER BY doc_id
+""".replace("{ENRICH}", _SQL_ENRICH_DOCS).replace("{EMAIL}", clean.EMAIL_RE) \
+   .replace("{PHONE}", clean.PHONE_RE).replace("{IP}", clean.IPV4_RE)
+
+
 _URL_BLOCKLIST = ("badcasino.example", "tracker.adsite.example")
 
 
@@ -3389,6 +3490,7 @@ QUERIES = {
     "token_packing": q_token_packing,
     "quality_buckets": q_quality_buckets,
     "url_filter": q_url_filter,
+    "pii_scrub_sf": q_pii_scrub_sf,
 }
 
 ORACLES = {
@@ -3461,6 +3563,7 @@ ORACLES = {
     "token_packing": SQL_TOKEN_PACKING,
     "quality_buckets": SQL_QUALITY_BUCKETS,
     "url_filter": SQL_URL_FILTER,
+    "pii_scrub_sf": SQL_PII_SCRUB_SF,
 }
 
 
