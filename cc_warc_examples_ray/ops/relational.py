@@ -1012,11 +1012,13 @@ def prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
     def block_stat(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return pa.table({"_mn": pa.array([], order_type),
+                             "_mx": pa.array([], order_type),
                              "_sum": pa.array([], pa.int64())})
-        mn = pc.min(tbl.column(order_col))
+        mm = pc.min_max(tbl.column(order_col))
         s = pc.sum(tbl.column(val_col))
         return pa.table({
-            "_mn": pa.array([mn.as_py()], order_type),
+            "_mn": pa.array([mm["min"].as_py()], order_type),
+            "_mx": pa.array([mm["max"].as_py()], order_type),
             "_sum": pa.array([int(s.as_py() or 0)], pa.int64()),
         })
 
@@ -1033,6 +1035,16 @@ def prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
             raise ValueError(
                 "prefix_sum: duplicate block-minimum order values — "
                 f"{order_col!r} must be unique for a deterministic scan")
+        for prev, cur in zip(rows, rows[1:]):
+            # blocks must cover DISJOINT order ranges, else the
+            # per-block local cumsum is silently wrong — this is the
+            # guard that makes assume_range_partitioned safe to offer
+            if prev["_mx"] >= cur["_mn"]:
+                raise ValueError(
+                    "prefix_sum: block order ranges overlap "
+                    f"([..., {prev['_mx']!r}] vs [{cur['_mn']!r}, ...]) — "
+                    "input is not range-partitioned on "
+                    f"{order_col!r}; drop assume_range_partitioned")
         acc = 0
         for r in rows:
             offsets[r["_mn"]] = acc

@@ -1424,3 +1424,13 @@ def test_prefix_sum_rejects_duplicate_block_minima():
     with pytest.raises(ValueError, match="duplicate"):
         relational.prefix_sum(rd.from_arrow(t).repartition(4), "k", "v",
                               assume_range_partitioned=True).to_pandas()
+
+
+def test_prefix_sum_rejects_overlapping_block_ranges():
+    # interleaved ranges across blocks: valid (unique) keys, but the
+    # fast path's disjoint-range precondition is violated
+    t = pa.table({"k": pa.array([0, 2, 4, 1, 3, 5], pa.int64()),
+                  "v": pa.array([1] * 6, pa.int64())})
+    with pytest.raises(ValueError, match="overlap"):
+        relational.prefix_sum(rd.from_arrow(t).repartition(2), "k", "v",
+                              assume_range_partitioned=True).to_pandas()
