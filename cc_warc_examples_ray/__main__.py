@@ -46,11 +46,18 @@ def main(argv=None):
         print(statistics_report(CrawlRun(args.run)))
         return 0
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
-                 logging_level="ERROR")
+        # under `ray job submit` the runtime sets RAY_ADDRESS to the
+        # cluster; standalone runs default to a local session.  num_cpus
+        # is only legal for local sessions — a cluster brings its own.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kw = {"num_cpus": args.num_cpus} if addr == "local" else {}
+        ray.init(address=addr, include_dashboard=False,
+                 logging_level="ERROR", **kw)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
