@@ -56,42 +56,49 @@ def token_counts(tbl: pa.Table, text_col: str = "text") -> pa.Table:
         "n_bpe_tokens", bpe)
 
 
+def _count_re(arr: pa.Array, pattern: str) -> np.ndarray:
+    return pc.count_substring_regex(arr, pattern=pattern).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
 def quality_scores(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality features: length, mean word length, punctuation /
     digit / stopword ratios, uppercase ratio (M23-style handcrafted
-    features, applied to documents)."""
-    texts = tbl.column(text_col).to_pylist()
-    n = len(texts)
-    length = np.zeros(n, np.int64)
-    mean_wlen = np.zeros(n, np.float64)
-    punct_ratio = np.zeros(n, np.float64)
-    digit_ratio = np.zeros(n, np.float64)
-    stop_ratio = np.zeros(n, np.float64)
-    upper_ratio = np.zeros(n, np.float64)
-    en_stop = LANG_PROFILES["en"]
-    for i, t in enumerate(texts):
-        t = t or ""
-        length[i] = len(t)
-        if not t:
-            continue
-        words = _WORD_RE.findall(t.lower())
-        if words:
-            mean_wlen[i] = sum(map(len, words)) / len(words)
-            stop_ratio[i] = sum(w in en_stop for w in words) / len(words)
-        # CODEPOINTS, not utf-8 bytes: byte classification double-counts
-        # every non-ASCII char as "punctuation" (continuation bytes) and
-        # divides by byte length — a clean CJK/accented doc would score
-        # at the floor.  Punctuation is the ASCII-punct class only;
-        # codepoints >= 128 count toward length but no ratio class.
-        arr = np.frombuffer(t.encode("utf-32-le", "ignore"), dtype=np.uint32)
-        if len(arr):
-            is_alpha = ((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))
-            is_digit = (arr >= 48) & (arr <= 57)
-            is_space = (arr == 32) | (arr == 10) | (arr == 9) | (arr == 13)
-            is_ascii = arr < 128
-            punct_ratio[i] = float((is_ascii & ~(is_alpha | is_digit | is_space)).mean())
-            digit_ratio[i] = float(is_digit.mean())
-            upper_ratio[i] = float(((arr >= 65) & (arr <= 90)).sum() / max(1, is_alpha.sum()))
+    features, applied to documents).
+
+    Fully vectorized: every character-class / token count is one Arrow
+    RE2 kernel per batch; the ratio arithmetic is the identical
+    fixed-order numpy double expression the per-row loop used, so the
+    outputs are bit-identical (all counts are exact ints).  Unicode
+    scope: word/stopword tokens use RE2's ASCII ``\\w`` — same engine
+    as the DuckDB oracles — where the old python loop used unicode
+    ``\\w`` (identical on ASCII corpora, the module's documented parity
+    scope).  Punctuation is the ASCII-punct class only; codepoints
+    >= 128 count toward length but no ratio class (a clean CJK/accented
+    doc must not score at the floor)."""
+    txt = pc.fill_null(tbl.column(text_col), "")
+    low = pc.utf8_lower(txt)
+    n = tbl.num_rows
+    length = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+    nw = _count_re(low, r"\w+")            # word-token count
+    wlen = _count_re(low, r"\w")           # sum of word-token lengths
+    stop_hits = _count_re(
+        low, r"\b(" + "|".join(sorted(LANG_PROFILES["en"])) + r")\b")
+    alpha_cnt = _count_re(txt, r"[A-Za-z]")
+    upper_cnt = _count_re(txt, r"[A-Z]")
+    digit_cnt = _count_re(txt, r"[0-9]")
+    space_cnt = _count_re(txt, "[ \t\n\r]")
+    ascii_cnt = _count_re(txt, r"[\x00-\x7f]")
+    punct_cnt = ascii_cnt - alpha_cnt - digit_cnt - space_cnt
+
+    nz = length > 0
+    wnz = nw > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_wlen = np.where(wnz, wlen / np.maximum(nw, 1), 0.0)
+        stop_ratio = np.where(wnz, stop_hits / np.maximum(nw, 1), 0.0)
+        punct_ratio = np.where(nz, punct_cnt / np.maximum(length, 1), 0.0)
+        digit_ratio = np.where(nz, digit_cnt / np.maximum(length, 1), 0.0)
+        upper_ratio = np.where(nz, upper_cnt / np.maximum(alpha_cnt, 1), 0.0)
     score = (
         (length >= 50).astype(np.float64) * 0.25
         + np.clip(mean_wlen / 8.0, 0, 1) * 0.25
