@@ -484,12 +484,14 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 _SQ256 = np.arange(256, dtype=np.int64) ** 2
 
 
-def _resize_gray32(img: np.ndarray) -> np.ndarray:
-    """Grayscale + resize to 32x32 by area-mean pooling (deterministic)."""
+def resize_gray(img: np.ndarray, gw: int, gh: int) -> np.ndarray:
+    """Grayscale + resize to (gw, gh) by area-mean pooling (deterministic).
+    Generalized from the former _resize_gray32 — at gw=gh=32 the
+    expressions are identical, so phash64 output is unchanged."""
     g = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = g.shape
-    ys = (np.arange(33) * h) // 32
-    xs = (np.arange(33) * w) // 32
+    ys = (np.arange(gh + 1) * h) // gh
+    xs = (np.arange(gw + 1) * w) // gw
     # integral-image area pooling — exact mean over each cell
     ii = np.zeros((h + 1, w + 1))
     ii[1:, 1:] = g.cumsum(0).cumsum(1)
@@ -507,7 +509,7 @@ def phash64(img: np.ndarray) -> int:
     threshold.  Replaces the reference's SURF/VLAD/PCA + IVFPQ visual
     near-dup index (`ImageVectorization.java:26-231`, `IndexingManage.java:68-80`)
     with an int64 column groupby (SURVEY.md §2.6 O9)."""
-    small = _resize_gray32(img)
+    small = resize_gray(img, 32, 32)
     coef = _D32 @ small @ _D32.T
     block = coef[:8, :8].flatten()
     # median of 64 == np.median's exact formula (mean of the two
