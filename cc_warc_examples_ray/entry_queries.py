@@ -32,7 +32,7 @@ import ray
 import ray.data as rd
 
 from . import lancelite, synth
-from .ops import ann, clean, dedup, graph, relational, sampling, text
+from .ops import ann, clean, curation, dedup, graph, relational, sampling, text
 from .pipelines import classics, crawl as crawl_pipeline
 
 # EXACTLY RE2's \s class ([\t\n\f\r ]) as DuckDB regexes see it — python
@@ -1575,6 +1575,135 @@ def q_phash_groups_dist(sf_dir: str) -> pd.DataFrame:
     out = dedup.pair_components(pairs, finish_cutoff=0).to_pandas()
     out = out.rename(columns={"node": "image_id"})
     return out[["image_id", "group_id"]].sort_values("image_id").reset_index(drop=True)
+
+
+_IMGHASH_FIXTURE = "/tmp/ccwarc_imghash_fixture.parquet"
+
+
+def _ensure_imghash_fixture() -> str:
+    """Generator-side (no-Ray, no-store) recomputation of every store
+    image's dHash/aHash: round-trip the reference pixels through the
+    codec locally and hash.  The Ray query must reproduce these from the
+    store's actual encoded bytes, so the oracle row checks the
+    distributed decode + hash end-to-end (unlike the phash fixture,
+    which both sides read as a stored column)."""
+    def build() -> pa.Table:
+        from . import imagecodec
+
+        ids, dh, ah = [], [], []
+        for k in range(_STORE_N):
+            fmt = synth.FMTS[k % len(synth.FMTS)]
+            img = imagecodec.decode(
+                imagecodec.encode(synth.expected_pixels(k), fmt), fmt)
+            ids.append(f"img-{k:010d}")
+            dh.append(np.uint64(imagecodec.dhash64(img)).view(np.int64))
+            ah.append(np.uint64(imagecodec.ahash64(img)).view(np.int64))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "dhash": pa.array(dh, pa.int64()),
+            "ahash": pa.array(ah, pa.int64()),
+        })
+    return _fixture_once(_IMGHASH_FIXTURE, build)
+
+
+def _image_hash_batch(tbl: pa.Table) -> pa.Table:
+    """Decode each payload and compute dHash/aHash (gradient- and
+    mean-threshold visual hashes complementing the DCT pHash).  Decode
+    of an opaque binary payload is inherently per-row; the codecs and
+    hash kernels are numpy-vectorized internally."""
+    from . import imagecodec
+
+    blobs = tbl.column("bytes").to_pylist()
+    fmts = tbl.column("fmt").to_pylist()
+    dh = np.empty(len(blobs), np.uint64)
+    ah = np.empty(len(blobs), np.uint64)
+    for i, (b, f) in enumerate(zip(blobs, fmts)):
+        img = imagecodec.decode(b, f)
+        dh[i] = imagecodec.dhash64(img)
+        ah[i] = imagecodec.ahash64(img)
+    return pa.table({
+        "image_id": tbl.column("image_id"),
+        "dhash": pa.array(dh.view(np.int64)),
+        "ahash": pa.array(ah.view(np.int64)),
+    })
+
+
+def q_image_hashes(sf_dir: str) -> pd.DataFrame:
+    """Distributed decode → dHash64/aHash64 over the content store's
+    encoded payloads (`map_batches`, bytes never shuffled — only the two
+    int64 hash columns leave the workers).  The oracle fixture is an
+    independent local recomputation from the synthetic reference pixels
+    (reference decode-validate analog, `ImageUtils.java:89-132`)."""
+    store = _store()
+    _ensure_imghash_fixture()
+    ds = store.read_ray(columns=["image_id", "bytes", "fmt"])
+    out = ds.map_batches(_image_hash_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_HASHES = f"""
+SELECT image_id, dhash, ahash FROM read_parquet('{_IMGHASH_FIXTURE}')
+ORDER BY image_id
+"""
+
+
+_CURATION_FIXTURE = "/tmp/ccwarc_curation_fixture.parquet"
+
+
+def _ensure_curation_fixture() -> str:
+    """(image_id, w, h, caption, phash) of the content store — the
+    metadata columns the curation gates read, for the SQL oracle."""
+    return _fixture_once(
+        _CURATION_FIXTURE,
+        lambda: _store().to_table().select(
+            ["image_id", "w", "h", "caption", "phash"]))
+
+
+def q_image_curation(sf_dir: str) -> pd.DataFrame:
+    """LAION-style image+caption curation report
+    (`ops/curation.py:curation_report`): dims / aspect / caption-length /
+    caption-blocklist gates as Arrow RE2 kernels in one map_batches pass,
+    then keep-first-per-pHash dedup (grouped_agg min + broadcast-path
+    hash_join).  Payload bytes are never read."""
+    store = _store()
+    _ensure_curation_fixture()
+    ds = store.read_ray(columns=["image_id", "w", "h", "caption", "phash"])
+    out = curation.curation_report(ds).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+# mirrors ops/curation.py gate order and defaults: min_dim=64,
+# max_aspect=3, min_cap_words=5, blocklist=(market|lantern); both sides
+# run RE2 on the same ASCII word-run class
+SQL_IMAGE_CURATION = f"""
+WITH s AS (
+  SELECT image_id, w, h, caption, phash
+  FROM read_parquet('{_CURATION_FIXTURE}')
+),
+g AS (
+  SELECT image_id, phash,
+    CASE
+      WHEN w < 64 OR h < 64 THEN 'dims'
+      WHEN greatest(w, h) > 3 * least(w, h) THEN 'aspect'
+      WHEN length(regexp_extract_all(caption, '[A-Za-z0-9_]+')) < 5
+        THEN 'caption_short'
+      WHEN regexp_matches(caption, '(?i)\\b(market|lantern)\\b')
+        THEN 'caption_block'
+      ELSE 'kept'
+    END AS reason0
+  FROM s
+),
+k AS (
+  SELECT phash, min(image_id) AS keeper FROM g
+  WHERE reason0 = 'kept' GROUP BY 1
+)
+SELECT g.image_id,
+  CASE WHEN g.reason0 <> 'kept' THEN g.reason0
+       WHEN g.image_id = k.keeper THEN 'kept'
+       ELSE 'dup' END AS reason
+FROM g LEFT JOIN k USING (phash)
+ORDER BY image_id
+"""
 
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
@@ -3491,6 +3620,9 @@ QUERIES = {
     "quality_buckets": q_quality_buckets,
     "url_filter": q_url_filter,
     "pii_scrub_sf": q_pii_scrub_sf,
+    # image-payload decode/hash + curation (round 4, late)
+    "image_hashes": q_image_hashes,
+    "image_curation": q_image_curation,
 }
 
 ORACLES = {
@@ -3564,6 +3696,8 @@ ORACLES = {
     "quality_buckets": SQL_QUALITY_BUCKETS,
     "url_filter": SQL_URL_FILTER,
     "pii_scrub_sf": SQL_PII_SCRUB_SF,
+    "image_hashes": SQL_IMAGE_HASHES,
+    "image_curation": SQL_IMAGE_CURATION,
 }
 
 
@@ -3579,6 +3713,8 @@ def oracles_impl() -> dict[str, str]:
     _ensure_frontier_fixture()
     _ensure_weights_fixture()
     _ensure_richtext_fixture()
+    _ensure_imghash_fixture()
+    _ensure_curation_fixture()
     d = dict(ORACLES)
     # trained-coefficient SQL is built at call time (reads the fixture)
     d["media_classify"] = _sql_media_classify()

@@ -519,6 +519,24 @@ def phash64(img: np.ndarray) -> int:
     return int.from_bytes(np.packbits(block > med).tobytes(), "big")
 
 
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (Krawetz dHash): 9x8 gray area-mean resize,
+    bit = cell strictly brighter than its right neighbor, row-major
+    MSB-first.  Complements :func:`phash64` (gradient-based vs
+    DCT-based) for the visual near-dup family (SURVEY.md §2.6 O9)."""
+    small = resize_gray(img, 9, 8)  # shape (8, 9)
+    bits = small[:, :-1] > small[:, 1:]
+    return int.from_bytes(np.packbits(bits.flatten()).tobytes(), "big")
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash: 8x8 gray area-mean resize, bit = cell
+    strictly brighter than the 64-cell mean, row-major MSB-first."""
+    small = resize_gray(img, 8, 8)
+    bits = small > small.mean()
+    return int.from_bytes(np.packbits(bits.flatten()).tobytes(), "big")
+
+
 def hamming64(a, b) -> np.ndarray:
     """Vectorized Hamming distance between uint64/int64 arrays."""
     x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
