@@ -32,7 +32,8 @@ import ray
 import ray.data as rd
 
 from . import lancelite, synth
-from .ops import ann, clean, curation, dedup, graph, relational, sampling, text
+from .ops import (ann, clean, curation, dedup, forest, graph, relational,
+                  sampling, text)
 from .pipelines import classics, crawl as crawl_pipeline
 
 # EXACTLY RE2's \s class ([\t\n\f\r ]) as DuckDB regexes see it — python
@@ -1645,6 +1646,75 @@ SQL_IMAGE_HASHES = f"""
 SELECT image_id, dhash, ahash FROM read_parquet('{_IMGHASH_FIXTURE}')
 ORDER BY image_id
 """
+
+
+_FOREST_EVAL_FIXTURE = "/tmp/ccwarc_forest_eval_fixture.parquet"
+_FOREST_FEATURES = ("attr_w", "attr_h", "url_w", "url_h", "alt_len",
+                    "elem_img", "same_domain", "dom_depth", "dom_sib",
+                    "suffix_gif")
+_FOREST_PARAMS = dict(n_trees=2, max_depth=5, min_leaf=20, id_col="rowid")
+
+
+def _forest_train_table() -> pa.Table:
+    t = synth.media_training_table(4000)
+    return t.append_column(
+        "rowid", pa.array(np.arange(t.num_rows), pa.int64()))
+
+
+def _ensure_forest_eval_fixture() -> str:
+    """Held-out eval rows (different seed than the training corpus) the
+    trained forest is applied to on both sides of the oracle."""
+    def build() -> pa.Table:
+        t = synth.media_training_table(1500, seed=synth.GLOBAL_SEED + 10)
+        return t.append_column(
+            "rowid", pa.array(np.arange(t.num_rows), pa.int64()))
+    return _fixture_once(_FOREST_EVAL_FIXTURE, build)
+
+
+def _sql_forest_classify() -> str:
+    """Oracle: the forest trained LOCALLY (no-Ray `ops/forest.train_forest`
+    on the pyarrow path) embedded as nested CASE expressions — the Ray
+    query trains the SAME forest DISTRIBUTED, and integer-exact
+    histograms + integer cross-product split scoring make the two
+    bit-identical (`test_local_vs_distributed_bit_identical`), so the
+    predictions must match.  RandomForest×2 parity for
+    `WekaTrainer.java:23-47` via a deterministic hash-bagged CART pair
+    (declared substitution for Weka's seeded bootstrap)."""
+    _ensure_forest_eval_fixture()
+    f = forest.train_forest(_forest_train_table(), list(_FOREST_FEATURES),
+                            **_FOREST_PARAMS)
+    cases = [forest.tree_case_sql(tr, sub) for tr, sub in f]
+    avg = "(" + " + ".join(cases) + f") / {len(cases)}"
+    return f"""
+WITH e AS (SELECT * FROM read_parquet('{_FOREST_EVAL_FIXTURE}')),
+p AS (SELECT rowid, {avg} AS praw FROM e)
+SELECT rowid, round(praw, 5) AS p_forest,
+       CASE WHEN praw >= 0.5 THEN 1 ELSE 0 END AS pred
+FROM p ORDER BY rowid
+"""
+
+
+def q_forest_classify(sf_dir: str) -> pd.DataFrame:
+    """Distributed-histogram CART forest (`ops/forest.py`): train 2
+    hash-bagged trees level-wise over the training corpus (one
+    streaming pass per depth level; only bounded (node, feat, value)
+    histogram rows reach the driver), then apply them to the held-out
+    eval fixture as a vectorized map_batches."""
+    _ensure_forest_eval_fixture()
+    ds = rd.from_arrow(_forest_train_table()).repartition(8)
+    f = forest.train_forest(ds, list(_FOREST_FEATURES), **_FOREST_PARAMS)
+
+    def apply(tbl: pa.Table) -> pa.Table:
+        p = forest.forest_proba(tbl, f)
+        return pa.table({
+            "rowid": tbl.column("rowid"),
+            "p_forest": pa.array(np.round(p, 5)),
+            "pred": pa.array((p >= 0.5).astype(np.int64)),
+        })
+
+    out = rd.read_parquet(_FOREST_EVAL_FIXTURE).map_batches(
+        apply, batch_format="pyarrow").to_pandas()
+    return out.sort_values("rowid").reset_index(drop=True)
 
 
 _CURATION_FIXTURE = "/tmp/ccwarc_curation_fixture.parquet"
@@ -3623,6 +3693,8 @@ QUERIES = {
     # image-payload decode/hash + curation (round 4, late)
     "image_hashes": q_image_hashes,
     "image_curation": q_image_curation,
+    # distributed-histogram CART forest (RandomForest parity)
+    "forest_classify": q_forest_classify,
 }
 
 ORACLES = {
@@ -3698,6 +3770,7 @@ ORACLES = {
     "pii_scrub_sf": SQL_PII_SCRUB_SF,
     "image_hashes": SQL_IMAGE_HASHES,
     "image_curation": SQL_IMAGE_CURATION,
+    # forest_classify is added at call time (embeds the trained trees)
 }
 
 
@@ -3718,6 +3791,7 @@ def oracles_impl() -> dict[str, str]:
     d = dict(ORACLES)
     # trained-coefficient SQL is built at call time (reads the fixture)
     d["media_classify"] = _sql_media_classify()
+    d["forest_classify"] = _sql_forest_classify()
     return d
 
 
