@@ -1509,7 +1509,11 @@ def dup_span_stats(docs: rd.Dataset, n: int = 4, id_col: str = "doc_id",
             "n_grams": pa.array(np.maximum(nw - n + 1, 0), i64),
         })
 
-    grams_ds = docs.map_batches(explode, batch_format="pyarrow")
+    # materialize: the gram stream feeds BOTH the count aggregate and
+    # the join-back left side — unmaterialized it would re-run the
+    # explode (ngram flatten + xxh64) once per consumer.  Fixed-width
+    # rows only; the object store spills at corpus scale.
+    grams_ds = docs.map_batches(explode, batch_format="pyarrow").materialize()
     counts = relational.grouped_count(
         grams_ds.select_columns(["gh"]), ["gh"], alias="cnt")
     dups = counts.map_batches(
