@@ -1717,6 +1717,42 @@ def q_forest_classify(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("rowid").reset_index(drop=True)
 
 
+def q_dhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs under the RECOMPUTED dHash: distributed decode →
+    dhash64 per payload, then the salted pigeonhole-block Hamming join
+    (`dedup.phash_neardup_groups` with ``phash_col='dhash'`` — the
+    machinery is hash-family-agnostic).  Unlike phash_neardup (both
+    sides read the stored column), the Ray side here derives the hash
+    from the encoded bytes, so the oracle row checks decode → hash →
+    skew-salted self-join end-to-end.
+
+    Note: the synthetic store's images are monotone gradients + noise,
+    so gradient-sign dHash collides heavily (~9.6k hamming-0 pairs at
+    500 images) — which makes this query a deliberate stress of the
+    salted bucket path under extreme hash skew; natural images spread
+    far wider."""
+    store = _store()
+    _ensure_imghash_fixture()
+    ds = store.read_ray(columns=["image_id", "bytes", "fmt"])
+    hashed = ds.map_batches(_image_hash_batch, batch_format="pyarrow") \
+               .map_batches(lambda t: t.select(["image_id", "dhash"]),
+                            batch_format="pyarrow")
+    out = dedup.phash_neardup_groups(
+        hashed, max_hamming=2, phash_col="dhash",
+        salt=int(os.environ.get("PHASH_SALT", "2"))).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_DHASH_NEARDUP = f"""
+WITH p AS (SELECT image_id, dhash FROM read_parquet('{_IMGHASH_FIXTURE}'))
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+FROM p a JOIN p b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 _CURATION_FIXTURE = "/tmp/ccwarc_curation_fixture.parquet"
 
 
@@ -3037,6 +3073,70 @@ ORDER BY s.doc_id
 """.replace("{RT}", _RICHTEXT_FIXTURE).replace("{W}", clean.WORD_RE)
 
 
+def q_remove_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """The exact-substring dedup TRANSFORM (Lee et al. 2021):
+    `ops/dedup.py:remove_dup_spans` drops every token covered by a
+    corpus-duplicated 4-gram span and rebuilds the document.  md5 of
+    the rebuilt text is computed inside map_batches (text never ships
+    to the driver); the oracle re-derives the kept token stream with
+    exact-string gram equality."""
+    import hashlib
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(x.encode()).hexdigest()
+                for x in t.column("clean_text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("n_tokens"),
+            "kept_tokens": t.column("kept_tokens"),
+            "clean_md5": pa.array(md5s, pa.string()),
+        })
+
+    out = (dedup.remove_dup_spans(_richtext_ds(), n=4)
+           .map_batches(digest, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Same CTE front half as SQL_DUP_SPANS (exact-string gram equality vs
+# xxh64 on the Ray side — the documented convention); the back half
+# rebuilds the kept token stream and md5s it.
+SQL_REMOVE_DUP_SPANS = """
+WITH d AS (SELECT * FROM read_parquet('{RT}')),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '{W}') AS t FROM d),
+tok AS (
+  SELECT doc_id, unnest(t) AS w,
+         generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 4)
+),
+cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN cnt ON cnt.gram = g.gram
+        WHERE cnt.c >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + u.u AS p
+        FROM dup, unnest(range(4)) AS u(u)),
+kept AS (
+  SELECT tk.doc_id, tk.w, tk.pos
+  FROM tok tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.p
+  WHERE c.p IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS kept_tokens,
+         string_agg(w, ' ' ORDER BY pos) AS ct
+  FROM kept GROUP BY 1
+),
+stats AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(a.kept_tokens, 0)::BIGINT AS kept_tokens,
+       md5(coalesce(a.ct, '')) AS clean_md5
+FROM stats s LEFT JOIN agg a USING (doc_id)
+ORDER BY s.doc_id
+""".replace("{RT}", _RICHTEXT_FIXTURE).replace("{W}", clean.WORD_RE)
+
+
 # Exact-string first-occurrence rule; the Ray side keys on xxh64(line)
 # (collision convention documented in ops/clean.py — exact equality at
 # fixture scale).
@@ -3693,6 +3793,9 @@ QUERIES = {
     # image-payload decode/hash + curation (round 4, late)
     "image_hashes": q_image_hashes,
     "image_curation": q_image_curation,
+    "dhash_neardup": q_dhash_neardup,
+    # exact-substring dedup transform (Lee et al. 2021)
+    "remove_dup_spans": q_remove_dup_spans,
     # distributed-histogram CART forest (RandomForest parity)
     "forest_classify": q_forest_classify,
 }
@@ -3770,6 +3873,8 @@ ORACLES = {
     "pii_scrub_sf": SQL_PII_SCRUB_SF,
     "image_hashes": SQL_IMAGE_HASHES,
     "image_curation": SQL_IMAGE_CURATION,
+    "dhash_neardup": SQL_DHASH_NEARDUP,
+    "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     # forest_classify is added at call time (embeds the trained trees)
 }
 

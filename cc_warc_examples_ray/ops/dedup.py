@@ -1454,6 +1454,58 @@ def phash_neardup_groups(ds: rd.Dataset, max_hamming: int = 2,
 # dedup, restated at word-n-gram granularity)
 # ---------------------------------------------------------------------------
 
+def _gram_pos_explode(t: pa.Table, n: int, id_col: str,
+                      text_col: str) -> pa.Table:
+    """Per-batch (id, pos, gram-hash) explode of word n-grams — the
+    shared front half of :func:`dup_span_stats` and
+    :func:`remove_dup_spans`."""
+    from .text import _word_ngram_flat
+
+    i64 = pa.int64()
+    texts = t.column(text_col).to_pylist()
+    grams, parents, _, _ = _word_ngram_flat(texts, n, word_stats=True)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(parents):
+        h = xxh64_many(grams).view(np.int64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(parents[1:] != parents[:-1]) + 1])
+        runl = np.diff(np.append(starts, len(parents)))
+        pos = np.arange(len(parents), dtype=np.int64) - np.repeat(starts, runl)
+        out_ids = ids[parents]
+    else:
+        h = pos = out_ids = np.array([], np.int64)
+    return pa.table({
+        id_col: pa.array(out_ids, i64),
+        "pos": pa.array(pos, i64),
+        "gh": pa.array(h, i64),
+    })
+
+
+def _dup_gram_rows(docs: rd.Dataset, n: int, id_col: str, text_col: str,
+                   min_count: int, num_partitions: int) -> rd.Dataset:
+    """(id, pos) of every corpus-duplicated word n-gram occurrence:
+    explode → grouped_count by hash → filter ≥min_count → hash_join
+    back.  Shared by :func:`dup_span_stats` / :func:`remove_dup_spans`."""
+    import pyarrow.compute as pc
+
+    from . import relational
+
+    i64 = pa.int64()
+    grams_ds = docs.map_batches(
+        lambda t: _gram_pos_explode(t, n, id_col, text_col),
+        batch_format="pyarrow").materialize()
+    counts = relational.grouped_count(
+        grams_ds.select_columns(["gh"]), ["gh"], alias="cnt")
+    dups = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("cnt"), min_count))
+                   .select(["gh"]),
+        batch_format="pyarrow")
+    return relational.hash_join(
+        grams_ds, dups, "gh", num_buckets=num_partitions,
+        left_schema=pa.schema([(id_col, i64), ("pos", i64), ("gh", i64)]),
+        right_schema=pa.schema([("gh", i64)]))
+
+
 def dup_span_stats(docs: rd.Dataset, n: int = 4, id_col: str = "doc_id",
                    text_col: str = "text", min_count: int = 2,
                    num_partitions: int = 32) -> rd.Dataset:
@@ -1481,25 +1533,6 @@ def dup_span_stats(docs: rd.Dataset, n: int = 4, id_col: str = "doc_id",
 
     i64 = pa.int64()
 
-    def explode(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        grams, parents, nw, _ = _word_ngram_flat(texts, n, word_stats=True)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(parents):
-            h = xxh64_many(grams).view(np.int64)
-            starts = np.concatenate(
-                [[0], np.flatnonzero(parents[1:] != parents[:-1]) + 1])
-            runl = np.diff(np.append(starts, len(parents)))
-            pos = np.arange(len(parents), dtype=np.int64) - np.repeat(starts, runl)
-            out_ids = ids[parents]
-        else:
-            h = pos = out_ids = np.array([], np.int64)
-        return pa.table({
-            id_col: pa.array(out_ids, i64),
-            "pos": pa.array(pos, i64),
-            "gh": pa.array(h, i64),
-        })
-
     def doc_stats(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
         _, _, nw, _ = _word_ngram_flat(texts, n, word_stats=True)
@@ -1509,21 +1542,8 @@ def dup_span_stats(docs: rd.Dataset, n: int = 4, id_col: str = "doc_id",
             "n_grams": pa.array(np.maximum(nw - n + 1, 0), i64),
         })
 
-    # materialize: the gram stream feeds BOTH the count aggregate and
-    # the join-back left side — unmaterialized it would re-run the
-    # explode (ngram flatten + xxh64) once per consumer.  Fixed-width
-    # rows only; the object store spills at corpus scale.
-    grams_ds = docs.map_batches(explode, batch_format="pyarrow").materialize()
-    counts = relational.grouped_count(
-        grams_ds.select_columns(["gh"]), ["gh"], alias="cnt")
-    dups = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("cnt"), min_count))
-                   .select(["gh"]),
-        batch_format="pyarrow")
-    dup_rows = relational.hash_join(
-        grams_ds, dups, "gh", num_buckets=num_partitions,
-        left_schema=pa.schema([(id_col, i64), ("pos", i64), ("gh", i64)]),
-        right_schema=pa.schema([("gh", i64)]))
+    dup_rows = _dup_gram_rows(docs, n, id_col, text_col, min_count,
+                              num_partitions)
 
     add_part = relational.make_part_assigner([id_col], num_partitions)
     cover_schema = pa.schema(
@@ -1572,3 +1592,93 @@ def dup_span_stats(docs: rd.Dataset, n: int = 4, id_col: str = "doc_id",
         return t
 
     return out.map_batches(fill0, batch_format="pyarrow")
+
+
+def remove_dup_spans(docs: rd.Dataset, n: int = 4, id_col: str = "doc_id",
+                     text_col: str = "text", min_count: int = 2,
+                     num_partitions: int = 32) -> rd.Dataset:
+    """Exact-substring dedup TRANSFORM (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", at word-n-gram
+    granularity): drop every token covered by the union of
+    corpus-duplicated ``n``-gram spans and rebuild each document from
+    the kept tokens.  Complements :func:`dup_span_stats` (which only
+    MEASURES coverage).  Output text is the space-joined, lowercased
+    ``\\w+`` token stream — the token-stream simplification;
+    punctuation/whitespace between tokens is not preserved.
+
+    Shape: the shared ``_dup_gram_rows`` plumbing down to duplicated
+    ``(id, pos)`` rows; per-doc duplicated positions are PACKED into
+    one binary blob per doc (``np.int64.tobytes`` — a plain binary
+    payload the bucketed join ships without list-column support), then
+    hash_joined to the text rows and unioned into a keep mask by a
+    difference-array kernel.  Text crosses exactly ONE bucket shuffle
+    (the rebuild join).  Output: ``(id, clean_text, n_tokens,
+    kept_tokens)``; a fully-covered document comes back with
+    ``clean_text = ''``."""
+    import pyarrow.compute as pc
+
+    from . import relational
+    from .text import _WORD_RE
+
+    i64 = pa.int64()
+    dup_rows = _dup_gram_rows(docs, n, id_col, text_col, min_count,
+                              num_partitions)
+    add_part = relational.make_part_assigner([id_col], num_partitions)
+    pack_schema = pa.schema([(id_col, i64), ("dup_pos", pa.binary())])
+
+    def pack_kern(gt: pa.Table) -> pa.Table:
+        if gt.num_rows == 0:
+            return pack_schema.empty_table()
+        ids = gt.column(id_col).to_numpy(zero_copy_only=False)
+        pos = gt.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        i_s, p_s = ids[order], pos[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(i_s[1:] != i_s[:-1]) + 1])
+        bounds = np.append(starts, len(i_s))
+        blobs = [p_s[bounds[k]:bounds[k + 1]].astype(np.int64).tobytes()
+                 for k in range(len(starts))]
+        return pa.table({
+            id_col: pa.array(i_s[starts], i64),
+            "dup_pos": pa.array(blobs, pa.binary()),
+        })
+
+    packs = (dup_rows
+             .map_batches(add_part, batch_format="pyarrow")
+             .groupby("_part")
+             .map_groups(lambda g: pack_kern(g.drop_columns(["_part"])),
+                         batch_format="pyarrow"))
+    joined = relational.hash_join(
+        docs.select_columns([id_col, text_col]), packs, id_col,
+        num_buckets=num_partitions, how="left",
+        left_schema=pa.schema([(id_col, i64), (text_col, pa.string())]),
+        right_schema=pack_schema)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        blobs = t.column("dup_pos").to_pylist()
+        clean, n_tok, kept = [], [], []
+        for txt, blob in zip(texts, blobs):
+            words = _WORD_RE.findall((txt or "").lower())
+            nw = len(words)
+            n_tok.append(nw)
+            if not blob or nw == 0:
+                clean.append(" ".join(words))
+                kept.append(nw)
+                continue
+            pos = np.frombuffer(blob, np.int64)
+            delta = np.zeros(nw + 1, np.int64)
+            np.add.at(delta, pos, 1)
+            np.add.at(delta, np.minimum(pos + n, nw), -1)
+            keep = np.cumsum(delta[:-1]) == 0
+            out_words = [w for w, k in zip(words, keep) if k]
+            clean.append(" ".join(out_words))
+            kept.append(len(out_words))
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), i64),
+            "clean_text": pa.array(clean, pa.string()),
+            "n_tokens": pa.array(n_tok, i64),
+            "kept_tokens": pa.array(kept, i64),
+        })
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

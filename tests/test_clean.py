@@ -180,6 +180,43 @@ def test_dup_span_stats_matches_python(ray_session, rich):
     assert got["n_dup_grams"].sum() > 0  # boilerplate gives real dups
 
 
+def test_remove_dup_spans_matches_python(ray_session, rich):
+    """remove_dup_spans (the Lee et al. TRANSFORM) == a serial python
+    reference, under block splits; fully-covered docs come back ''."""
+    from cc_warc_examples_ray.ops import dedup
+
+    n = 4
+    outs = []
+    for nblocks in (1, 6):
+        out = dedup.remove_dup_spans(
+            rd.from_arrow(rich).repartition(nblocks), n=n
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    from collections import Counter
+    docs = []
+    for did, txt in zip(rich.column("doc_id").to_pylist(),
+                        rich.column("text").to_pylist()):
+        words = re.findall(r"[0-9A-Za-z_]+", txt.lower())
+        grams = [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)]
+        docs.append((did, words, grams))
+    cnt = Counter(g for _, _, grams in docs for g in grams)
+    removed_any = False
+    for did, words, grams in docs:
+        covered = set()
+        for j, g in enumerate(grams):
+            if cnt[g] >= 2:
+                covered.update(range(j, j + n))
+        want = " ".join(w for j, w in enumerate(words) if j not in covered)
+        row = got[got["doc_id"] == did].iloc[0]
+        assert row["clean_text"] == want, did
+        assert row["n_tokens"] == len(words)
+        assert row["kept_tokens"] == len(words) - len(covered)
+        removed_any = removed_any or bool(covered)
+    assert removed_any  # boilerplate produces real removals
+
+
 def test_url_quality_gates_python_reference():
     from cc_warc_examples_ray.ops import clean
     import re as _re
