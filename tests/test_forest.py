@@ -86,6 +86,26 @@ def test_pure_node_no_split():
     assert tr.feat[0] == forest._LEAF and tr.n[0] == 40 and tr.pos[0] == 0
 
 
+def test_forest_edge_cases():
+    # max_depth=0 -> a single stamped leaf
+    t = pa.table({"x": np.arange(100, dtype=np.float64),
+                  "label": (np.arange(100) % 2).astype(np.int64)})
+    tr = forest.train_tree(t, ["x"], max_depth=0, min_leaf=2)
+    assert tr.feat == [forest._LEAF] and tr.n[0] == 100 and tr.pos[0] == 50
+    # single distinct feature value -> no candidate, root stays a leaf
+    t1 = pa.table({"x": np.full(60, 7.0),
+                   "label": (np.arange(60) % 2).astype(np.int64)})
+    tr1 = forest.train_tree(t1, ["x"], max_depth=3, min_leaf=2)
+    assert tr1.feat[0] == forest._LEAF and tr1.n[0] == 60
+    # min_leaf larger than any admissible child -> no split
+    t2 = pa.table({"x": np.array([0.0, 1.0] * 20),
+                   "label": np.array([1, 0] * 20, np.int64)})
+    tr2 = forest.train_tree(t2, ["x"], max_depth=3, min_leaf=30)
+    assert tr2.feat[0] == forest._LEAF
+    # proba on an empty-region leaf never divides by zero
+    assert np.isfinite(tr2.proba(np.array([[5.0]]))).all()
+
+
 def test_tree_sql_mirror():
     t = _train_table(800)
     tr = forest.train_tree(t, FEATS[0::2], max_depth=4, min_leaf=15)
