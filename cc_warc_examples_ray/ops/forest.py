@@ -261,7 +261,7 @@ def train_tree(data, feature_cols: Sequence[str], label_col: str = "label",
     # first pass's feature-0 histogram.
     frontier = np.array([0], np.int64)
     root_stamped = False
-    for _ in range(max_depth):
+    for depth in range(max(max_depth, 1)):
         if len(frontier) == 0:
             break
         hist = hist_pass(frontier)
@@ -273,6 +273,8 @@ def train_tree(data, feature_cols: Sequence[str], label_col: str = "label",
             tree.n[0] = int(hist.column("cnt").to_numpy()[m].sum())
             tree.pos[0] = int(hist.column("pos").to_numpy()[m].sum())
             root_stamped = True
+        if depth >= max_depth:  # max_depth=0: stats-only pass, no split
+            break
         node_rows = {
             int(nd): (tree.n[int(nd)], tree.pos[int(nd)]) for nd in frontier
             if 0 < tree.pos[int(nd)] < tree.n[int(nd)]
