@@ -1648,6 +1648,96 @@ ORDER BY image_id
 """
 
 
+_CURATION_FIXTURE = "/tmp/ccwarc_curation_fixture.parquet"
+
+
+def q_media_prep(sf_dir: str) -> pd.DataFrame:
+    """Composed image-curation pipeline (the image analog of text_prep):
+    metadata gates FIRST (curation_report — cheap Arrow kernels over
+    columns, no payload reads), THEN decode+dHash only for the kept
+    rows (the expensive stage runs on the gated subset — the
+    gate-before-decode ordering that matters at 100 TB), then
+    keep-first exact visual dedup on the recomputed dHash.  Kept ids
+    are `ray.put`-broadcast into the payload scan (dimension-sized
+    here; swap in the partitioned `hash_join` semi for a huge keep
+    set).  Output: the surviving (image_id, fmt, dhash) rows."""
+    store = _store()
+    _ensure_curation_fixture()
+    _ensure_imghash_fixture()
+    meta = store.read_ray(columns=["image_id", "w", "h", "caption", "phash"])
+    kept = curation.curation_report(meta).filter(expr="reason == 'kept'")
+    kept_ids = [r["image_id"] for r in kept.take_all()]
+    payload = store.read_ray(columns=["image_id", "bytes", "fmt"])
+    gated = relational.broadcast_semi_join(
+        payload, "image_id", ray.put(kept_ids))
+
+    def hash_with_fmt(t: pa.Table) -> pa.Table:
+        h = _image_hash_batch(t)
+        return h.append_column("fmt", t.column("fmt")).select(
+            ["image_id", "fmt", "dhash"])
+
+    hashed = gated.map_batches(hash_with_fmt,
+                               batch_format="pyarrow").materialize()
+    keepers = relational.grouped_agg(
+        hashed, keys=["dhash"], aggs=[("image_id", "min", "keeper_id")])
+    joined = relational.hash_join(
+        hashed, keepers, "dhash",
+        left_schema=pa.schema([("image_id", pa.string()),
+                               ("fmt", pa.string()), ("dhash", pa.int64())]),
+        right_schema=pa.schema([("dhash", pa.int64()),
+                                ("keeper_id", pa.string())]))
+    def survivors(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("image_id"),
+                                 t.column("keeper_id"))).select(
+            ["image_id", "fmt", "dhash"])
+
+    out = joined.map_batches(survivors, batch_format="pyarrow").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+# chained-CTE oracle over the two image fixtures: the curation CASE
+# gates + min-keeper phash dedup (SQL_IMAGE_CURATION's shape), then the
+# dHash keep-first over the independently recomputed imghash fixture;
+# fmt is re-derived from the image_id key (img-<key> -> FMTS[key % 3])
+SQL_MEDIA_PREP = f"""
+WITH s AS (
+  SELECT image_id, w, h, caption, phash
+  FROM read_parquet('{{CF}}')
+),
+g AS (
+  SELECT image_id, phash,
+    CASE
+      WHEN w < 64 OR h < 64 THEN 'dims'
+      WHEN greatest(w, h) > 3 * least(w, h) THEN 'aspect'
+      WHEN length(regexp_extract_all(caption, '[A-Za-z0-9_]+')) < 5
+        THEN 'caption_short'
+      WHEN regexp_matches(caption, '(?i)\\b(market|lantern)\\b')
+        THEN 'caption_block'
+      ELSE 'kept'
+    END AS reason0
+  FROM s
+),
+k AS (
+  SELECT phash, min(image_id) AS keeper FROM g
+  WHERE reason0 = 'kept' GROUP BY 1
+),
+kept AS (
+  SELECT g.image_id FROM g JOIN k USING (phash)
+  WHERE g.reason0 = 'kept' AND g.image_id = k.keeper
+),
+hashed AS (
+  SELECT i.image_id, i.dhash,
+    CASE CAST(substr(i.image_id, 5) AS BIGINT) % 3
+      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'bmp' END AS fmt
+  FROM read_parquet('{{HF}}') i JOIN kept USING (image_id)
+),
+dd AS (SELECT dhash, min(image_id) AS keeper FROM hashed GROUP BY 1)
+SELECT h.image_id, h.fmt, h.dhash
+FROM hashed h JOIN dd ON h.dhash = dd.dhash AND h.image_id = dd.keeper
+ORDER BY h.image_id
+""".replace("{CF}", _CURATION_FIXTURE).replace("{HF}", _IMGHASH_FIXTURE)
+
+
 _FOREST_EVAL_FIXTURE = "/tmp/ccwarc_forest_eval_fixture.parquet"
 _FOREST_FEATURES = ("attr_w", "attr_h", "url_w", "url_h", "alt_len",
                     "elem_img", "same_domain", "dom_depth", "dom_sib",
@@ -1751,9 +1841,6 @@ FROM p a JOIN p b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
 ORDER BY id_a, id_b
 """
-
-
-_CURATION_FIXTURE = "/tmp/ccwarc_curation_fixture.parquet"
 
 
 def _ensure_curation_fixture() -> str:
@@ -3794,6 +3881,7 @@ QUERIES = {
     "image_hashes": q_image_hashes,
     "image_curation": q_image_curation,
     "dhash_neardup": q_dhash_neardup,
+    "media_prep": q_media_prep,
     # exact-substring dedup transform (Lee et al. 2021)
     "remove_dup_spans": q_remove_dup_spans,
     # distributed-histogram CART forest (RandomForest parity)
@@ -3874,6 +3962,7 @@ ORACLES = {
     "image_hashes": SQL_IMAGE_HASHES,
     "image_curation": SQL_IMAGE_CURATION,
     "dhash_neardup": SQL_DHASH_NEARDUP,
+    "media_prep": SQL_MEDIA_PREP,
     "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     # forest_classify is added at call time (embeds the trained trees)
 }
