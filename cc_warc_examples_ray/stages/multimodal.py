@@ -23,6 +23,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import imagecodec
 
@@ -97,6 +98,74 @@ class ImageResizer:
             out_w.append(np.int32(img.shape[1]))
         return (
             tbl.drop_columns(["bytes", "w", "h"])
+            .append_column("bytes", pa.array(out_bytes, pa.binary()))
+            .append_column("w", pa.array(out_w, pa.int32()))
+            .append_column("h", pa.array(out_h, pa.int32()))
+        )
+
+
+AUG_OPS = ("hflip", "vflip", "rot90", "center_crop")
+
+
+def augment_pixels(img: np.ndarray, op: str,
+                   crop: tuple[int, int] = (64, 64)) -> np.ndarray:
+    """Deterministic pixel augmentation: horizontal/vertical flip,
+    90°-counterclockwise rotation, or center crop (clamped to the
+    image).  Pure index permutations — exactly invertible (flips are
+    involutions, rot90⁴ = identity), which is what the tests pin."""
+    if op == "hflip":
+        return img[:, ::-1]
+    if op == "vflip":
+        return img[::-1]
+    if op == "rot90":
+        return np.rot90(img)
+    if op == "center_crop":
+        cw, ch = crop
+        h, w, _ = img.shape
+        cw, ch = min(cw, w), min(ch, h)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        return img[y0:y0 + ch, x0:x0 + cw]
+    raise ValueError(f"unknown augment op {op!r} (one of {AUG_OPS})")
+
+
+class ImageAugmenter:
+    """Actor-pool augmentation stage: decode → :func:`augment_pixels`
+    → re-encode.  A training-data pipeline fans one image out to K
+    augmented variants; here each call applies ONE op (chain stages,
+    or union K stages, for multi-variant fan-out).  Lossless formats
+    round-trip pixel-exactly; jpg rows pay one extra lossy generation
+    (same trade ImageResizer documents).  ``suffix`` disambiguates the
+    output ids (``image_id + suffix``)."""
+
+    def __init__(self, op: str = "hflip", crop: tuple[int, int] = (64, 64),
+                 suffix: str | None = None):
+        if op not in AUG_OPS:
+            raise ValueError(f"unknown augment op {op!r} (one of {AUG_OPS})")
+        self.op, self.crop = op, crop
+        self.suffix = f"#{op}" if suffix is None else suffix
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        blobs = tbl.column("bytes").to_pylist()
+        fmts = tbl.column("fmt").to_pylist()
+        out_bytes, out_w, out_h = [], [], []
+        for blob, fmt in zip(blobs, fmts):
+            try:
+                img = augment_pixels(imagecodec.decode(blob, fmt),
+                                     self.op, self.crop)
+            except Exception:
+                out_bytes.append(None)
+                out_w.append(None)
+                out_h.append(None)
+                continue
+            out_bytes.append(imagecodec.encode(np.ascontiguousarray(img), fmt))
+            out_h.append(np.int32(img.shape[0]))
+            out_w.append(np.int32(img.shape[1]))
+        ids = pc.binary_join_element_wise(
+            pc.cast(tbl.column("image_id"), pa.string()),
+            pa.array([self.suffix] * tbl.num_rows, pa.string()), "")
+        return (
+            tbl.drop_columns(["bytes", "w", "h", "image_id"])
+            .append_column("image_id", ids)
             .append_column("bytes", pa.array(out_bytes, pa.binary()))
             .append_column("w", pa.array(out_w, pa.int32()))
             .append_column("h", pa.array(out_h, pa.int32()))

@@ -219,3 +219,44 @@ def test_video_avi_interleaved_with_audio():
     for r in out:
         assert np.array_equal(
             imagecodec.decode(r["frame_bytes"], r["fmt"]), src[r["frame_index"]])
+
+
+def test_augment_pixels_algebra():
+    img = synth.render_image(3, 50, 34)
+    # flips are involutions, rot90 has order 4, crop clamps + centers
+    assert np.array_equal(
+        multimodal.augment_pixels(multimodal.augment_pixels(img, "hflip"), "hflip"), img)
+    assert np.array_equal(
+        multimodal.augment_pixels(multimodal.augment_pixels(img, "vflip"), "vflip"), img)
+    r = img
+    for _ in range(4):
+        r = multimodal.augment_pixels(r, "rot90")
+    assert np.array_equal(r, img)
+    c = multimodal.augment_pixels(img, "center_crop", crop=(20, 16))
+    assert c.shape == (16, 20, 3)
+    assert np.array_equal(c, img[9:25, 15:35])
+    big = multimodal.augment_pixels(img, "center_crop", crop=(999, 999))
+    assert big.shape == img.shape
+    with pytest.raises(ValueError):
+        multimodal.augment_pixels(img, "zoom")
+
+
+def test_image_augmenter_stage(ray_session):
+    t = synth.images_table(9)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        multimodal.ImageAugmenter, fn_constructor_kwargs={"op": "rot90"},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert len(out) == 9
+    assert out["image_id"].str.endswith("#rot90").all()
+    src = t.to_pandas().sort_values("image_id").reset_index(drop=True)
+    # dims swap under rot90
+    assert (out["w"] == src["h"]).all() and (out["h"] == src["w"]).all()
+    # lossless rows round-trip pixel-exactly through decode->rot90->encode
+    for i in range(9):
+        if src["fmt"][i] not in imagecodec.LOSSLESS_FMTS:
+            continue
+        got = imagecodec.decode(out["bytes"][i], src["fmt"][i])
+        want = np.rot90(imagecodec.decode(src["bytes"][i], src["fmt"][i]))
+        assert np.array_equal(got, want)
