@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "token_packing",
     "quality_buckets",
     "pii_scrub_sf",
+    "image_hashes",
+    "media_prep",
 ]
 
 

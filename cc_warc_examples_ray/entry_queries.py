@@ -1648,6 +1648,95 @@ ORDER BY image_id
 """
 
 
+_AUGMENT_FIXTURE = "/tmp/ccwarc_augment_fixture.parquet"
+_AUG_FANOUT = ("hflip", "rot90")
+
+
+def _ensure_augment_fixture() -> str:
+    """No-Ray recomputation of the augmentation fan-out: start from the
+    store's decoded pixels (= decode(encode(reference)) — one codec
+    round-trip, matching the bytes the Ray side actually reads), apply
+    each op, re-encode + re-decode in the same format (the augmented
+    variant a training pipeline would persist), and hash.  The Ray query
+    must reproduce ids, output dims, and dHash from the distributed
+    decode → augment → encode → decode chain."""
+    def build() -> pa.Table:
+        from . import imagecodec
+        from .stages.multimodal import augment_pixels
+
+        ids, ws, hs, dh = [], [], [], []
+        for k in range(_STORE_N):
+            fmt = synth.FMTS[k % len(synth.FMTS)]
+            img = imagecodec.decode(
+                imagecodec.encode(synth.expected_pixels(k), fmt), fmt)
+            for op in _AUG_FANOUT:
+                aug = augment_pixels(img, op)
+                rt = imagecodec.decode(
+                    imagecodec.encode(np.ascontiguousarray(aug), fmt), fmt)
+                ids.append(f"img-{k:010d}#{op}")
+                hs.append(np.int32(aug.shape[0]))
+                ws.append(np.int32(aug.shape[1]))
+                dh.append(np.uint64(imagecodec.dhash64(rt)).view(np.int64))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "dhash": pa.array(dh, pa.int64()),
+        })
+    return _fixture_once(_AUGMENT_FIXTURE, build)
+
+
+def _augmented_dhash_batch(tbl: pa.Table) -> pa.Table:
+    """Decode the (re-encoded) augmented payload and dHash it —
+    validates the persisted variant, not just the in-memory pixels."""
+    from . import imagecodec
+
+    blobs = tbl.column("bytes").to_pylist()
+    fmts = tbl.column("fmt").to_pylist()
+    dh = np.empty(len(blobs), np.uint64)
+    for i, (b, f) in enumerate(zip(blobs, fmts)):
+        dh[i] = imagecodec.dhash64(imagecodec.decode(b, f))
+    return pa.table({
+        "image_id": tbl.column("image_id"),
+        "w": tbl.column("w"),
+        "h": tbl.column("h"),
+        "dhash": pa.array(dh.view(np.int64)),
+    })
+
+
+def q_image_augment(sf_dir: str) -> pd.DataFrame:
+    """Training-data augmentation fan-out (reference decode/transform
+    analog, `ImageUtils.java:89-132` + `ImageVectorization.java:156`):
+    each store image → {hflip, rot90} variants via the ImageAugmenter
+    actor-pool stage (decode → permute → re-encode inside the task;
+    payload bytes never shuffled), then a validate pass re-decodes the
+    augmented bytes and emits only (id, dims, dhash).  Oracle: the
+    independent local recomputation in `_ensure_augment_fixture`."""
+    from .stages.multimodal import ImageAugmenter
+
+    store = _store()
+    _ensure_augment_fixture()
+    ds = store.read_ray(columns=["image_id", "bytes", "fmt", "w", "h"])
+    variants = [
+        ds.map_batches(ImageAugmenter, fn_constructor_kwargs={"op": op},
+                       batch_format="pyarrow", concurrency=(1, 4),
+                       batch_size=64)
+        for op in _AUG_FANOUT
+    ]
+    out = (
+        variants[0].union(*variants[1:])
+        .map_batches(_augmented_dhash_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_AUGMENT = f"""
+SELECT image_id, w, h, dhash FROM read_parquet('{_AUGMENT_FIXTURE}')
+ORDER BY image_id
+"""
+
+
 _CURATION_FIXTURE = "/tmp/ccwarc_curation_fixture.parquet"
 
 
@@ -3879,6 +3968,7 @@ QUERIES = {
     "pii_scrub_sf": q_pii_scrub_sf,
     # image-payload decode/hash + curation (round 4, late)
     "image_hashes": q_image_hashes,
+    "image_augment": q_image_augment,
     "image_curation": q_image_curation,
     "dhash_neardup": q_dhash_neardup,
     "media_prep": q_media_prep,
@@ -3960,6 +4050,7 @@ ORACLES = {
     "url_filter": SQL_URL_FILTER,
     "pii_scrub_sf": SQL_PII_SCRUB_SF,
     "image_hashes": SQL_IMAGE_HASHES,
+    "image_augment": SQL_IMAGE_AUGMENT,
     "image_curation": SQL_IMAGE_CURATION,
     "dhash_neardup": SQL_DHASH_NEARDUP,
     "media_prep": SQL_MEDIA_PREP,

@@ -19,6 +19,8 @@ SUBSET = [
     # round-2 oracle families
     "crawl_admission", "simhash_pairs", "langid", "quality_scores",
     "warc_job_counters", "phash_neardup", "media_extract",
+    # round-4 image-payload families
+    "image_augment",
 ]
 
 
