@@ -1648,6 +1648,70 @@ ORDER BY image_id
 """
 
 
+_PHASH_TOPK_K = 5
+_PHASH_TOPK_NQ = 8
+
+
+def q_phash_topk(sf_dir: str) -> pd.DataFrame:
+    """Query-by-image visual search: brute-force Hamming top-k over the
+    store's pHash column (the image-payload sibling of ann_topk's
+    brute-force cosine; reference near-dup lookup analog,
+    `IndexingManage.java:68-80`).  The NQ query hashes are tiny and
+    broadcast via closure capture; each batch XOR-popcounts ALL its
+    rows against ALL queries (table-lookup popcount, no per-row
+    Python), then `topk_per_key` keeps the k nearest per query with a
+    per-batch combiner — at most k rows per (query, batch) ever
+    shuffle, the correct 10^10-frontier regime."""
+    from . import imagecodec
+
+    store = _store()
+    fx = _ensure_phash_fixture()
+    qt = pq.read_table(fx, columns=["image_id", "phash"])
+    order = pc.sort_indices(qt.column("image_id"))
+    qt = qt.take(order).slice(0, _PHASH_TOPK_NQ)
+    qids = qt.column("image_id").to_pylist()
+    qhashes = qt.column("phash").to_numpy().view(np.uint64)
+
+    def expand(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("image_id")
+        ph = tbl.column("phash").to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ph)
+        parts = []
+        for qi, qh in zip(qids, qhashes):
+            parts.append(pa.table({
+                "query_id": pa.array([qi] * n, pa.string()),
+                "image_id": ids,
+                "hamming": pa.array(imagecodec.hamming64(ph, qh)),
+            }))
+        t = pa.concat_tables(parts)
+        return t.filter(pc.invert(pc.equal(t.column("query_id"),
+                                           t.column("image_id"))))
+
+    out = relational.topk_per_key(
+        store.read_ray(columns=["image_id", "phash"])
+        .map_batches(expand, batch_format="pyarrow"),
+        key="query_id", order_col="hamming", k=_PHASH_TOPK_K,
+        descending=False, tiebreak="image_id",
+    ).to_pandas()
+    return (out[["query_id", "image_id", "hamming"]]
+            .sort_values(["query_id", "hamming", "image_id"])
+            .reset_index(drop=True))
+
+
+SQL_PHASH_TOPK = """
+WITH p AS (SELECT image_id, phash FROM read_parquet('{PF}')),
+q AS (SELECT image_id AS query_id, phash AS qhash FROM p
+      WHERE image_id < 'img-{NQ}')
+SELECT query_id, p.image_id, bit_count(xor(p.phash, q.qhash))::BIGINT AS hamming
+FROM q CROSS JOIN p
+WHERE p.image_id <> q.query_id
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY hamming, p.image_id) <= {K}
+ORDER BY query_id, hamming, p.image_id
+""".replace("{PF}", _PHASH_FIXTURE).replace(
+    "{NQ}", f"{_PHASH_TOPK_NQ:010d}").replace("{K}", str(_PHASH_TOPK_K))
+
+
 _AUGMENT_FIXTURE = "/tmp/ccwarc_augment_fixture.parquet"
 _AUG_FANOUT = ("hflip", "rot90")
 
@@ -3969,6 +4033,7 @@ QUERIES = {
     # image-payload decode/hash + curation (round 4, late)
     "image_hashes": q_image_hashes,
     "image_augment": q_image_augment,
+    "phash_topk": q_phash_topk,
     "image_curation": q_image_curation,
     "dhash_neardup": q_dhash_neardup,
     "media_prep": q_media_prep,
@@ -4051,6 +4116,7 @@ ORACLES = {
     "pii_scrub_sf": SQL_PII_SCRUB_SF,
     "image_hashes": SQL_IMAGE_HASHES,
     "image_augment": SQL_IMAGE_AUGMENT,
+    "phash_topk": SQL_PHASH_TOPK,
     "image_curation": SQL_IMAGE_CURATION,
     "dhash_neardup": SQL_DHASH_NEARDUP,
     "media_prep": SQL_MEDIA_PREP,
