@@ -20,7 +20,7 @@ SUBSET = [
     "crawl_admission", "simhash_pairs", "langid", "quality_scores",
     "warc_job_counters", "phash_neardup", "media_extract",
     # round-4 image-payload families
-    "image_augment",
+    "image_augment", "phash_topk",
 ]
 
 
