@@ -736,6 +736,22 @@ def _store() -> lancelite.LanceLiteTable:
     return t
 
 
+# Mixed-format store for the image-payload decode queries: png/jpg/bmp/
+# gif/jfif rotation (real GIF-LZW + real baseline JFIF decode paths).
+# Kept separate from the crawl content store so the fetch/decode hot
+# path's per-row budget is unchanged.  Path is round-versioned: the
+# store content is an input to write-once /tmp fixtures.
+_MIXED_STORE_CACHE = "/tmp/ccwarc_mixed_store_v5"
+_MIXED_N = 300
+
+
+def _mixed_store() -> lancelite.LanceLiteTable:
+    t = lancelite.LanceLiteTable(_MIXED_STORE_CACHE)
+    if not t.exists():
+        t.write(synth.mixed_images_table(_MIXED_N))
+    return t
+
+
 def _sf_scale(sf_dir: str) -> int:
     return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
@@ -1578,22 +1594,24 @@ def q_phash_groups_dist(sf_dir: str) -> pd.DataFrame:
     return out[["image_id", "group_id"]].sort_values("image_id").reset_index(drop=True)
 
 
-_IMGHASH_FIXTURE = "/tmp/ccwarc_imghash_fixture.parquet"
+_IMGHASH_FIXTURE = "/tmp/ccwarc_imghash_fixture_v5.parquet"
 
 
 def _ensure_imghash_fixture() -> str:
-    """Generator-side (no-Ray, no-store) recomputation of every store
-    image's dHash/aHash: round-trip the reference pixels through the
-    codec locally and hash.  The Ray query must reproduce these from the
-    store's actual encoded bytes, so the oracle row checks the
+    """Generator-side (no-Ray, no-store) recomputation of every MIXED
+    store image's dHash/aHash: round-trip the reference pixels through
+    the codec locally and hash.  The Ray query must reproduce these from
+    the store's actual encoded bytes, so the oracle row checks the
     distributed decode + hash end-to-end (unlike the phash fixture,
-    which both sides read as a stored column)."""
+    which both sides read as a stored column).  Round 5: runs over the
+    png/jpg/bmp/gif/JFIF mixed store — a real baseline-JPEG Huffman+IDCT
+    decode (jfif.py) is on both sides of the check."""
     def build() -> pa.Table:
         from . import imagecodec
 
         ids, dh, ah = [], [], []
-        for k in range(_STORE_N):
-            fmt = synth.FMTS[k % len(synth.FMTS)]
+        for k in range(_MIXED_N):
+            fmt = synth.FMTS_MIXED[k % len(synth.FMTS_MIXED)]
             img = imagecodec.decode(
                 imagecodec.encode(synth.expected_pixels(k), fmt), fmt)
             ids.append(f"img-{k:010d}")
@@ -1635,7 +1653,7 @@ def q_image_hashes(sf_dir: str) -> pd.DataFrame:
     int64 hash columns leave the workers).  The oracle fixture is an
     independent local recomputation from the synthetic reference pixels
     (reference decode-validate analog, `ImageUtils.java:89-132`)."""
-    store = _store()
+    store = _mixed_store()
     _ensure_imghash_fixture()
     ds = store.read_ray(columns=["image_id", "bytes", "fmt"])
     out = ds.map_batches(_image_hash_batch, batch_format="pyarrow").to_pandas()
@@ -1712,7 +1730,7 @@ ORDER BY query_id, hamming, p.image_id
     "{NQ}", str(_PHASH_TOPK_NQ)).replace("{K}", str(_PHASH_TOPK_K))
 
 
-_AUGMENT_FIXTURE = "/tmp/ccwarc_augment_fixture.parquet"
+_AUGMENT_FIXTURE = "/tmp/ccwarc_augment_fixture_v5.parquet"
 _AUG_FANOUT = ("hflip", "rot90")
 
 
@@ -1729,8 +1747,8 @@ def _ensure_augment_fixture() -> str:
         from .stages.multimodal import augment_pixels
 
         ids, ws, hs, dh = [], [], [], []
-        for k in range(_STORE_N):
-            fmt = synth.FMTS[k % len(synth.FMTS)]
+        for k in range(_MIXED_N):
+            fmt = synth.FMTS_MIXED[k % len(synth.FMTS_MIXED)]
             img = imagecodec.decode(
                 imagecodec.encode(synth.expected_pixels(k), fmt), fmt)
             for op in _AUG_FANOUT:
@@ -1782,7 +1800,7 @@ def q_image_augment(sf_dir: str) -> pd.DataFrame:
     independent local recomputation in `_ensure_augment_fixture`."""
     from .stages.multimodal import ImageAugmenter
 
-    store = _store()
+    store = _mixed_store()
     _ensure_augment_fixture()
     ds = store.read_ray(columns=["image_id", "bytes", "fmt", "w", "h"])
     variants = [
@@ -1806,6 +1824,7 @@ ORDER BY image_id
 
 
 _CURATION_FIXTURE = "/tmp/ccwarc_curation_fixture.parquet"
+_CURATION_FIXTURE_MIXED = "/tmp/ccwarc_curation_fixture_mixed_v5.parquet"
 
 
 def q_media_prep(sf_dir: str) -> pd.DataFrame:
@@ -1817,9 +1836,11 @@ def q_media_prep(sf_dir: str) -> pd.DataFrame:
     keep-first exact visual dedup on the recomputed dHash.  Kept ids
     are `ray.put`-broadcast into the payload scan (dimension-sized
     here; swap in the partitioned `hash_join` semi for a huge keep
-    set).  Output: the surviving (image_id, fmt, dhash) rows."""
-    store = _store()
-    _ensure_curation_fixture()
+    set).  Output: the surviving (image_id, fmt, dhash) rows.  Runs
+    over the png/jpg/bmp/gif/JFIF mixed store (round 5) — the kept
+    subset's decode stage exercises every registered codec."""
+    store = _mixed_store()
+    _ensure_curation_fixture_mixed()
     _ensure_imghash_fixture()
     meta = store.read_ray(columns=["image_id", "w", "h", "caption", "phash"])
     kept = curation.curation_report(meta).filter(expr="reason == 'kept'")
@@ -1884,15 +1905,16 @@ kept AS (
 ),
 hashed AS (
   SELECT i.image_id, i.dhash,
-    CASE CAST(substr(i.image_id, 5) AS BIGINT) % 3
-      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'bmp' END AS fmt
+    CASE CAST(substr(i.image_id, 5) AS BIGINT) % 5
+      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' WHEN 2 THEN 'bmp'
+      WHEN 3 THEN 'gif' ELSE 'jfif' END AS fmt
   FROM read_parquet('{{HF}}') i JOIN kept USING (image_id)
 ),
 dd AS (SELECT dhash, min(image_id) AS keeper FROM hashed GROUP BY 1)
 SELECT h.image_id, h.fmt, h.dhash
 FROM hashed h JOIN dd ON h.dhash = dd.dhash AND h.image_id = dd.keeper
 ORDER BY h.image_id
-""".replace("{CF}", _CURATION_FIXTURE).replace("{HF}", _IMGHASH_FIXTURE)
+""".replace("{CF}", _CURATION_FIXTURE_MIXED).replace("{HF}", _IMGHASH_FIXTURE)
 
 
 _FOREST_EVAL_FIXTURE = "/tmp/ccwarc_forest_eval_fixture.parquet"
@@ -1974,11 +1996,12 @@ def q_dhash_neardup(sf_dir: str) -> pd.DataFrame:
     skew-salted self-join end-to-end.
 
     Note: the synthetic store's images are monotone gradients + noise,
-    so gradient-sign dHash collides heavily (~9.6k hamming-0 pairs at
-    500 images) — which makes this query a deliberate stress of the
-    salted bucket path under extreme hash skew; natural images spread
-    far wider."""
-    store = _store()
+    so gradient-sign dHash collides heavily (thousands of hamming-0
+    pairs at 300 images) — which makes this query a deliberate stress of
+    the salted bucket path under extreme hash skew; natural images
+    spread far wider.  Round 5: runs over the mixed store, so the hash
+    derivation includes real GIF-LZW and baseline-JFIF decodes."""
+    store = _mixed_store()
     _ensure_imghash_fixture()
     ds = store.read_ray(columns=["image_id", "bytes", "fmt"])
     hashed = ds.map_batches(_image_hash_batch, batch_format="pyarrow") \
@@ -2006,6 +2029,14 @@ def _ensure_curation_fixture() -> str:
     return _fixture_once(
         _CURATION_FIXTURE,
         lambda: _store().to_table().select(
+            ["image_id", "w", "h", "caption", "phash"]))
+
+
+def _ensure_curation_fixture_mixed() -> str:
+    """Same metadata fixture over the MIXED store (media_prep's input)."""
+    return _fixture_once(
+        _CURATION_FIXTURE_MIXED,
+        lambda: _mixed_store().to_table().select(
             ["image_id", "w", "h", "caption", "phash"]))
 
 

@@ -419,11 +419,14 @@ def gif_encode(img: np.ndarray, interlace: bool = False) -> bytes:
     return b"".join(out)
 
 
+from . import jfif as _jfif  # real baseline JFIF (spec 10918-1) codec
+
 _ENCODERS["gif"] = gif_encode
+_ENCODERS["jfif"] = _jfif.jfif_encode
 _DECODERS = {"png": png_decode, "bmp": bmp_decode, "jpg": fjpg_decode,
-             "gif": gif_decode}
+             "gif": gif_decode, "jfif": _jfif.jfif_decode}
 _PROBES = {"png": png_probe, "bmp": bmp_probe, "jpg": fjpg_probe,
-           "gif": gif_probe}
+           "gif": gif_probe, "jfif": _jfif.jfif_probe}
 LOSSLESS_FMTS = frozenset({"png", "bmp"})
 
 
@@ -449,6 +452,8 @@ def sniff_fmt(data: bytes) -> str | None:
         return "jpg"
     if data[:4] == b"GIF8":
         return "gif"
+    if data[:2] == b"\xff\xd8":
+        return "jfif"
     return None
 
 

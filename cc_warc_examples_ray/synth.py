@@ -27,6 +27,11 @@ WORDS = (
 ).split()
 
 FMTS = ("png", "jpg", "bmp")
+# Mixed rotation for the image-payload query family: includes real GIF
+# (3-3-2 palette quantization for >256-color sources) and real baseline
+# JFIF (spec 10918-1, PSNR>=40dB) — the web-crawl format mix the
+# reference's ImageIO decode path faced (ImageUtils.java:89-132).
+FMTS_MIXED = ("png", "jpg", "bmp", "gif", "jfif")
 SIZES = (96, 128, 64, 112, 32, 120, 104, 48, 128, 112)  # scaled-down stand-in
 # for the reference's >=400px admission gate (ImageUtils.java:27-28): the
 # gate value is a pipeline parameter (min_dim), 400 at production scale.
@@ -97,11 +102,11 @@ def expected_pixels(key: int) -> np.ndarray:
     return img
 
 
-def image_row(key: int) -> dict:
+def image_row(key: int, fmts: tuple = FMTS) -> dict:
     """One images-table row for URL/row key ``key`` (near-dup rule in
     :func:`expected_pixels`)."""
     w, h = image_dims(key)
-    fmt = FMTS[key % len(FMTS)]
+    fmt = fmts[key % len(fmts)]
     img = expected_pixels(key)
     data = imagecodec.encode(img, fmt)
     return {
@@ -115,15 +120,21 @@ def image_row(key: int) -> dict:
     }
 
 
-def images_table(n: int, seed: int = GLOBAL_SEED) -> pa.Table:
+def images_table(n: int, seed: int = GLOBAL_SEED, fmts: tuple = FMTS) -> pa.Table:
     """F1: the image+caption table (driver input_hint shape)."""
     assert seed == GLOBAL_SEED, "fixture is keyed off the global seed"
     rows = {name: [] for name in schemas.IMAGES.names}
     for i in range(n):
-        r = image_row(i)
+        r = image_row(i, fmts)
         for k, v in r.items():
             rows[k].append(v)
     return pa.table(rows, schema=schemas.IMAGES)
+
+
+def mixed_images_table(n: int) -> pa.Table:
+    """images_table over the FMTS_MIXED rotation (adds real GIF + real
+    baseline JFIF payloads) — input to the image-payload query family."""
+    return images_table(n, fmts=FMTS_MIXED)
 
 
 # ---------------------------------------------------------------------------

@@ -102,3 +102,25 @@ def test_hamming_vectorized():
     a = np.array([0, 0xFF, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
     b = np.array([0, 0, 0], dtype=np.uint64)
     assert list(ic.hamming64(a, b)) == [0, 8, 64]
+
+
+def test_pinned_literal_hashes():
+    """Hard-pinned dHash/aHash literals for one row per lossy/lossless
+    codec family in the mixed rotation (computed once, frozen).  The
+    image_hashes / image_augment oracles recompute through the SAME
+    codec library as the queries, so a silent codec regression could
+    pass both sides — these literals break that shared-code dependency
+    (ADVICE r4)."""
+    from cc_warc_examples_ray import synth
+
+    want = {
+        0: ("png", 0x101010101010101, 0x20E3FFFFF7F),
+        1: ("jpg", 0x3030303030303030, 0x20E1E7FFFFE30000),
+        3: ("gif", 0x6040606060406060, 0xC1C7DFFFFF000041),
+        4: ("jfif", 0xC0C0C0C0C0C0C0C, 0x1078F9FFFF7800),
+    }
+    for k, (fmt, dh, ah) in want.items():
+        assert synth.FMTS_MIXED[k % 5] == fmt
+        img = ic.decode(ic.encode(np.asarray(synth.expected_pixels(k)), fmt), fmt)
+        assert ic.dhash64(img) == dh, (k, fmt)
+        assert ic.ahash64(img) == ah, (k, fmt)
