@@ -12,18 +12,22 @@ They complement the connected-components engines in ``ops/dedup.py``
 these answer "how important?" / "how far?".
 
 Scale shape (100 TB): the EDGE list is the big side and never moves —
-each iteration ships only the |V|-sized rank/frontier table through
-:func:`~.relational.hash_join`'s adaptive path (``ray.put`` broadcast
-when it fits, two-sided bucket shuffle keyed on ``src`` otherwise) and
-one :func:`~.relational.grouped_agg` partial+merge keyed on ``dst``.
-Per-batch contribution partials collapse to at most |V| rows before any
-shuffle, so the exchanged volume per iteration is O(|V|), not O(|E|).
-Skewed in-degree (hub nodes) is absorbed by the partial stage the same
-way word_count absorbs hot words.  Float caveat: contributions are
-summed in block order, so ranks are deterministic only up to fp
-summation order (~1e-15 relative) — consumers that need hashable output
-round (see ``entry_queries.q_pagerank``, 6 decimals on the n-scaled
-rank).
+in the fully-distributed tier it is hash-bucketed by ``src`` ONCE into
+driver-owned object-store tables (with per-bucket src/dst codes and
+outdegrees precompiled), and each sweep is ONE Ray execution that
+shuffles only |V|-sized rank rows: rank rows group by their
+(node-hash) bucket, each group joins its resident edge bucket in numpy
+(argsort + searchsorted + bincount) and emits ≤ |V| per-dst partials
+pre-tagged with the dst bucket, which a second groupby folds into the
+next rank vector.  Exchanged volume per sweep is O(|V|), not O(|E|),
+and edge bytes cross the wire at most once per node per sweep (object
+-store fetch of the resident buckets, cached by Ray's plasma layer).
+Skewed in-degree (hub nodes) is absorbed by the per-bucket bincount
+partials the same way word_count absorbs hot words.  Float caveat:
+contributions are summed in bucket-local code order, so ranks are
+deterministic only up to fp summation order (~1e-15 relative) —
+consumers that need hashable output round (see
+``entry_queries.q_pagerank``, 6 decimals on the n-scaled rank).
 """
 
 from __future__ import annotations
@@ -84,9 +88,10 @@ def pagerank(
       ONE Ray execution: broadcast ranks via ``ray.put``, per-batch
       ``np.bincount`` partials (≤ #distinct-dst rows per batch come
       back), driver folds.  Edges never move after the index pass.
-    - larger ``n``: fully distributed — per sweep one adaptive
-      hash_join (edges ⋈ ranks on src) + one grouped partial-sum keyed
-      on dst; exchanged volume per sweep is O(|V|), not O(|E|).
+    - larger ``n``: fully distributed — edge buckets compiled once
+      into resident object-store tables, then ONE Ray execution per
+      sweep (two |V|-row groupby shuffles: ranks→src-bucket join,
+      partials→dst-bucket fold); edges never re-shuffle.
     """
     edges = edges.select_columns([src, dst]).materialize()
     if edges.count() <= incore_edges:
@@ -98,7 +103,6 @@ def pagerank(
             lambda t: t.append_column("pr", pa.array([], pa.float64())),
             batch_format="pyarrow",
         )
-    base = (1.0 - damping) / n
     sch = nodes.schema()  # ray.data.Schema: .names / .types (Arrow)
     node_t = pa.field("node", sch.types[sch.names.index("node")])
 
@@ -107,46 +111,164 @@ def pagerank(
         # no grouped_count and, crucially, no |E|-wide degree join
         return _pagerank_incore(edges, nodes, n, src, dst, iters, damping, node_t)
 
-    deg = relational.grouped_count(edges, [src], alias="_outdeg")
-    # (src, dst, _outdeg): built once, reused every sweep
-    ew = relational.hash_join(edges, deg, key=src).materialize()
+    return _pagerank_bucketed(edges, nodes, n, src, dst, iters, damping, node_t)
 
-    def init(t: pa.Table) -> pa.Table:
-        return t.append_column("pr", pa.array(np.full(len(t), 1.0 / n)))
 
-    ranks = nodes.map_batches(init, batch_format="pyarrow")
-    rank_schema = pa.schema([node_t, pa.field("pr", pa.float64())])
+def _bucket_col(col, num_buckets: int) -> np.ndarray:
+    """Bucket codes for an Arrow column: the SAME hash discipline as
+    ``relational.make_part_assigner`` (ints directly, everything else
+    via string cast + xxh64) — src-bucketed edges, node-bucketed ranks
+    and prep-computed dst buckets must all agree."""
+    from ..hashing import xxh64_many
 
-    def contrib(t: pa.Table) -> pa.Table:
-        w = pc.divide(t.column("pr"), pc.cast(t.column("_outdeg"), pa.float64()))
-        return pa.table({dst: t.column(dst), "_w": w})
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    else:
+        v = xxh64_many(pc.cast(col, pa.string()))
+    return (v % np.uint64(num_buckets)).astype(np.int64)
 
-    def apply_rank(t: pa.Table) -> pa.Table:
-        s = pc.coalesce(t.column("_s"), pa.scalar(0.0, pa.float64()))
-        pr = pc.add(pc.multiply(s, pa.scalar(damping, pa.float64())),
+
+def _pagerank_bucketed(
+    edges: rd.Dataset, nodes: rd.Dataset, n: int, src: str, dst: str,
+    iters: int, damping: float, node_t: pa.Field, num_buckets: int = 32,
+) -> rd.Dataset:
+    """Huge-|V| regime (rank vector beyond driver memory): bucket-
+    resident sweeps.
+
+    Prep (once): edges are hash-bucketed by ``src`` and compiled into
+    ``num_buckets`` driver-owned object-store tables holding integer
+    src/dst codes, per-src outdegrees and each distinct dst's TARGET
+    bucket — so a sweep does no hashing, no degree join and no edge
+    movement at all.  Per sweep, ONE Ray execution with two |V|-row
+    shuffles:
+
+    1. rank rows group by node bucket; each group ``ray.get``s its
+       resident edge bucket (plasma zero-copy on the owning node,
+       cached per node otherwise), joins pr onto the distinct srcs via
+       one argsort+searchsorted, and bincounts per-dst partials —
+       emitting ≤ |distinct dst in bucket| rows pre-tagged ``_b`` with
+       the dst's bucket, PLUS one zero-contribution row per node of
+       its own bucket (the group's rank rows ARE the bucket's node
+       set, so no separate node-table union is needed — a union would
+       also grow the block count by |zero blocks| every sweep, which
+       made per-sweep sort cost double per iteration);
+    2. those rows group by ``_b``; one Arrow group_by-sum per bucket
+       folds them into the next rank vector, already tagged for sweep
+       k+1.  Block count is a sweep invariant.
+
+    fp caveat: per-dst sums run in bucket-local code order (numpy
+    bincount), deterministic for a fixed bucket count."""
+    import ray
+
+    base = (1.0 - damping) / n
+    node_type = node_t.type
+    P = max(2, int(num_buckets))
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": t.column(src), "d": t.column(dst),
+            "_b": pa.array(_bucket_col(t.column(src), P)),
+        })
+
+    emat = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    @ray.remote(num_returns=P)
+    def split_block(t: pa.Table):
+        bs = t.column("_b").to_numpy(zero_copy_only=False)
+        return tuple(
+            t.filter(pa.array(bs == p)).drop_columns(["_b"]) for p in range(P)
+        )
+
+    parts = [split_block.remote(r) for r in emat.to_arrow_refs()]
+
+    @ray.remote
+    def prep_bucket(*tables):
+        tabs = [t for t in tables if t.num_rows]
+        if not tabs:
+            return None
+        t = pa.concat_tables(tabs).combine_chunks()
+        sv = t.column("s").to_numpy(zero_copy_only=False)
+        dv = t.column("d").to_numpy(zero_copy_only=False)
+        s_uniq, s_codes = np.unique(sv, return_inverse=True)
+        d_uniq, d_codes = np.unique(dv, return_inverse=True)
+        return {
+            "s_uniq": s_uniq,
+            "s_codes": s_codes.astype(np.int32),
+            # src is bucket-pure (bucketed BY src), so the bucket-local
+            # count is the exact global outdegree
+            "outdeg": np.bincount(s_codes).astype(np.float64),
+            "d_uniq": d_uniq,
+            "d_codes": d_codes.astype(np.int32),
+            "d_bucket": _bucket_col(pa.array(d_uniq, node_type), P),
+        }
+
+    prep_refs = [
+        prep_bucket.remote(*[blocks[p] for blocks in parts]) for p in range(P)
+    ]
+
+    def tag_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "_b": pa.array(_bucket_col(t.column("node"), P)),
+        })
+
+    node_b = nodes.map_batches(tag_nodes, batch_format="pyarrow").materialize()
+    ranks = node_b.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "pr": pa.array(np.full(len(t), 1.0 / n)),
+                            "_b": t.column("_b")}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    partial_schema = pa.schema([pa.field("node", node_type),
+                                pa.field("_s", pa.float64()),
+                                pa.field("_b", pa.int64())])
+
+    def sweep_contrib(gt: pa.Table) -> pa.Table:
+        bid = int(gt.column("_b")[0].as_py())
+        # zero rows: this group's rank rows ARE the bucket's node set —
+        # they guarantee every node reappears in the fold stage even
+        # with no inbound contributions (left-join semantics)
+        zeros = pa.table({"node": gt.column("node"),
+                          "_s": pa.array(np.zeros(gt.num_rows)),
+                          "_b": gt.column("_b")})
+        info = ray.get(prep_refs[bid])
+        if info is None:
+            return zeros.cast(partial_schema)
+        nv = gt.column("node").to_numpy(zero_copy_only=False)
+        pv = gt.column("pr").to_numpy(zero_copy_only=False)
+        order = np.argsort(nv, kind="stable")
+        # every src IS a node hashed to this same bucket — total lookup
+        pos = np.searchsorted(nv[order], info["s_uniq"])
+        rod = pv[order][pos] / info["outdeg"]
+        s = np.bincount(info["d_codes"], weights=rod[info["s_codes"]],
+                        minlength=len(info["d_uniq"]))
+        part = pa.table({"node": pa.array(info["d_uniq"], node_type),
+                         "_s": pa.array(s),
+                         "_b": pa.array(info["d_bucket"])})
+        return pa.concat_tables([part.cast(partial_schema),
+                                 zeros.cast(partial_schema)])
+
+    def fold_ranks(gt: pa.Table) -> pa.Table:
+        bid = gt.column("_b")[0]
+        agg = gt.select(["node", "_s"]).group_by("node").aggregate([("_s", "sum")])
+        pr = pc.add(pc.multiply(agg.column("_s_sum"),
+                                pa.scalar(damping, pa.float64())),
                     pa.scalar(base, pa.float64()))
-        return pa.table({"node": t.column("node"), "pr": pr})
+        return pa.table({"node": agg.column("node"), "pr": pr,
+                         "_b": pa.array(np.full(agg.num_rows, bid.as_py(),
+                                                dtype=np.int64))})
 
     for _ in range(iters):
-        r_src = _rename(ranks, [src, "pr"])
-        joined = relational.hash_join(
-            ew, r_src, key=src,
-            left_schema=pa.schema([pa.field(src, node_t.type),
-                                   pa.field(dst, node_t.type),
-                                   pa.field("_outdeg", pa.int64())]),
-            right_schema=pa.schema([pa.field(src, node_t.type),
-                                    pa.field("pr", pa.float64())]),
-        )
-        sums = relational.grouped_sum(
-            joined.map_batches(contrib, batch_format="pyarrow"),
-            [dst], "_w", "_s")
-        ranks = relational.hash_join(
-            nodes, _rename(sums, ["node", "_s"]), key="node", how="left",
-            left_schema=pa.schema([node_t]),
-            right_schema=pa.schema([node_t, pa.field("_s", pa.float64())]),
-        ).map_batches(apply_rank, batch_format="pyarrow")
+        # one execution per sweep: both shuffles live in this plan
+        ranks = ranks.groupby("_b").map_groups(
+            sweep_contrib, batch_format="pyarrow"
+        ).groupby("_b").map_groups(
+            fold_ranks, batch_format="pyarrow").materialize()
 
-    return _rename(ranks, ["node", "pr"])  # stable names/order
+    return _rename(ranks.drop_columns(["_b"]), ["node", "pr"])
 
 
 def _pagerank_local(
