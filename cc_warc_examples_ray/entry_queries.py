@@ -32,8 +32,8 @@ import ray
 import ray.data as rd
 
 from . import lancelite, synth
-from .ops import (ann, clean, curation, dedup, forest, graph, relational,
-                  sampling, text)
+from .ops import (ann, clean, curation, dedup, features, forest, graph,
+                  relational, sampling, text)
 from .pipelines import classics, crawl as crawl_pipeline
 
 # EXACTLY RE2's \s class ([\t\n\f\r ]) as DuckDB regexes see it — python
@@ -2716,6 +2716,98 @@ def _sql_media_classify() -> str:
     return SQL_MEDIA_CLASSIFY.replace("__FEATURE_SCORE__", expr)
 
 
+# RF×2 on the media pipeline: second forest's hash-bag seed.  Two
+# independently-bagged forests stand in for the reference's pair of
+# Weka RandomForests (`ProcessingService.java:209-222` arbitrates two
+# RF outputs by agreement-else-margin with a +0.05 second-model bias;
+# hash-bagged CART is the repo's declared Weka substitution, see
+# _sql_forest_classify).
+_FOREST_B_SEED = 9100
+
+
+def q_media_forest(sf_dir: str) -> pd.DataFrame:
+    """media_classify on TRAINED FORESTS (RF×2, `ProcessingService.java:
+    209-222`): feature rows from the M9→M23 media pipeline are scored by
+    two hash-bag-distinct distributed-histogram CART forests
+    (`ops/forest.py`, trained level-wise over a Ray Dataset — only
+    bounded (node,feat,value) histogram rows reach the driver), then
+    arbitrated by the reference's agreement-else-margin rule with the
+    +0.05 second-model bias.  The trained trees ship to the scoring
+    tasks once via closure capture (a few hundred bytes — S14's
+    load-once-per-worker contract); scoring is a vectorized
+    `forest_proba` per batch.  The oracle re-trains both forests
+    locally (bit-identical to the distributed trainer by
+    `test_local_vs_distributed_bit_identical`) and embeds them as
+    nested CASE expressions over the independently recomputed feature
+    CTE."""
+    media = classics.media_extract(_warc(sf_dir))
+    feats = media.map_batches(features.media_features_batch, batch_format="pyarrow")
+    ds = rd.from_arrow(_forest_train_table()).repartition(8)
+    fa = forest.train_forest(ds, list(_FOREST_FEATURES), **_FOREST_PARAMS)
+    fb = forest.train_forest(ds, list(_FOREST_FEATURES),
+                             **{**_FOREST_PARAMS, "bag_seed": _FOREST_B_SEED})
+
+    def apply(tbl: pa.Table) -> pa.Table:
+        p_a = forest.forest_proba(tbl, fa)
+        p_b = forest.forest_proba(tbl, fb)
+        big_a, big_b = p_a >= 0.5, p_b >= 0.5
+        m_a = np.abs(p_a - 0.5)
+        m_b = np.abs(p_b - 0.5) + 0.05
+        is_big = np.where(big_a == big_b, big_a,
+                          np.where(m_b >= m_a, big_b, big_a))
+        return pa.table({
+            "src": tbl.column("src"),
+            "p_rf_a": pa.array(_r5(p_a)),
+            "p_rf_b": pa.array(_r5(p_b)),
+            "is_big": pa.array(is_big),
+        })
+
+    out = feats.map_batches(apply, batch_format="pyarrow").to_pandas()
+    return out.sort_values("src").reset_index(drop=True)
+
+
+# Tail swapped into SQL_MEDIA_CLASSIFY's template by _sql_media_forest:
+# the linear+ngram `scored` CTE becomes the two embedded forest
+# averages; thresholds/margins compare the unrounded doubles exactly as
+# the numpy kernel does, outputs round by the shared floor(x*1e5+0.5)
+# rule.
+_SQL_FOREST_TAIL = """scored AS (
+  SELECT src, __PA__ AS prf_a, __PB__ AS prf_b FROM feat
+)
+SELECT src,
+       floor(prf_a * 100000 + 0.5) / 100000 AS p_rf_a,
+       floor(prf_b * 100000 + 0.5) / 100000 AS p_rf_b,
+       CASE WHEN (prf_a >= 0.5) = (prf_b >= 0.5) THEN prf_a >= 0.5
+            WHEN abs(prf_b - 0.5) + 0.05 >= abs(prf_a - 0.5) THEN prf_b >= 0.5
+            ELSE prf_a >= 0.5 END AS is_big
+FROM scored ORDER BY src
+"""
+
+
+def _sql_media_forest() -> str:
+    """SQL_MEDIA_CLASSIFY's media/feature CTE prefix (proven by the
+    media_classify driver row) + both locally-trained forests embedded
+    as CASE averages.  ``attr_h`` is always 0 in the fixture's media
+    rows (the visitor extracts width only), so trees referencing it
+    read the literal ``(0.0)`` — bitwise what `_feature_matrix` sees."""
+    t = _forest_train_table()
+    fa = forest.train_forest(t, list(_FOREST_FEATURES), **_FOREST_PARAMS)
+    fb = forest.train_forest(t, list(_FOREST_FEATURES),
+                             **{**_FOREST_PARAMS, "bag_seed": _FOREST_B_SEED})
+
+    def avg(f) -> str:
+        cases = [
+            forest.tree_case_sql(
+                tr, ["(0.0)" if c == "attr_h" else c for c in sub])
+            for tr, sub in f
+        ]
+        return "(" + " + ".join(cases) + f") / {len(cases)}"
+
+    head, _tail = SQL_MEDIA_CLASSIFY.split("scored AS (", 1)
+    return head + _SQL_FOREST_TAIL.replace("__PA__", avg(fa)).replace(
+        "__PB__", avg(fb))
+
+
 def q_crawl_admission(sf_dir: str) -> pd.DataFrame:
     """North-rule admission + politeness semantics with a SQL oracle:
     a frontier derived from documents (www./default-port/whitespace
@@ -4001,6 +4093,7 @@ QUERIES = {
     # graph / image / scan families ---
     "forest_classify": q_forest_classify,
     "media_classify": q_media_classify,
+    "media_forest": q_media_forest,
     "pagerank": q_pagerank,
     "graph_bfs": q_graph_bfs,
     "triangle_stats": q_triangle_stats,
@@ -4010,7 +4103,6 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "line_filter": q_line_filter,
     "pii_scrub": q_pii_scrub,
-    "pii_scrub_sf": q_pii_scrub_sf,
     "token_packing": q_token_packing,
     "quality_buckets": q_quality_buckets,
     "url_filter": q_url_filter,
@@ -4054,6 +4146,7 @@ QUERIES = {
     # --- driver cap (50) reached above; the rest keep their historical
     # green rows (CORRECTNESS_r01-r04) + pytest/check_oracle coverage ---
     "doc_stats": q_doc_stats,
+    "pii_scrub_sf": q_pii_scrub_sf,
     "top_users": q_top_users,
     "first_doc_per_lang": q_first_doc_per_lang,
     "source_threshold": q_source_threshold,
@@ -4183,6 +4276,7 @@ def oracles_impl() -> dict[str, str]:
     # trained-coefficient SQL is built at call time (reads the fixture)
     d["media_classify"] = _sql_media_classify()
     d["forest_classify"] = _sql_forest_classify()
+    d["media_forest"] = _sql_media_forest()
     return d
 
 

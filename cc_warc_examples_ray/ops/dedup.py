@@ -1482,10 +1482,21 @@ def _gram_pos_explode(t: pa.Table, n: int, id_col: str,
 
 
 def _dup_gram_rows(docs: rd.Dataset, n: int, id_col: str, text_col: str,
-                   min_count: int, num_partitions: int) -> rd.Dataset:
+                   min_count: int, num_partitions: int,
+                   salt: int = 4) -> rd.Dataset:
     """(id, pos) of every corpus-duplicated word n-gram occurrence:
     explode → grouped_count by hash → filter ≥min_count → hash_join
-    back.  Shared by :func:`dup_span_stats` / :func:`remove_dup_spans`."""
+    back.  Shared by :func:`dup_span_stats` / :func:`remove_dup_spans`.
+
+    The occurrence→dup-hash join is SALTED (default 4): a boilerplate
+    gram covering 30% of the corpus puts 30% of the left rows under ONE
+    gh — with ≤500k distinct dup hashes the join broadcasts (skew-
+    immune), but past that cutoff the unsalted shuffle would hand one
+    merge task the whole hot gram.  Salting fans it across ``salt``
+    sub-buckets at the cost of ``salt``× the 8-byte-hash right side;
+    results are identical (pinned by test_dup_spans_hot_gram_salted).
+    The adversarial-skew probe for this is
+    tests/test_ops.py::test_dup_span_hot_gram_skew."""
     import pyarrow.compute as pc
 
     from . import relational
@@ -1501,7 +1512,7 @@ def _dup_gram_rows(docs: rd.Dataset, n: int, id_col: str, text_col: str,
                    .select(["gh"]),
         batch_format="pyarrow")
     return relational.hash_join(
-        grams_ds, dups, "gh", num_buckets=num_partitions,
+        grams_ds, dups, "gh", num_buckets=num_partitions, salt=salt,
         left_schema=pa.schema([(id_col, i64), ("pos", i64), ("gh", i64)]),
         right_schema=pa.schema([("gh", i64)]))
 

@@ -616,7 +616,8 @@ def native_join(left: rd.Dataset, right: rd.Dataset, key: str,
 
 
 def _union_bucketer(key: str, side: int, all_cols: Sequence[str], types: dict,
-                    num_buckets: int, drop_null_keys: bool = False):
+                    num_buckets: int, drop_null_keys: bool = False,
+                    salt: int = 1):
     """map_batches kernel shared by the three two-sided joins
     (hash_join / asof_join / range_join): pad each side to the typed
     union schema (typed nulls for the absent side so one-sided bucket
@@ -624,7 +625,16 @@ def _union_bucketer(key: str, side: int, all_cols: Sequence[str], types: dict,
     num_buckets and ``_side``.  ``drop_null_keys=True`` filters
     null-key rows up front (SQL inner-join semantics: NULL matches
     nothing) — it also keeps nulls out of the integer fast path, whose
-    NaN→uint64 cast is undefined."""
+    NaN→uint64 cast is undefined.
+
+    ``salt > 1`` splits every key-bucket into ``salt`` sub-buckets for
+    HOT-KEY skew (SURVEY.md §4): LEFT rows spread round-robin across
+    the sub-buckets (each left row lands in exactly one), RIGHT rows
+    replicate into all of them — so a key whose left occurrences are
+    30% of the corpus fans across ``salt`` merge tasks instead of one
+    straggler, at the cost of ``salt``× the (small) right side's
+    shuffle volume.  Join semantics are unchanged: every left row still
+    meets every right row of its key exactly once."""
     from ..hashing import xxh64_many
 
     def fn(tbl: pa.Table) -> pa.Table:
@@ -642,6 +652,14 @@ def _union_bucketer(key: str, side: int, all_cols: Sequence[str], types: dict,
             if c not in tbl.column_names:
                 tbl = tbl.append_column(c, pa.nulls(tbl.num_rows, types[c]))
         tbl = tbl.select(all_cols)
+        if salt > 1:
+            if side == 0:
+                sub = np.arange(tbl.num_rows, dtype=np.uint64) % np.uint64(salt)
+                kb = kb * np.uint64(salt) + sub
+            else:
+                tbl = pa.concat_tables([tbl] * salt)
+                kb = np.concatenate(
+                    [kb * np.uint64(salt) + np.uint64(j) for j in range(salt)])
         return tbl.append_column("_bucket", pa.array(kb.astype(np.int64))).append_column(
             "_side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
         ).replace_schema_metadata(None)  # unhashable-schema hygiene
@@ -659,6 +677,7 @@ def hash_join(
     right_schema: pa.Schema | None = None,
     broadcast_rows: int = 500_000,
     broadcast_bytes: int = 64 << 20,
+    salt: int = 1,
 ) -> rd.Dataset:
     """Explicit partitioned hash join with an ADAPTIVE broadcast path.
 
@@ -670,8 +689,12 @@ def hash_join(
     (dup-hash sets, min-rank maps, lookup tables).  Larger right sides
     fall back to the two-sided bucket shuffle: both sides bucket by
     ``xxhash64(key) % B``, co-group, one Acero merge per bucket.
-    Skewed keys on the shuffle path should be salted into sub-buckets
-    first (SURVEY.md §4).  See also :func:`native_join`.
+    Skewed keys on the shuffle path: pass ``salt > 1`` to split every
+    key-bucket into ``salt`` sub-buckets (left spreads, right
+    replicates — see :func:`_union_bucketer`); results are identical,
+    the hot bucket's merge fans across ``salt`` tasks (SURVEY.md §4).
+    The broadcast path is skew-immune (no shuffle), so ``salt`` only
+    affects the large-right regime.  See also :func:`native_join`.
 
     ``how``: 'inner' or 'left'.  SQL null-key semantics both ways:
     inner drops null keys on both sides; left drops them on the RIGHT
@@ -728,11 +751,11 @@ def hash_join(
     # so pandas' NaN==NaN merge can't fabricate a match
     lt = left.map_batches(
         _union_bucketer(key, 0, all_cols, types, num_buckets,
-                        drop_null_keys=(how == "inner")),
+                        drop_null_keys=(how == "inner"), salt=salt),
         batch_format="pyarrow")
     rt = rmat.map_batches(
         _union_bucketer(key, 1, all_cols, types, num_buckets,
-                        drop_null_keys=True),
+                        drop_null_keys=True, salt=salt),
         batch_format="pyarrow")
 
     # map_groups runs in PYARROW format so Ray's machinery emits empty

@@ -247,3 +247,87 @@ def test_url_quality_gates_python_reference():
         assert out["too_long"][i] == int(len(u) > 60)
         assert out["has_tracking"][i] == int(bool(_re.search(r"[?&](utm_[a-z]+|sessionid|sid)=", u)))
     assert out["keep"].tolist() == [1, 0, 0, 0, 0, 0, 0, 1]
+
+
+def _hot_gram_corpus(n_docs: int = 240, hot_frac: float = 0.3) -> pa.Table:
+    """Corpus where ONE boilerplate 4-gram covers ``hot_frac`` of the
+    docs (repeated several times per hot doc) — the adversarial-skew
+    shape of VERDICT r4 #6: at web scale a hot legal-footer gram puts a
+    large fraction of all duplicated-gram occurrences under one gh."""
+    rng = np.random.default_rng(11)
+    hot = "all rights reserved worldwide"
+    rows_id, rows_txt = [], []
+    for i in range(n_docs):
+        uniq = " ".join(f"tok{i}x{j}" for j in range(12))
+        if i < int(n_docs * hot_frac):
+            txt = f"{uniq} {hot} middle{i} {hot} tail{i} {hot}"
+        else:
+            txt = uniq + " " + " ".join(
+                f"w{rng.integers(0, 5)}q{i}r{j}" for j in range(6))
+        rows_id.append(i)
+        rows_txt.append(txt)
+    return pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                     "text": pa.array(rows_txt, pa.string())})
+
+
+def test_dup_span_hot_gram_salt_fans_out():
+    """(b) of the skew probe: under the forced shuffle path, the salted
+    bucketer spreads the hot gram's occurrence rows across ``salt``
+    merge sub-buckets instead of one straggler group, and the right
+    side replicates into every sub-bucket (join semantics intact)."""
+    from cc_warc_examples_ray.ops import dedup, relational
+
+    t = _hot_gram_corpus()
+    grams = dedup._gram_pos_explode(t, 4, "doc_id", "text")
+    types = {"doc_id": pa.int64(), "pos": pa.int64(), "gh": pa.int64()}
+    cols = ["doc_id", "pos", "gh"]
+    nb = 8
+    plain = relational._union_bucketer("gh", 0, cols, types, nb)(grams)
+    salted = relational._union_bucketer("gh", 0, cols, types, nb, salt=4)(grams)
+    import collections
+    cp = collections.Counter(plain.column("_bucket").to_pylist())
+    cs = collections.Counter(salted.column("_bucket").to_pylist())
+    # the hot gram dominates its unsalted bucket; salted max shrinks
+    assert max(cs.values()) * 2 <= max(cp.values())
+    assert sum(cs.values()) == sum(cp.values())  # left rows move, not grow
+    # right side: one row per sub-bucket copy
+    dup_gh = pa.table({"gh": pa.array(sorted(set(grams.column("gh").to_pylist())), pa.int64())})
+    r = relational._union_bucketer("gh", 1, cols, types, nb, salt=4)(dup_gh)
+    assert r.num_rows == dup_gh.num_rows * 4
+
+
+def test_dup_spans_hot_gram_salted(ray_session, monkeypatch):
+    """(a) of the skew probe: with the broadcast path DISABLED (forcing
+    the salted two-sided shuffle), dup_span_stats on the hot-gram
+    corpus equals both the unsalted shuffle and the (skew-immune)
+    broadcast regime — salting changes the schedule, never the rows."""
+    from cc_warc_examples_ray.ops import dedup, relational
+
+    t = _hot_gram_corpus()
+    base = dedup.dup_span_stats(
+        rd.from_arrow(t).repartition(5), n=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    orig = relational.hash_join
+
+    def forced(*a, **k):
+        return orig(*a, **{**k, "broadcast_rows": 0})
+
+    monkeypatch.setattr(relational, "hash_join", forced)
+    rows = {}
+    for salt in (1, 4):
+        dr = dedup._dup_gram_rows(
+            rd.from_arrow(t).repartition(5), 4, "doc_id", "text", 2, 8,
+            salt=salt).to_pandas().sort_values(
+                ["doc_id", "pos"]).reset_index(drop=True)
+        rows[salt] = dr
+    pd.testing.assert_frame_equal(rows[1], rows[4])
+    # hot docs really are ~30% and their dup rows cover the boilerplate
+    hot_ids = set(range(int(240 * 0.3)))
+    got_ids = set(rows[4]["doc_id"])
+    assert hot_ids <= got_ids
+    # and the full stats under the forced salted shuffle match broadcast
+    forced_stats = dedup.dup_span_stats(
+        rd.from_arrow(t).repartition(5), n=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(forced_stats, base)

@@ -241,6 +241,34 @@ def test_augment_pixels_algebra():
         multimodal.augment_pixels(img, "zoom")
 
 
+def test_pinned_augmented_dhash_literals():
+    """Hard-pinned dHash literals for decode→augment→dhash rows across
+    the lossless/lossy codec families (computed once, frozen).  The
+    image_augment oracle recomputes through the SAME augment_pixels /
+    imagecodec library as the query, so a silent shared-code regression
+    could pass both sides — these literals break that dependency
+    (ADVICE r4 #5; the sibling decode-only pins live in
+    test_imagecodec.test_pinned_literal_hashes)."""
+    want = {
+        (0, "hflip"): 0x7F7F7F7F7F7F7F7F,
+        (0, "rot90"): 0x0101010101010101,
+        (0, "center_crop"): 0x0008000000200000,
+        (3, "hflip"): 0xFDFDFDFDFDFDFDFD,
+        (3, "rot90"): 0x0C0C0C0C0C0C0C0C,
+        (3, "center_crop"): 0x020004A482840802,
+        (4, "hflip"): 0xCFCFCFCFCFCFCFCF,
+        (4, "rot90"): 0x0303030303030303,
+        (4, "center_crop"): 0x0C0C0C0C0C0C0C0C,
+    }
+    for (k, aug), dh in want.items():
+        fmt = synth.FMTS_MIXED[k % 5]
+        img = imagecodec.decode(
+            imagecodec.encode(np.asarray(synth.expected_pixels(k)), fmt), fmt)
+        kw = {"crop": (24, 24)} if aug == "center_crop" else {}
+        a = multimodal.augment_pixels(img, aug, **kw)
+        assert imagecodec.dhash64(a) == dh, (k, fmt, aug)
+
+
 def test_image_augmenter_stage(ray_session):
     t = synth.images_table(9)
     ds = rd.from_arrow(t)
