@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "pii_scrub_sf",
     "image_hashes",
     "media_prep",
+    "media_forest",
+    "lm_perplexity",
 ]
 
 

@@ -1441,6 +1441,94 @@ SELECT id_a, id_b, floor(j * 100000 + 0.5) / 100000 AS jaccard_r FROM vpairs ORD
 """
 
 
+# incremental (continuous-crawl) dedup: the prior-corpus cutoff —
+# documents below it are "already crawled", at/above are the new batch
+_INC_CUT = 250
+
+
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental dedup of a NEW crawl batch against the PRIOR corpus
+    (the continuous-crawl admission flow: every recrawl round dedups
+    its fresh documents against everything already stored).  A new doc
+    (doc_id >= cut) is rejected when it is an EXACT duplicate of a
+    prior doc (xxh64-of-text equality — the repo's hash-equality
+    convention; prior hash set probes via the adaptive hash_join, so
+    at 100 TB it hash-partitions instead of broadcasting) or a verified
+    NEAR-duplicate (MinHash-LSH banding over prior+new, candidates
+    filtered to cross-set, exact shingle-Jaccard >= 0.8 verify — the
+    minhash_pairs machinery; a deployment persists the prior band
+    buckets one lancelite fragment per band, the ops/ann.py
+    persisted-index pattern, and probes only new rows; the one-pass
+    banding here is semantically identical).  Output per new doc:
+    (doc_id, exact_dup, near_dup, admit)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    cut = _INC_CUT
+    i64 = pa.int64()
+
+    def text_hashes(t: pa.Table) -> pa.Table:
+        from .hashing import xxh64_many
+
+        h = xxh64_many(t.column("text").to_pylist()).view(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "h": pa.array(h, i64)})
+
+    hashed = docs.map_batches(text_hashes, batch_format="pyarrow").materialize()
+
+    def side(lo: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less(t.column("doc_id"), cut)
+            return t.filter(m if lo else pc.invert(m))
+        return f
+
+    prior_h = relational.grouped_agg(
+        hashed.map_batches(side(True), batch_format="pyarrow")
+              .select_columns(["h"]), ["h"], aggs=[])
+    new_rows = hashed.map_batches(side(False), batch_format="pyarrow")
+    ej = relational.hash_join(
+        new_rows, prior_h, "h",
+        left_schema=pa.schema([("doc_id", i64), ("h", i64)]),
+        right_schema=pa.schema([("h", i64)]),
+    ).to_pandas()
+    # a fully-empty join loses its pandas column labels
+    exact_ids = set(ej["doc_id"]) if "doc_id" in ej.columns else set()
+
+    pairs = dedup.minhash_lsh_pairs(docs)
+    cross = pairs.map_batches(
+        lambda t: t.filter(pc.and_(pc.less(t.column("id_a"), cut),
+                                   pc.greater_equal(t.column("id_b"), cut))),
+        batch_format="pyarrow")
+    good = dedup.ngram_jaccard_verify(cross, docs, threshold=0.8).to_pandas()
+    near_ids = set(good["id_b"]) if len(good) else set()
+
+    new_ids = np.sort(new_rows.to_pandas()["doc_id"].to_numpy())
+    ex = np.isin(new_ids, sorted(exact_ids))
+    nd = np.isin(new_ids, sorted(near_ids))
+    return pd.DataFrame({
+        "doc_id": new_ids,
+        "exact_dup": ex,
+        "near_dup": nd,
+        "admit": ~(ex | nd),
+    })
+
+
+SQL_INCREMENTAL_DEDUP = _sql_jaccard_cte(0.8) + f"""
+, ex AS (
+  SELECT DISTINCT n.doc_id FROM documents n JOIN documents p
+    ON p.text = n.text AND p.doc_id < {_INC_CUT} AND n.doc_id >= {_INC_CUT}
+),
+nd AS (
+  SELECT DISTINCT id_b AS doc_id FROM vpairs
+  WHERE id_a < {_INC_CUT} AND id_b >= {_INC_CUT}
+)
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+       d.doc_id IN (SELECT doc_id FROM nd) AS near_dup,
+       NOT (d.doc_id IN (SELECT doc_id FROM ex)
+            OR d.doc_id IN (SELECT doc_id FROM nd)) AS admit
+FROM documents d WHERE d.doc_id >= {_INC_CUT} ORDER BY d.doc_id
+"""
+
+
 def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     """Exact n-gram Jaccard similarity self-join at t=0.7: prefix-filter
     candidate generation (SSJoin/PPJoin lemma — provably no false
@@ -2355,6 +2443,66 @@ SELECT d.doc_id,
        coalesce(s.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+# CCNet perplexity-bucket thresholds on the ROUNDED mean log10 P —
+# fixed cut points (the analog of CCNet's precomputed per-language
+# thresholds; picked from the fixed 500-doc documents-table
+# distribution: quartiles ≈ -1.486 / -1.470)
+_LM_HEAD = -1.47
+_LM_TAIL = -1.486
+
+
+def q_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): score
+    every document by mean log10 P(w_i|w_{i-1}) under a corpus-trained
+    add-0.5 bigram model (`ops/text.py:bigram_lm_scores` — explode to
+    hash rows → two grouped_counts → two bucketed joins → per-doc
+    grouped sum; text never shuffles), then bucket head/middle/tail on
+    fixed thresholds over the floor-rounded score, the deterministic
+    stand-in for CCNet's per-language perplexity cut points."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text.bigram_lm_scores(docs).to_pandas()
+    out["ppl_bucket"] = np.where(
+        out["avg_logprob"] >= _LM_HEAD, "head",
+        np.where(out["avg_logprob"] < _LM_TAIL, "tail", "middle"))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Oracle recomputes the bigram LM from exact word strings (the Ray side
+# counts by xxh64 — the decontaminate hash-equality convention); both
+# sides floor-round the mean to 5 decimals before the bucket compare so
+# sum-association ulps can't flip a bucket on one side only.  The \w+
+# tokenizer parity note on SQL_REPETITION_SCORES applies (ASCII corpus).
+SQL_LM_PERPLEXITY = f"""
+WITH toks AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w,
+           generate_subscripts(regexp_extract_all(lower(text), '[0-9a-z_]+'), 1) AS pos
+    FROM documents)
+),
+uni AS (SELECT w, count(*)::BIGINT AS cu FROM toks GROUP BY 1),
+v AS (SELECT count(*)::DOUBLE AS vv FROM uni),
+bi AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+bic AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bi GROUP BY 1, 2),
+occ AS (
+  SELECT bi.doc_id,
+         log10((bic.cb + 0.5) / (uni.cu + 0.5 * v.vv)) AS lp
+  FROM bi JOIN bic USING (w1, w2) JOIN uni ON uni.w = bi.w1 CROSS JOIN v),
+s AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp) AS lps
+      FROM occ GROUP BY 1),
+r AS (SELECT doc_id, n_bigrams,
+             floor((lps / n_bigrams) * 100000 + 0.5) / 100000 AS avg_logprob
+      FROM s)
+SELECT doc_id, n_bigrams, avg_logprob,
+       CASE WHEN avg_logprob >= {_LM_HEAD} THEN 'head'
+            WHEN avg_logprob < {_LM_TAIL} THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket
+FROM r ORDER BY doc_id
 """
 
 
@@ -4135,18 +4283,20 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "minhash_neardup": q_minhash_neardup,
     "jaccard_pairs": q_jaccard_pairs,
-    "simhash_pairs": q_simhash_pairs,
+    "lm_perplexity": q_lm_perplexity,
+    "incremental_dedup": q_incremental_dedup,
     "phash_neardup": q_phash_neardup,
     "phash_groups_dist": q_phash_groups_dist,
     "semdedup": q_semdedup,
     "ivf_ann": q_ivf_ann,
-    "kmeans_refine": q_kmeans_refine,
     "events_asof_orders": q_events_asof_orders,
     "word_count": q_word_count,
     # --- driver cap (50) reached above; the rest keep their historical
     # green rows (CORRECTNESS_r01-r04) + pytest/check_oracle coverage ---
     "doc_stats": q_doc_stats,
     "pii_scrub_sf": q_pii_scrub_sf,
+    "simhash_pairs": q_simhash_pairs,
+    "kmeans_refine": q_kmeans_refine,
     "top_users": q_top_users,
     "first_doc_per_lang": q_first_doc_per_lang,
     "source_threshold": q_source_threshold,
@@ -4207,6 +4357,7 @@ ORACLES = {
     "media_src_index": SQL_MEDIA_SRC_INDEX,
     "media_extract": SQL_MEDIA_EXTRACT,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
@@ -4221,6 +4372,7 @@ ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "ngram_scores": SQL_NGRAM_SCORES,
     "text_prep": SQL_TEXT_PREP,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
     "ivf_ann": SQL_IVF_ANN,
     "kmeans_refine": SQL_KMEANS_REFINE,
     "semdedup": SQL_SEMDEDUP,

@@ -528,3 +528,114 @@ def inverted_index(docs: rd.Dataset, text_col: str = "text",
 
     return partitioned_map_arrow(pairs, ["term"], build, out_schema,
                                  num_partitions=num_partitions)
+
+
+def bigram_lm_scores(docs: rd.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id", k: float = 0.5,
+                     num_partitions: int = 32) -> rd.Dataset:
+    """CCNet-style corpus language-model scoring (Wenzek et al. 2020
+    train a KenLM and bucket documents head/middle/tail by perplexity;
+    here the LM is an add-``k`` bigram model trained on the corpus
+    ITSELF in the same distributed pass): per document, the mean
+    log10 P(w_i | w_{i-1}) under
+
+        P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)
+
+    with corpus bigram/unigram counts and vocabulary size ``V``.
+
+    Shape (all fixed-width hash rows after the explode — text never
+    shuffles, the dup-span/decontaminate convention):
+      explode (id, bigram-hash, first-word-hash) + unigram hashes
+      → two ``grouped_count`` passes (bigram counts, unigram counts;
+        V = unigram-count row count, a metadata count not a scan)
+      → two bucketed/adaptive ``hash_join`` probes back to the
+        occurrence rows (counts tables are dictionary-sized at bench
+        scale → broadcast; at 100 TB they hash-partition)
+      → per-doc grouped sum of log10 P → mean.
+
+    Gram equality is xxh64 equality (collision-free on real corpora in
+    practice; the SQL oracle counts exact strings — the accepted repo
+    convention, see decontaminate).  Output: ``(id, n_bigrams,
+    avg_logprob)`` for every document with ≥1 bigram; single-word and
+    empty docs drop (SQL side mirrors with a HAVING).
+    """
+    from . import relational
+
+    i64 = pa.int64()
+    occ_schema = pa.schema([(id_col, i64), ("hb", i64), ("h1", i64)])
+
+    def explode_occ(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_ids, h_bi, h_w1 = [], [], []
+        for i, txt in enumerate(texts):
+            words = _WORD_RE.findall((txt or "").lower())
+            if len(words) < 2:
+                continue
+            uh = xxh64_many(words).view(np.int64)
+            bi = [" ".join(p) for p in zip(words[:-1], words[1:])]
+            h_bi.append(xxh64_many(bi).view(np.int64))
+            h_w1.append(uh[:-1])
+            out_ids.append(np.full(len(bi), ids[i], np.int64))
+        if not out_ids:
+            return occ_schema.empty_table()
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_ids), i64),
+            "hb": pa.array(np.concatenate(h_bi), i64),
+            "h1": pa.array(np.concatenate(h_w1), i64),
+        })
+
+    def explode_uni(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        all_words: list[str] = []
+        for txt in texts:
+            all_words.extend(_WORD_RE.findall((txt or "").lower()))
+        h = (xxh64_many(all_words).view(np.int64)
+             if all_words else np.array([], np.int64))
+        return pa.table({"h1": pa.array(h, i64)})
+
+    occ = docs.map_batches(explode_occ, batch_format="pyarrow").materialize()
+    uni_counts = relational.grouped_count(
+        docs.map_batches(explode_uni, batch_format="pyarrow"),
+        ["h1"], alias="cu")
+    vocab_v = uni_counts.count()  # grouped_count is eager: metadata count
+    bi_counts = relational.grouped_count(
+        occ.select_columns(["hb"]), ["hb"], alias="cb")
+
+    j = relational.hash_join(
+        occ, bi_counts, "hb", num_buckets=num_partitions,
+        left_schema=occ_schema,
+        right_schema=pa.schema([("hb", i64), ("cb", i64)]))
+    j = relational.hash_join(
+        j, uni_counts, "h1", num_buckets=num_partitions,
+        left_schema=pa.schema([(id_col, i64), ("hb", i64), ("h1", i64),
+                               ("cb", i64)]),
+        right_schema=pa.schema([("h1", i64), ("cu", i64)]))
+
+    denom_add = k * float(vocab_v)
+
+    def logp(t: pa.Table) -> pa.Table:
+        cb = t.column("cb").to_numpy(zero_copy_only=False).astype(np.float64)
+        cu = t.column("cu").to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log10((cb + k) / (cu + denom_add))
+        return pa.table({
+            id_col: t.column(id_col),
+            "lp": pa.array(lp),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    sums = relational.grouped_agg(
+        j.map_batches(logp, batch_format="pyarrow"), [id_col],
+        aggs=[("lp", "sum", "lp_sum"), ("one", "sum", "n_bigrams")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("lp_sum").to_numpy(zero_copy_only=False)
+        avg = np.floor((s / n) * 100000.0 + 0.5) / 100000.0
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_bigrams": t.column("n_bigrams"),
+            "avg_logprob": pa.array(avg),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -331,3 +331,35 @@ def test_dup_spans_hot_gram_salted(ray_session, monkeypatch):
         rd.from_arrow(t).repartition(5), n=4
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(forced_stats, base)
+
+
+def test_incremental_dedup_positive_paths(ray_session, tmp_path):
+    """q_incremental_dedup's EXACT branch never fires on the sf fixture
+    (documents has no repeated text — the oracle proves all-false
+    agreement only), so exercise both positive paths on an engineered
+    corpus: one new doc byte-identical to a prior doc, one a near-dup
+    (one word changed in a long text), one fresh."""
+    import pyarrow.parquet as pq
+
+    from cc_warc_examples_ray import entry_queries as eq
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    texts = {
+        0: base,
+        1: "totally different short text about something else entirely",
+        # new side (>= _INC_CUT)
+        eq._INC_CUT + 0: base,                      # exact dup of 0
+        eq._INC_CUT + 1: base.replace("alpha7", "ALPHA7x", 1),  # near dup
+        eq._INC_CUT + 2: " ".join(f"zeta{i}" for i in range(60)),  # fresh
+    }
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = eq.q_incremental_dedup(str(tmp_path)).set_index("doc_id")
+    assert bool(out.loc[eq._INC_CUT + 0, "exact_dup"])
+    assert bool(out.loc[eq._INC_CUT + 0, "near_dup"])   # exact ⇒ jaccard 1
+    assert not bool(out.loc[eq._INC_CUT + 1, "exact_dup"])
+    assert bool(out.loc[eq._INC_CUT + 1, "near_dup"])
+    assert not bool(out.loc[eq._INC_CUT + 2, "exact_dup"])
+    assert not bool(out.loc[eq._INC_CUT + 2, "near_dup"])
+    assert out["admit"].tolist() == [False, False, True]
