@@ -752,6 +752,22 @@ def _mixed_store() -> lancelite.LanceLiteTable:
     return t
 
 
+def _decode_batches(ds: rd.Dataset, fn, nblocks: int = 24, **kw) -> rd.Dataset:
+    """map_batches for a DECODE stage over the content store:
+    repartition the scan to ``nblocks`` and run one task per block
+    (``batch_size=None``).  The store fixture is one ~1 MB fragment;
+    Ray's read splits it into ~64 five-row blocks and the map stage's
+    default batch coalescing re-bundles those into a couple of big
+    serial tasks — at 6-30 ms/image of GIF-LZW / JFIF entropy decode
+    that serializes the whole stage.  An explicit ~300/24-row block
+    shape gives 24 even tasks with per-task overhead ≪ one image's
+    decode.  At 100 TB the store has thousands of fragments and the
+    read supplies the parallelism; the ~1 MB repartition here is the
+    fixture-scale stand-in, not a scale cost."""
+    return ds.repartition(nblocks).map_batches(
+        fn, batch_format="pyarrow", batch_size=None, **kw)
+
+
 def _sf_scale(sf_dir: str) -> int:
     return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
@@ -1744,7 +1760,7 @@ def q_image_hashes(sf_dir: str) -> pd.DataFrame:
     store = _mixed_store()
     _ensure_imghash_fixture()
     ds = store.read_ray(columns=["image_id", "bytes", "fmt"])
-    out = ds.map_batches(_image_hash_batch, batch_format="pyarrow").to_pandas()
+    out = _decode_batches(ds, _image_hash_batch).to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
 
 
@@ -1891,15 +1907,21 @@ def q_image_augment(sf_dir: str) -> pd.DataFrame:
     store = _mixed_store()
     _ensure_augment_fixture()
     ds = store.read_ray(columns=["image_id", "bytes", "fmt", "w", "h"])
+    # task pool, not an actor pool: ImageAugmenter's per-worker state is
+    # just the op name (no model/index), so tasks scale elastically with
+    # the scan's blocks instead of paying 2×4 actor spin-ups (the
+    # actor-pool form stays the right call for stages with real state —
+    # see ImageFeatureExtractor)
     variants = [
-        ds.map_batches(ImageAugmenter, fn_constructor_kwargs={"op": op},
-                       batch_format="pyarrow", concurrency=(1, 4),
-                       batch_size=64)
+        _decode_batches(ds, ImageAugmenter(op=op))
         for op in _AUG_FANOUT
     ]
+    # the union is already 2×24 decode-sized blocks — map per block,
+    # no second repartition
     out = (
         variants[0].union(*variants[1:])
-        .map_batches(_augmented_dhash_batch, batch_format="pyarrow")
+        .map_batches(_augmented_dhash_batch, batch_format="pyarrow",
+                     batch_size=None)
         .to_pandas()
     )
     return out.sort_values("image_id").reset_index(drop=True)
@@ -1942,8 +1964,7 @@ def q_media_prep(sf_dir: str) -> pd.DataFrame:
         return h.append_column("fmt", t.column("fmt")).select(
             ["image_id", "fmt", "dhash"])
 
-    hashed = gated.map_batches(hash_with_fmt,
-                               batch_format="pyarrow").materialize()
+    hashed = _decode_batches(gated, hash_with_fmt).materialize()
     keepers = relational.grouped_agg(
         hashed, keys=["dhash"], aggs=[("image_id", "min", "keeper_id")])
     joined = relational.hash_join(
@@ -2092,9 +2113,9 @@ def q_dhash_neardup(sf_dir: str) -> pd.DataFrame:
     store = _mixed_store()
     _ensure_imghash_fixture()
     ds = store.read_ray(columns=["image_id", "bytes", "fmt"])
-    hashed = ds.map_batches(_image_hash_batch, batch_format="pyarrow") \
-               .map_batches(lambda t: t.select(["image_id", "dhash"]),
-                            batch_format="pyarrow")
+    hashed = _decode_batches(ds, _image_hash_batch) \
+        .map_batches(lambda t: t.select(["image_id", "dhash"]),
+                     batch_format="pyarrow")
     out = dedup.phash_neardup_groups(
         hashed, max_hamming=2, phash_col="dhash",
         salt=int(os.environ.get("PHASH_SALT", "2"))).to_pandas()
