@@ -2912,9 +2912,19 @@ def q_media_forest(sf_dir: str) -> pd.DataFrame:
     media = classics.media_extract(_warc(sf_dir))
     feats = media.map_batches(features.media_features_batch, batch_format="pyarrow")
     ds = rd.from_arrow(_forest_train_table()).repartition(8)
-    fa = forest.train_forest(ds, list(_FOREST_FEATURES), **_FOREST_PARAMS)
-    fb = forest.train_forest(ds, list(_FOREST_FEATURES),
-                             **{**_FOREST_PARAMS, "bag_seed": _FOREST_B_SEED})
+    # BOTH forests' trees train in one joint schedule: max_depth passes
+    # over the corpus total, not trees × depth (train_trees_joint)
+    pk = {k: v for k, v in _FOREST_PARAMS.items()
+          if k in ("n_trees", "id_col")}
+    specs = (forest.forest_specs(list(_FOREST_FEATURES), **pk)
+             + forest.forest_specs(list(_FOREST_FEATURES),
+                                   bag_seed=_FOREST_B_SEED, **pk))
+    trees = forest.train_trees_joint(
+        ds, specs, max_depth=_FOREST_PARAMS["max_depth"],
+        min_leaf=_FOREST_PARAMS["min_leaf"])
+    nt = _FOREST_PARAMS["n_trees"]
+    fa = [(tr, sub) for tr, (sub, _) in zip(trees[:nt], specs[:nt])]
+    fb = [(tr, sub) for tr, (sub, _) in zip(trees[nt:], specs[nt:])]
 
     def apply(tbl: pa.Table) -> pa.Table:
         p_a = forest.forest_proba(tbl, fa)

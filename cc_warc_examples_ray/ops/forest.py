@@ -47,6 +47,7 @@ from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..hashing import xxh64_int64
@@ -265,46 +266,154 @@ def train_tree(data, feature_cols: Sequence[str], label_col: str = "label",
         if len(frontier) == 0:
             break
         hist = hist_pass(frontier)
-        if hist.num_rows == 0:
+        frontier, root_stamped = _grow_level(
+            tree, hist, frontier, min_leaf, root_stamped,
+            allow_split=depth < max_depth)
+        if frontier is None:
             break
-        if not root_stamped:
-            feat_a = hist.column("feat").to_numpy()
-            m = feat_a == feat_a.min()
-            tree.n[0] = int(hist.column("cnt").to_numpy()[m].sum())
-            tree.pos[0] = int(hist.column("pos").to_numpy()[m].sum())
-            root_stamped = True
-        if depth >= max_depth:  # max_depth=0: stats-only pass, no split
-            break
-        node_rows = {
-            int(nd): (tree.n[int(nd)], tree.pos[int(nd)]) for nd in frontier
-            if 0 < tree.pos[int(nd)] < tree.n[int(nd)]
-            and tree.n[int(nd)] >= 2 * min_leaf
-        }
-        if not node_rows:
-            break
-        splits = _best_split(node_rows, hist, min_leaf)
-        nxt = []
-        for nd in sorted(splits):
-            sp = splits[nd]
-            if sp is None:
-                continue
-            f, thr, nl, pl = sp
-            n_tot, pos_tot = node_rows[nd]
-            tree.feat[nd] = f
-            tree.thr[nd] = thr
-            for side, side_n, side_pos in (("left", nl, pl),
-                                           ("right", n_tot - nl, pos_tot - pl)):
-                child = len(tree.feat)
-                getattr(tree, side)[nd] = child
-                tree.feat.append(_LEAF)
-                tree.thr.append(0.0)
-                tree.left.append(_LEAF)
-                tree.right.append(_LEAF)
-                tree.pos.append(side_pos)
-                tree.n.append(side_n)
-            nxt.extend([tree.left[nd], tree.right[nd]])
-        frontier = np.asarray(nxt, np.int64)
     return tree
+
+
+def _grow_level(tree: Tree, hist: pa.Table, frontier: np.ndarray,
+                min_leaf: int, root_stamped: bool, allow_split: bool):
+    """Apply ONE level's merged histogram to ``tree``: stamp root stats
+    on the first non-empty pass, pick/apply the best splits, append the
+    children.  Returns ``(next_frontier | None, root_stamped)`` —
+    ``None`` means the tree is finished (the shared level driver of
+    :func:`train_tree` and :func:`train_trees_joint`; body extracted
+    verbatim from the round-4 train_tree loop)."""
+    if hist.num_rows == 0:
+        return None, root_stamped
+    if not root_stamped:
+        feat_a = hist.column("feat").to_numpy()
+        m = feat_a == feat_a.min()
+        tree.n[0] = int(hist.column("cnt").to_numpy()[m].sum())
+        tree.pos[0] = int(hist.column("pos").to_numpy()[m].sum())
+        root_stamped = True
+    if not allow_split:  # max_depth=0: stats-only pass, no split
+        return None, root_stamped
+    node_rows = {
+        int(nd): (tree.n[int(nd)], tree.pos[int(nd)]) for nd in frontier
+        if 0 < tree.pos[int(nd)] < tree.n[int(nd)]
+        and tree.n[int(nd)] >= 2 * min_leaf
+    }
+    if not node_rows:
+        return None, root_stamped
+    splits = _best_split(node_rows, hist, min_leaf)
+    nxt = []
+    for nd in sorted(splits):
+        sp = splits[nd]
+        if sp is None:
+            continue
+        f, thr, nl, pl = sp
+        n_tot, pos_tot = node_rows[nd]
+        tree.feat[nd] = f
+        tree.thr[nd] = thr
+        for side, side_n, side_pos in (("left", nl, pl),
+                                       ("right", n_tot - nl, pos_tot - pl)):
+            child = len(tree.feat)
+            getattr(tree, side)[nd] = child
+            tree.feat.append(_LEAF)
+            tree.thr.append(0.0)
+            tree.left.append(_LEAF)
+            tree.right.append(_LEAF)
+            tree.pos.append(side_pos)
+            tree.n.append(side_n)
+        nxt.extend([tree.left[nd], tree.right[nd]])
+    return np.asarray(nxt, np.int64), root_stamped
+
+
+_HIST_TREE_SCHEMA = pa.schema(list(_HIST_SCHEMA) + [("tree", pa.int64())])
+
+
+def train_trees_joint(data: rd.Dataset, specs, label_col: str = "label",
+                      max_depth: int = 4, min_leaf: int = 20) -> list[Tree]:
+    """Train MANY trees level-wise with ONE Ray execution per level:
+    each histogram task computes every live tree's partial over its
+    batch (per-tree feature subset + hash bag), tagged with the tree
+    index; the driver merges per tree and grows all frontiers.  Bit
+    identical to per-tree :func:`train_tree` (the per-tree partials and
+    integer merges are untouched — only the pass scheduling fuses), but
+    a T-tree forest costs ``max_depth`` full-data passes instead of
+    ``T × max_depth`` — the difference between 5 and 20 corpus scans
+    for the RF×2 media ensemble, and the 100 TB-relevant shape.
+
+    ``specs``: ``[(feature_cols, bag | None), ...]`` with ``bag =
+    (id_col, seed, mod)`` as in :func:`train_tree`."""
+    specs = [(list(fc), bag) for fc, bag in specs]
+    cols = {label_col}
+    for fc, bag in specs:
+        cols.update(fc)
+        if bag:
+            cols.add(bag[0])
+    ds = data.select_columns(sorted(cols)).materialize()
+    trees = [Tree() for _ in specs]
+    frontiers: list[np.ndarray | None] = [np.array([0], np.int64)
+                                          for _ in specs]
+    stamped = [False] * len(specs)
+    for depth in range(max(max_depth, 1)):
+        live = [i for i, fr in enumerate(frontiers)
+                if fr is not None and len(fr)]
+        if not live:
+            break
+        snaps = {i: (trees[i].feat[:], trees[i].thr[:],
+                     trees[i].left[:], trees[i].right[:]) for i in live}
+        frs = {i: frontiers[i] for i in live}
+        lspecs = {i: specs[i] for i in live}
+
+        def part(tbl: pa.Table, live=live, snaps=snaps, frs=frs,
+                 lspecs=lspecs) -> pa.Table:
+            y_all = tbl.column(label_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            outs = []
+            for i in live:
+                fc, bag = lspecs[i]
+                X = _feature_matrix(tbl, fc)
+                y = y_all
+                if bag is not None:
+                    ids = tbl.column(bag[0]).to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    keep = xxh64_int64(ids, seed=bag[1]) % np.uint64(bag[2]) != 0
+                    X, y = X[keep], y[keep]
+                t2 = Tree()
+                t2.feat, t2.thr, t2.left, t2.right = snaps[i]
+                t2.pos = [0] * len(t2.feat)
+                t2.n = [0] * len(t2.feat)
+                h = _hist_partial(X, y, t2.assign(X), frs[i])
+                outs.append(h.append_column(
+                    "tree", pa.array(np.full(h.num_rows, i, np.int64))))
+            return (pa.concat_tables(outs) if outs
+                    else _HIST_TREE_SCHEMA.empty_table())
+
+        batches = list(ds.map_batches(part, batch_format="pyarrow")
+                       .iter_batches(batch_format="pyarrow"))
+        big = pa.concat_tables(
+            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+             else b for b in batches] or [_HIST_TREE_SCHEMA.empty_table()])
+        tcol = big.column("tree") if big.num_rows else None
+        allow = depth < max_depth
+        for i in live:
+            hist_i = (_merge_hist(
+                [big.filter(pc.equal(tcol, i)).drop_columns(["tree"])])
+                if tcol is not None else _HIST_SCHEMA.empty_table())
+            frontiers[i], stamped[i] = _grow_level(
+                trees[i], hist_i, frs[i], min_leaf, stamped[i],
+                allow_split=allow)
+    return trees
+
+
+def forest_specs(feature_cols: Sequence[str], n_trees: int = 2,
+                 id_col: str | None = None, bag_seed: int = 7100,
+                 bag_mod: int = 4, stride: int = 2):
+    """The (feature subset, bag) spec per tree of a hash-bagged forest —
+    shared by :func:`train_forest` and callers fusing several forests
+    into one :func:`train_trees_joint` schedule."""
+    feature_cols = list(feature_cols)
+    return [
+        (feature_cols[t % stride::stride],
+         (id_col, bag_seed + t, bag_mod) if id_col else None)
+        for t in range(n_trees)
+    ]
 
 
 def train_forest(data, feature_cols: Sequence[str], label_col: str = "label",
@@ -314,16 +423,19 @@ def train_forest(data, feature_cols: Sequence[str], label_col: str = "label",
     """Train ``n_trees`` trees; tree t uses feature subset
     ``feature_cols[t % stride::stride]`` and (when ``id_col`` is given)
     the deterministic hash-bag ``xxh64(id, bag_seed+t) % bag_mod != 0``.
-    Returns ``[(tree, its feature subset), ...]``."""
-    feature_cols = list(feature_cols)
-    out = []
-    for t in range(n_trees):
-        sub = feature_cols[t % stride::stride]
-        bag = (id_col, bag_seed + t, bag_mod) if id_col else None
-        out.append((train_tree(data, sub, label_col=label_col,
-                               max_depth=max_depth, min_leaf=min_leaf,
-                               bag=bag), sub))
-    return out
+    Returns ``[(tree, its feature subset), ...]``.  A Ray Dataset input
+    trains all trees JOINTLY (one pass per level —
+    :func:`train_trees_joint`); the pyarrow path stays per-tree (the
+    no-Ray oracle builder) — both bit-identical."""
+    specs = forest_specs(feature_cols, n_trees, id_col, bag_seed,
+                         bag_mod, stride)
+    if isinstance(data, rd.Dataset):
+        trees = train_trees_joint(data, specs, label_col=label_col,
+                                  max_depth=max_depth, min_leaf=min_leaf)
+        return [(tr, sub) for tr, (sub, _) in zip(trees, specs)]
+    return [(train_tree(data, sub, label_col=label_col, max_depth=max_depth,
+                        min_leaf=min_leaf, bag=bag), sub)
+            for sub, bag in specs]
 
 
 def forest_proba(tbl: pa.Table, forest: list[tuple[Tree, list[str]]]) -> np.ndarray:
