@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "media_prep",
     "media_forest",
     "lm_perplexity",
+    "pca_embeddings",
 ]
 
 

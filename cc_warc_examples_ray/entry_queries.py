@@ -3071,6 +3071,48 @@ FROM sched ORDER BY fetch_time_ms, seed_rank
 """
 
 
+_PCA_K = 2
+
+
+def q_pca_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA over the embedding column: fit on the FIXED
+    sf0.001 embeddings (the offline-model convention of the IVF
+    centroid fixture — an sf-independent projection applied at any
+    scale) via one streaming pass of integer-exact moment partials
+    (`ops/ann.py:pca_train` — one tiny (count, Σq, ΣqqT) row per block
+    reaches the driver, d×d eigh on the driver), then project the
+    queried sf's embeddings batch-wise.  The oracle refits locally —
+    bit-identical by integer-moment exactness — and embeds the
+    component vectors as SQL literals with the same left-to-right
+    projection fold."""
+    train = rd.read_parquet(
+        os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
+        columns=["embedding"]).repartition(8)
+    comps = ann.pca_train(train, n_components=_PCA_K)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ds.map_batches(
+        lambda t: ann.pca_project_batch(t, comps),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _sql_pca_embeddings() -> str:
+    """Top-``_PCA_K`` components refit by the no-Ray path, embedded as
+    shortest-round-trip literals; projection is the explicit 64-term
+    sum so DuckDB's evaluation order equals the numpy fold."""
+    t = pq.read_table(os.path.join(_IVF_TRAIN_SF, "embeddings.parquet"),
+                      columns=["embedding"])
+    comps = ann.pca_train_local(t, n_components=_PCA_K)
+    sels = ["vec_id"]
+    for r in range(comps.shape[0]):
+        expr = " + ".join(
+            f"(embedding[{j + 1}]::DOUBLE) * ({comps[r, j]!r})"
+            for j in range(comps.shape[1]))
+        sels.append(f"floor(({expr}) * 100000 + 0.5) / 100000 AS pc{r + 1}")
+    return ("SELECT " + ",\n       ".join(sels)
+            + " FROM embeddings ORDER BY vec_id")
+
+
 def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
     """IVF ANN with a DuckDB oracle: centroids come from the
     sf-independent fixture (see :func:`_ensure_ivf_fixture`); the oracle
@@ -4312,10 +4354,10 @@ QUERIES = {
     "media_src_index": q_media_src_index,
     "media_extract": q_media_extract,
     "minhash_pairs": q_minhash_pairs,
-    "minhash_neardup": q_minhash_neardup,
     "jaccard_pairs": q_jaccard_pairs,
     "lm_perplexity": q_lm_perplexity,
     "incremental_dedup": q_incremental_dedup,
+    "pca_embeddings": q_pca_embeddings,
     "phash_neardup": q_phash_neardup,
     "phash_groups_dist": q_phash_groups_dist,
     "semdedup": q_semdedup,
@@ -4328,6 +4370,7 @@ QUERIES = {
     "pii_scrub_sf": q_pii_scrub_sf,
     "simhash_pairs": q_simhash_pairs,
     "kmeans_refine": q_kmeans_refine,
+    "minhash_neardup": q_minhash_neardup,
     "top_users": q_top_users,
     "first_doc_per_lang": q_first_doc_per_lang,
     "source_threshold": q_source_threshold,
@@ -4460,6 +4503,7 @@ def oracles_impl() -> dict[str, str]:
     d["media_classify"] = _sql_media_classify()
     d["forest_classify"] = _sql_forest_classify()
     d["media_forest"] = _sql_media_forest()
+    d["pca_embeddings"] = _sql_pca_embeddings()
     return d
 
 

@@ -899,3 +899,111 @@ def ivfpq_topk_indexed(path: str, coarse: np.ndarray, codebook: np.ndarray,
     sub = query_index(path, lists_needed)
     return ivfpq_topk(sub, coarse, codebook, queries, k=k, nprobe=nprobe,
                       id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# PCA over an embedding column (distributed integer-exact moments)
+# ---------------------------------------------------------------------------
+
+def pca_moment_partials(tbl: pa.Table, emb_col: str = "embedding",
+                        scale_bits: int = 20) -> pa.Table:
+    """Per-batch EXACT integer moment partial for PCA: embeddings are
+    quantized to ``floor(e * 2**scale_bits)`` int64 and the batch
+    contributes one row carrying (count, Σq, ΣqqT) as int64 blobs.
+    Integer sums re-associate, so the merged moments — and everything
+    derived from them — are BIT-IDENTICAL regardless of block split or
+    merge order (the ridge-trainer / forest-histogram convention; float
+    Gram partials would make the eigenvectors run-dependent).
+
+    Overflow bound: ``n · 2**(2·scale_bits) < 2**63`` — the default
+    20 bits holds to ~8.4e6 unit-scale rows; callers fitting at larger
+    corpus scale lower scale_bits (10 bits holds to ~8.8e12 rows).
+    The train fixture here is 500 rows."""
+    m = _as_matrix(tbl.column(emb_col))
+    q = np.floor(m * float(1 << scale_bits)).astype(np.int64)
+    g = q.T @ q  # int64 exact
+    return pa.table({
+        "n": pa.array([q.shape[0]], pa.int64()),
+        "s": pa.array([q.sum(axis=0).tobytes()], pa.binary()),
+        "g": pa.array([g.tobytes()], pa.binary()),
+        "d": pa.array([q.shape[1]], pa.int64()),
+    })
+
+
+def pca_train(ds: rd.Dataset, n_components: int = 2,
+              emb_col: str = "embedding", scale_bits: int = 20) -> np.ndarray:
+    """Distributed PCA fit: one streaming pass of integer moment
+    partials (one tiny row per block reaches the driver — the textbook
+    distributed-covariance shape), then a d×d eigendecomposition on the
+    driver.  Returns the top ``n_components`` eigenvectors as rows,
+    sign-canonicalized (the entry with the largest magnitude is made
+    positive) so the result is unique.  Because the merged moments are
+    integer-exact, distributed and local fits agree bit-for-bit and
+    ``numpy.linalg.eigh`` sees the identical matrix."""
+    parts = ds.map_batches(
+        lambda t: pca_moment_partials(t, emb_col, scale_bits),
+        batch_format="pyarrow").to_arrow_refs()
+    n = 0
+    s = g = None
+    d = None
+    for ref in parts:
+        t = ray.get(ref)
+        for i in range(t.num_rows):
+            d = int(t.column("d")[i].as_py())
+            n += int(t.column("n")[i].as_py())
+            si = np.frombuffer(t.column("s")[i].as_py(), np.int64)
+            gi = np.frombuffer(t.column("g")[i].as_py(), np.int64).reshape(d, d)
+            s = si if s is None else s + si
+            g = gi if g is None else g + gi
+    return pca_components_from_moments(n, s, g, scale_bits, n_components)
+
+
+def pca_components_from_moments(n: int, s: np.ndarray, g: np.ndarray,
+                                scale_bits: int,
+                                n_components: int) -> np.ndarray:
+    """(count, Σq, ΣqqT) → top eigenvector rows.  Deterministic given
+    the exact integer moments: the float covariance is a fixed
+    expression of them and ``eigh`` is deterministic for identical
+    input on one platform."""
+    sc = float(1 << scale_bits)
+    mean = s.astype(np.float64) / (n * sc)
+    cov = g.astype(np.float64) / (n * sc * sc) - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:n_components]].T
+    for r in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    return comps
+
+
+def pca_train_local(tbl: pa.Table, n_components: int = 2,
+                    emb_col: str = "embedding",
+                    scale_bits: int = 20) -> np.ndarray:
+    """No-Ray fit over a pyarrow table — the oracle-builder path; bit
+    identical to :func:`pca_train` (same integer moments)."""
+    p = pca_moment_partials(tbl, emb_col, scale_bits)
+    d = int(p.column("d")[0].as_py())
+    return pca_components_from_moments(
+        int(p.column("n")[0].as_py()),
+        np.frombuffer(p.column("s")[0].as_py(), np.int64),
+        np.frombuffer(p.column("g")[0].as_py(), np.int64).reshape(d, d),
+        scale_bits, n_components)
+
+
+def pca_project_batch(tbl: pa.Table, comps: np.ndarray, id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> pa.Table:
+    """Project a batch onto the fitted components with a LEFT-TO-RIGHT
+    fold over dimensions (``acc += e[:, j] * w[j]``), matching the SQL
+    oracle's explicit ``e[1]*w1 + e[2]*w2 + ...`` evaluation order —
+    ``np.dot``'s pairwise/SIMD summation would differ in ulps and could
+    flip the 5-decimal rounding."""
+    m = _as_matrix(tbl.column(emb_col))
+    out = {id_col: tbl.column(id_col)}
+    for r in range(comps.shape[0]):
+        acc = np.zeros(m.shape[0], np.float64)
+        for j in range(m.shape[1]):
+            acc = acc + m[:, j] * comps[r, j]
+        out[f"pc{r + 1}"] = pa.array(
+            np.floor(acc * 100000.0 + 0.5) / 100000.0)
+    return pa.table(out)

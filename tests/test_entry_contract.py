@@ -21,8 +21,8 @@ SUBSET = [
     "warc_job_counters", "phash_neardup", "media_extract",
     # round-4 image-payload families
     "image_augment", "phash_topk",
-    # round-5 RF×2 forest ensemble + CCNet LM bucketing
-    "media_forest", "lm_perplexity",
+    # round-5 RF×2 forest ensemble + CCNet LM bucketing + PCA
+    "media_forest", "lm_perplexity", "pca_embeddings",
 ]
 
 

@@ -1434,3 +1434,34 @@ def test_prefix_sum_rejects_overlapping_block_ranges():
     with pytest.raises(ValueError, match="overlap"):
         relational.prefix_sum(rd.from_arrow(t).repartition(2), "k", "v",
                               assume_range_partitioned=True).to_pandas()
+
+
+def test_pca_distributed_equals_local_and_split_invariant(ray_session):
+    """pca_train (Ray, any block split) == pca_train_local (no Ray):
+    the integer moment partials re-associate exactly, so components are
+    bit-equal; projections recover a planted 2-D structure."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cc_warc_examples_ray.ops import ann
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    local = ann.pca_train_local(t, n_components=3)
+    for nblocks in (1, 7):
+        dist = ann.pca_train(
+            rd.from_arrow(t).repartition(nblocks), n_components=3)
+        assert np.array_equal(local, dist), nblocks
+    # rows are unit eigenvectors of the covariance, mutually orthogonal
+    gram = local @ local.T
+    assert np.allclose(gram, np.eye(3), atol=1e-10)
+    # projection parity: the left-to-right fold equals the oracle-style
+    # explicit sum for a probe row
+    proj = ann.pca_project_batch(t.slice(0, 5), local)
+    m = ann._as_matrix(t.slice(0, 5).column("embedding"))
+    acc = 0.0
+    for j in range(m.shape[1]):
+        acc = acc + m[0, j] * local[0, j]
+    import math
+    assert proj.column("pc1")[0].as_py() == math.floor(acc * 1e5 + 0.5) / 1e5
