@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "media_forest",
     "lm_perplexity",
     "pca_embeddings",
+    "image_augment",
+    "incremental_dedup",
 ]
 
 
