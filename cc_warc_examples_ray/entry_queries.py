@@ -3071,6 +3071,59 @@ FROM sched ORDER BY fetch_time_ms, seed_rank
 """
 
 
+_VALIDATE_FIXTURE = "/tmp/ccwarc_validate_fixture.parquet"
+
+
+def _validate_project(t: pa.Table) -> pa.Table:
+    return pa.table({
+        "image_id": t.column("image_id"),
+        "fmt": t.column("fmt"),
+        "decode_ok": t.column("decode_ok"),
+        "dims_ok": t.column("dims_ok"),
+        "psnr_r": pa.array(_r5(np.minimum(
+            t.column("psnr_db").to_numpy(zero_copy_only=False), 99.0))),
+        "valid": t.column("valid"),
+    })
+
+
+def _ensure_validate_fixture() -> str:
+    """Serial no-Ray recomputation of the decode-validate row results
+    over the mixed store — the oracle side of q_image_validate (the
+    image_hashes fixture convention: proves the DISTRIBUTED map equals
+    the serial sweep row-for-row; shared-codec risk is broken by the
+    pinned literal hash/PSNR tests)."""
+    from .stages.decode import DecodeValidate
+
+    return _fixture_once(
+        _VALIDATE_FIXTURE,
+        lambda: _validate_project(DecodeValidate()(_mixed_store().to_table())))
+
+
+def q_image_validate(sf_dir: str) -> pd.DataFrame:
+    """The north rule's per-row fetch invariant as a standalone query:
+    decode every mixed-store payload and validate it against the
+    reference pixels — EXACT pixel equality for lossless formats,
+    PSNR ≥ 40 dB for lossy (DCT jpg / baseline JFIF), plus dimension
+    and caption equality — via the same `stages/decode.DecodeValidate`
+    stage the crawl pipeline runs, fanned per `_decode_batches`.
+    PSNR is clamped to the 99 dB lossless sentinel and floor-rounded
+    so both sides compare identical doubles."""
+    store = _mixed_store()
+    _ensure_validate_fixture()
+    from .stages.decode import DecodeValidate
+
+    out = (_decode_batches(store.read_ray(), DecodeValidate())
+           .map_batches(_validate_project, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_VALIDATE = f"""
+SELECT image_id, fmt, decode_ok, dims_ok, psnr_r, valid
+FROM read_parquet('{_VALIDATE_FIXTURE}') ORDER BY image_id
+"""
+
+
 _PCA_K = 2
 
 
@@ -4363,9 +4416,10 @@ QUERIES = {
     "semdedup": q_semdedup,
     "ivf_ann": q_ivf_ann,
     "events_asof_orders": q_events_asof_orders,
-    "word_count": q_word_count,
+    "image_validate": q_image_validate,
     # --- driver cap (50) reached above; the rest keep their historical
     # green rows (CORRECTNESS_r01-r04) + pytest/check_oracle coverage ---
+    "word_count": q_word_count,
     "doc_stats": q_doc_stats,
     "pii_scrub_sf": q_pii_scrub_sf,
     "simhash_pairs": q_simhash_pairs,
@@ -4474,6 +4528,7 @@ ORACLES = {
     "url_filter": SQL_URL_FILTER,
     "pii_scrub_sf": SQL_PII_SCRUB_SF,
     "image_hashes": SQL_IMAGE_HASHES,
+    "image_validate": SQL_IMAGE_VALIDATE,
     "image_augment": SQL_IMAGE_AUGMENT,
     "phash_topk": SQL_PHASH_TOPK,
     "image_curation": SQL_IMAGE_CURATION,
@@ -4498,6 +4553,10 @@ def oracles_impl() -> dict[str, str]:
     _ensure_richtext_fixture()
     _ensure_imghash_fixture()
     _ensure_curation_fixture()
+    _ensure_curation_fixture_mixed()
+    _ensure_augment_fixture()
+    _ensure_pq_fixture()
+    _ensure_validate_fixture()
     d = dict(ORACLES)
     # trained-coefficient SQL is built at call time (reads the fixture)
     d["media_classify"] = _sql_media_classify()

@@ -21,8 +21,9 @@ SUBSET = [
     "warc_job_counters", "phash_neardup", "media_extract",
     # round-4 image-payload families
     "image_augment", "phash_topk",
-    # round-5 RF×2 forest ensemble + CCNet LM bucketing + PCA
-    "media_forest", "lm_perplexity", "pca_embeddings",
+    # round-5 RF×2 forest ensemble + CCNet LM bucketing + PCA + the
+    # north-rule per-row decode invariant
+    "media_forest", "lm_perplexity", "pca_embeddings", "image_validate",
 ]
 
 

@@ -269,6 +269,23 @@ def test_pinned_augmented_dhash_literals():
         assert imagecodec.dhash64(a) == dh, (k, fmt, aug)
 
 
+def test_pinned_psnr_literals():
+    """Hard-pinned PSNR(decode(encode(ref)), ref) literals for the two
+    LOSSY codec families (floor-rounded at 5 decimals, 99 dB clamp) —
+    the image_validate oracle recomputes through the same codec
+    library, so these frozen values break the shared-code dependency
+    the same way the dhash pins do.  Both clear the north rule's
+    >= 40 dB bar."""
+    want = {1: ("jpg", 41.39399), 4: ("jfif", 41.45356)}
+    for k, (fmt, p_want) in want.items():
+        assert synth.FMTS_MIXED[k % 5] == fmt
+        ref = np.asarray(synth.expected_pixels(k))
+        img = imagecodec.decode(imagecodec.encode(ref, fmt), fmt)
+        p = np.floor(min(imagecodec.psnr(img, ref), 99.0) * 1e5 + 0.5) / 1e5
+        assert p == p_want, (k, fmt, p)
+        assert p >= 40.0
+
+
 def test_image_augmenter_stage(ray_session):
     t = synth.images_table(9)
     ds = rd.from_arrow(t)
