@@ -1,8 +1,14 @@
 """CLI: run the demo pipelines end-to-end.
 
     python -m cc_warc_examples_ray crawl --seeds 5000 --out /tmp/crawl_demo
+    python -m cc_warc_examples_ray streaming --seeds 5000 --out /tmp/stream_demo
     python -m cc_warc_examples_ray discovery --pages 500 --out /tmp/disc_demo
     python -m cc_warc_examples_ray stats --run /tmp/crawl_demo
+
+``streaming`` is the continuous-mode crawl of the north rule: a killed
+run (`kill -9`, lost `ray job submit` driver, …) re-invoked with the
+SAME ``--out`` resumes from the newest complete round and produces
+bit-identical tables to an uninterrupted run.
 
 Must be run from the repo root (Ray workers import this package via the
 driver's working directory).
@@ -26,6 +32,18 @@ def main(argv=None):
     c.add_argument("--shards", type=int, default=4)
     c.add_argument("--out", required=True)
     c.add_argument("--num-cpus", type=int, default=8)
+
+    t = sub.add_parser(
+        "streaming",
+        help="run the continuous (streaming) crawl; rerun with the same"
+             " --out to resume a killed run")
+    t.add_argument("--seeds", type=int, default=5000)
+    t.add_argument("--hosts", type=int, default=50)
+    t.add_argument("--store-size", type=int, default=500)
+    t.add_argument("--shards", type=int, default=4)
+    t.add_argument("--batch-urls", type=int, default=4096)
+    t.add_argument("--out", required=True)
+    t.add_argument("--num-cpus", type=int, default=8)
 
     d = sub.add_parser("discovery", help="run the two-level discovery crawl")
     d.add_argument("--pages", type=int, default=500)
@@ -77,6 +95,16 @@ def main(argv=None):
             store.fragment_paths(), args.out,
             num_shards=args.shards, num_epochs=args.epochs,
             store_size=args.store_size,
+        )
+    elif args.cmd == "streaming":
+        from .pipelines.streaming import run_streaming_crawl
+
+        run = run_streaming_crawl(
+            synth.frontier_seeds_table(args.seeds, n_hosts=args.hosts),
+            synth.robots_table(args.hosts),
+            store.fragment_paths(), args.out,
+            num_shards=args.shards, store_size=args.store_size,
+            batch_urls=args.batch_urls,
         )
     else:
         import numpy as np

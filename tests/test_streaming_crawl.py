@@ -148,3 +148,29 @@ def test_streaming_seed_feed_continuous_and_resume(ray_session, fixtures, tmp_pa
     fa = full.images_out.to_table().to_pandas().sort_values("seed_rank")
     ra = resumed.images_out.to_table().to_pandas().sort_values("seed_rank")
     assert fa["image_id"].tolist() == ra["image_id"].tolist()
+
+
+def test_cli_streaming_run_and_idempotent_resume(tmp_path):
+    """`python -m cc_warc_examples_ray streaming` end-to-end in a
+    subprocess (the `ray job submit` surface), then re-invoked on the
+    SAME --out: the completed run resumes as a no-op and reports the
+    identical counts (the kill/-9-mid-run variant of this contract is
+    pinned at library level by test_streaming_kill_resume; a manual
+    kill -9 at round 1/8 + CLI rerun was verified bit-identical)."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli_stream")
+    cmd = [sys.executable, "-m", "cc_warc_examples_ray", "streaming",
+           "--seeds", "600", "--hosts", "20", "--batch-urls", "256",
+           "--shards", "2", "--num-cpus", "4", "--out", out]
+    env = dict(__import__("os").environ, RAY_ADDRESS="local")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=180,
+                        cwd="/root/repo", env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    line1 = r1.stdout.strip().splitlines()[-1]
+    assert line1.startswith("admitted=")
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=180,
+                        cwd="/root/repo", env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r2.stdout.strip().splitlines()[-1] == line1
